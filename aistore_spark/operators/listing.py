@@ -1,0 +1,87 @@
+"""List-objects: the reference's most-used query (S1-S3, S5).
+
+Reference semantics (``api/apc/lsmsg.go:195-240``): a listing request
+carries ``{Prefix, PageSize, ContinuationToken, StartAfter, Props,
+Flags}`` and returns pages of ``LsoEnt`` rows, lexicographically sorted
+by name. The Go implementation is a scatter-gather: every target walks
+its mountpaths under the prefix (``xact/xs/lso.go:803-927``), projects
+the wanted props (``xact/xs/wanted_lso.go:18-60``), and the proxy
+merges + sorts + truncates (``ais/plstcx.go:232-284``).
+
+Spark-first translation: the catalog is a DataFrame; the whole
+scatter-gather is ``filter → select → orderBy → limit`` and Catalyst
+plans it. At scale the things that matter:
+
+- the prefix predicate and the ``name > token`` pagination predicate are
+  plain comparisons on a catalog column → pushed to the Parquet scan
+  (min/max row-group pruning on a name-sorted catalog skips almost
+  everything);
+- ``props`` projection is column pruning → only those columns are read;
+- ``orderBy(name).limit(n)`` compiles to TakeOrderedAndProject — each
+  partition keeps a top-n heap, no global sort materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: props the reference returns by default (apc.GetPropsDefault)
+DEFAULT_PROPS = ("name", "size", "checksum", "atime_ns", "version")
+
+
+def list_objects(
+    objects: DataFrame,
+    prefix: str | None = None,
+    props: Sequence[str] | None = None,
+    start_after: str | None = None,
+    continuation_token: str | None = None,
+    page_size: int | None = None,
+    cached: bool | None = None,
+) -> DataFrame:
+    """S1+S2+S3: one listing page, sorted by name.
+
+    ``continuation_token`` is the last name of the previous page
+    (reference: ``api/apc/lsmsg.go:226-229``); ``start_after`` is the
+    equivalent user-facing knob. ``cached`` implements the
+    ``LsCached``/``LsNotCached`` presence filter.
+    """
+    df = objects
+    if prefix:
+        df = df.filter(F.col("name").startswith(prefix))
+    if cached is not None:
+        df = df.filter(F.col("cached") == F.lit(cached))
+    token = continuation_token or start_after
+    if token:
+        df = df.filter(F.col("name") > token)
+    df = df.orderBy("name")
+    if page_size is not None:
+        df = df.limit(page_size)
+    if props:
+        df = df.select(*props)
+    return df
+
+
+def list_virtual_dirs(objects: DataFrame, prefix: str) -> DataFrame:
+    """S5: non-recursive one-level listing with virtual directories.
+
+    Reference: ``LsNoRecursion`` (``api/apc/lsmsg.go:76-89``) lists the
+    immediate children of a prefix; names with deeper path components
+    collapse into virtual directory entries (trailing ``/``).
+
+    Pure column expressions (substring/instr) so it stays inside
+    whole-stage codegen; the ``distinct`` is the only shuffle and runs
+    on the already-prefix-pruned subset.
+    """
+    plen = len(prefix)
+    rest = F.substring(F.col("name"), plen + 1, 1_000_000)
+    slash = F.instr(rest, "/")
+    # entry name: prefix + first segment, keeping the trailing '/' on dirs
+    seg = F.when(slash > 0, F.substr(rest, F.lit(1), slash)).otherwise(rest)
+    return (
+        objects.filter(F.col("name").startswith(prefix))
+        .select(F.concat(F.lit(prefix), seg).alias("entry"), (slash > 0).alias("is_dir"))
+        .distinct()
+    )

@@ -1,0 +1,95 @@
+"""DuckDB-side mirrors of the catalog derivations in :mod:`catalog`.
+
+Each constant is a SQL SELECT usable as a CTE body; :func:`with_catalogs`
+prepends the requested ones to an oracle query. The SQL must stay in the
+dialect subset DuckDB shares with ANSI (the driver runs these in DuckDB
+with the raw parquet tables pre-registered as views).
+
+These strings mirror ``aistore_spark/catalog.py`` expression for
+expression — change both together (tests/test_catalog_parity.py enforces
+it by comparing Spark and DuckDB outputs row-for-row).
+"""
+
+from __future__ import annotations
+
+from aistore_spark.catalog import EKM_RULES
+
+OBJECTS_SQL = """
+SELECT
+  'ais://' || source                                            AS bucket,
+  lang || '/' || source || '/'
+       || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt'       AS name,
+  CAST(n_chars AS BIGINT)                                       AS size,
+  md5(text)                                                     AS checksum,
+  1735689600000000000 + doc_id * 60000000000                    AS atime_ns,
+  CAST(1 + doc_id % 3 AS VARCHAR)                               AS version,
+  CAST(1 + doc_id % 3 AS BIGINT)                                AS copies,
+  (doc_id % 10) < 7                                             AS cached,
+  doc_id,
+  lang,
+  source
+FROM documents
+"""
+
+REMOTE_OBJECTS_SQL = """
+SELECT
+  'ais://' || source                                            AS bucket,
+  lang || '/' || source || '/'
+       || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt'       AS name,
+  CAST(n_chars AS BIGINT)                                       AS size,
+  CAST(1 + doc_id % 3
+         + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+       AS VARCHAR)                                              AS version,
+  doc_id
+FROM documents
+WHERE doc_id % 5 <> 0
+"""
+
+MEMBERS_SQL = """
+SELECT
+  'ais://shards'                                                AS bucket,
+  'shard-' || lpad(CAST(l_orderkey % 128 AS VARCHAR), 5, '0')
+           || '.tar'                                            AS shard,
+  'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0')           AS base,
+  CASE l_linenumber % 3
+    WHEN 0 THEN 'jpg' WHEN 1 THEN 'cls' ELSE 'xml' END          AS ext,
+  'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0') || '.'
+         || CASE l_linenumber % 3
+              WHEN 0 THEN 'jpg' WHEN 1 THEN 'cls' ELSE 'xml'
+            END                                                 AS member,
+  CAST(l_quantity AS BIGINT) * 1024 + l_linenumber              AS size,
+  CAST(round(l_extendedprice * 100, 0) AS BIGINT)               AS key_int,
+  l_extendedprice                                               AS key_float,
+  l_returnflag || l_linestatus || '-' || 'rec-'
+      || lpad(CAST(l_orderkey AS VARCHAR), 8, '0')              AS key_str,
+  l_orderkey                                                    AS orderkey,
+  CAST(l_linenumber AS BIGINT)                                  AS linenumber
+FROM lineitem
+"""
+
+BATCH_REQUESTS_SQL = """
+SELECT
+  event_id                                                      AS req_idx,
+  'ais://shards'                                                AS bucket,
+  'rec-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000
+                      AS VARCHAR), 8, '0') || '.jpg'            AS objname
+FROM events
+"""
+
+EKM_SQL = "SELECT * FROM (VALUES {rows}) AS t(pattern, template, priority)".format(
+    rows=", ".join(f"('{p}', '{t}', {pr})" for p, t, pr in EKM_RULES)
+)
+
+_CATALOGS = {
+    "objects": OBJECTS_SQL,
+    "remote_objects": REMOTE_OBJECTS_SQL,
+    "members": MEMBERS_SQL,
+    "batch_requests": BATCH_REQUESTS_SQL,
+    "ekm": EKM_SQL,
+}
+
+
+def with_catalogs(query: str, *names: str) -> str:
+    """Wrap *query* with CTEs for the named catalog derivations."""
+    parts = [f"{n} AS ({_CATALOGS[n]})" for n in names]
+    return "WITH " + ",\n".join(parts) + "\n" + query
