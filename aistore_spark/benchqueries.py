@@ -19,8 +19,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from aistore_spark import catalog, oracles
-from aistore_spark.operators import listing, summary
+from aistore_spark.operators import filters, joins, listing, movement, summary
 from aistore_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -206,3 +208,323 @@ def a2_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a5_duplicate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: dsort duplicate detection (ext/dsort/shard/record.go:177-189)."""
     return summary.duplicate_records(_members(spark, sf_dir))
+
+
+# ---- F: selection predicates -------------------------------------------------
+
+
+@register(
+    "f1_prefix_ext_breakdown",
+    oracles.with_catalogs(
+        """
+        SELECT ext, count(*) AS n, sum(size) AS bytes
+        FROM members WHERE member LIKE 'rec-0000%' GROUP BY ext
+        """,
+        "members",
+    ),
+)
+def f1_prefix_ext_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: prefix predicate feeding an aggregation (api/apc/lsmsg.go:218)."""
+    return (
+        filters.select_prefix(_members(spark, sf_dir), "rec-0000", name_col="member")
+        .groupBy("ext")
+        .agg(F.count("*").alias("n"), F.sum("size").alias("bytes"))
+    )
+
+
+@register(
+    "f2_template_select",
+    oracles.with_catalogs(
+        """
+        SELECT m.member AS member, m.size AS size
+        FROM members m
+        JOIN (
+          SELECT 'rec-' || lpad(CAST(r AS VARCHAR), 8, '0') || '.jpg' AS name
+          FROM range(0, 9999, 2) t(r)
+        ) e ON m.member = e.name
+        """,
+        "members",
+    ),
+)
+def f2_template_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: brace-template selection (cmn/cos/template.go:32-142).
+
+    Template rec-{00000000..00009998..2}.jpg expands executor-side and
+    broadcast-semi-joins the member catalog.
+    """
+    return filters.select_by_template(
+        _members(spark, sf_dir),
+        spark,
+        "rec-{00000000..00009998..2}.jpg",
+        name_col="member",
+    ).select("member", "size")
+
+
+_F3_NAMES = [
+    "rec-00000001",
+    "rec-00000007",
+    "rec-00000643",
+    "rec-00004242",
+    "rec-00099999",
+]
+
+
+@register(
+    "f3_explicit_names",
+    oracles.with_catalogs(
+        """
+        SELECT v.req_name AS req_name, count(m.member) AS found
+        FROM (VALUES ('rec-00000001'), ('rec-00000007'), ('rec-00000643'),
+                     ('rec-00004242'), ('rec-00099999')) v(req_name)
+        LEFT JOIN members m ON m.base = v.req_name
+        GROUP BY v.req_name
+        """,
+        "members",
+    ),
+)
+def f3_explicit_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: explicit name list w/ per-name found count (ListRange.ObjNames)."""
+    return filters.names_found_report(
+        _members(spark, sf_dir), spark, _F3_NAMES, name_col="base"
+    )
+
+
+@register(
+    "f4_regex_modes",
+    oracles.with_catalogs(
+        r"""
+        SELECT member,
+               regexp_extract(member, '^(.*)\.[^.]+$', 1) AS wdskey
+        FROM members
+        WHERE regexp_matches(member, '^rec-00001\d\d\d\.(cls|xml)$')
+        """,
+        "members",
+    ),
+)
+def f4_regex_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: archregx multi-match + wdskey extraction (cmn/archive/read.go:25-38)."""
+    return filters.select_regex(
+        _members(spark, sf_dir), r"^rec-00001\d\d\d\.(cls|xml)$", mode="regexp"
+    ).select(
+        "member",
+        F.regexp_extract(F.col("member"), r"^(.*)\.[^.]+$", 1).alias("wdskey"),
+    )
+
+
+@register(
+    "f6_size_dispatch",
+    oracles.with_catalogs(
+        """
+        SELECT CASE WHEN size >= 30720 THEN 'blob' ELSE 'regular' END AS path,
+               count(*) AS n, sum(size) AS bytes
+        FROM members GROUP BY 1
+        """,
+        "members",
+    ),
+)
+def f6_size_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: blob-threshold dispatch (api/apc/multiobj.go:85-88)."""
+    return (
+        filters.size_dispatch(_members(spark, sf_dir), threshold=30720)
+        .groupBy("path")
+        .agg(F.count("*").alias("n"), F.sum("size").alias("bytes"))
+    )
+
+
+# ---- J: join-shaped operators ------------------------------------------------
+
+
+@register(
+    "j1_get_batch",
+    oracles.with_catalogs(
+        """
+        SELECT r.req_idx AS req_idx, r.objname AS objname,
+               CASE WHEN c.member IS NULL THEN '__404__/' || r.objname
+                    ELSE r.bucket || '/' || r.objname END AS out_name,
+               COALESCE(c.size, 0) AS size,
+               CASE WHEN c.member IS NULL THEN 'missing' ELSE 'ok' END AS status
+        FROM batch_requests r
+        LEFT JOIN (
+          SELECT member, min(shard) AS shard, min(size) AS size
+          FROM members GROUP BY member
+        ) c ON r.objname = c.member
+        """,
+        "members",
+        "batch_requests",
+    ),
+)
+def j1_get_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/G1: get-batch request join with __404__ sentinel (api/apc/ml.go:37-41)."""
+    return joins.get_batch_join(_requests(spark, sf_dir), _members(spark, sf_dir))
+
+
+@register(
+    "j2_ekm_route",
+    oracles.with_catalogs(
+        """
+        SELECT base,
+               CASE WHEN priority IS NULL THEN '__missing__'
+                    ELSE replace(template, '%d',
+                           CAST(CAST(substr(base, 5) AS BIGINT) % 10 AS VARCHAR))
+               END AS dst_shard,
+               COALESCE(priority, -1) AS matched_priority
+        FROM (
+          SELECT r.base, e.template, e.priority,
+                 row_number() OVER (PARTITION BY r.base
+                                    ORDER BY e.priority NULLS LAST) AS rn
+          FROM (SELECT DISTINCT base FROM members) r
+          LEFT JOIN ekm e ON regexp_matches(r.base, e.pattern)
+        ) WHERE rn = 1
+        """,
+        "members",
+        "ekm",
+    ),
+)
+def j2_ekm_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: EKM regex-routing join (ext/dsort/shard/key.go:55-60)."""
+    records = _members(spark, sf_dir).select("base").distinct()
+    return joins.ekm_route(records, catalog.ekm_table(spark), fanout=10)
+
+
+@register(
+    "j3_catalog_diff",
+    oracles.with_catalogs(
+        """
+        SELECT COALESCE(l.name, r.name) AS name,
+               CASE WHEN r.name IS NULL THEN 'ver_removed'
+                    WHEN l.name IS NULL THEN 'remote_only'
+                    WHEN l.version <> r.version THEN 'ver_changed'
+                    ELSE 'in_sync' END AS status
+        FROM (SELECT name, version FROM objects WHERE doc_id % 7 <> 0) l
+        FULL OUTER JOIN (SELECT name, version FROM remote_objects) r
+          ON l.name = r.name
+        """,
+        "objects",
+        "remote_objects",
+    ),
+)
+def j3_catalog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: LsDiff in-cluster vs remote (api/apc/lsmsg.go:80-86)."""
+    local = _objects(spark, sf_dir).filter(F.col("doc_id") % 7 != 0)
+    return joins.catalog_diff(local, _remote(spark, sf_dir))
+
+
+@register(
+    "j5_group_records",
+    oracles.with_catalogs(
+        """
+        SELECT base, sum(n) AS n_files, count(*) AS n_exts,
+               string_agg(ext, ',' ORDER BY ext) AS exts,
+               sum(bytes) AS total_bytes
+        FROM (
+          SELECT base, ext, count(*) AS n, sum(size) AS bytes
+          FROM members GROUP BY base, ext
+        ) GROUP BY base
+        """,
+        "members",
+    ),
+)
+def j5_group_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: record/sample grouping (ext/dsort/shard/record.go:41-77)."""
+    return joins.group_records(_members(spark, sf_dir))
+
+
+# ---- M: movement / lifecycle -------------------------------------------------
+
+
+@register(
+    "m1_copy_plan",
+    oracles.with_catalogs(
+        """
+        SELECT name,
+               'backup/' || substr(name, 1, length(name) - 4) || '.text' AS new_name,
+               size, bucket
+        FROM objects WHERE name LIKE 'en/%'
+        """,
+        "objects",
+    ),
+)
+def m1_copy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/T2: copy-bucket plan w/ prepend + ext remap (api/apc/tcbtco.go:22-43)."""
+    return movement.copy_plan(
+        _objects(spark, sf_dir),
+        prefix="en/",
+        prepend="backup/",
+        ext_remap={".txt": ".text"},
+    )
+
+
+@register(
+    "m2_prefetch_plan",
+    oracles.with_catalogs(
+        """
+        SELECT r.name AS name, r.size AS size,
+               CASE WHEN r.size >= 500 THEN 'blob' ELSE 'regular' END AS path
+        FROM remote_objects r
+        WHERE r.name NOT IN (
+          SELECT name FROM objects WHERE doc_id % 7 <> 0 AND cached
+        )
+        """,
+        "objects",
+        "remote_objects",
+    ),
+)
+def m2_prefetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: prefetch anti-join + blob dispatch (xact/xs/prefetch.go:176-244)."""
+    local = _objects(spark, sf_dir).filter(F.col("doc_id") % 7 != 0)
+    return movement.prefetch_plan(
+        _remote(spark, sf_dir), local, blob_threshold=500
+    ).select("name", "size", "path")
+
+
+@register(
+    "m3_evict_delete",
+    oracles.with_catalogs(
+        """
+        SELECT cached, count(*) AS n_objects, sum(size) AS bytes
+        FROM objects WHERE name LIKE 'de/%' GROUP BY cached
+        """,
+        "objects",
+    ),
+)
+def m3_evict_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: evict/delete accounting (api/apc/multiobj.go:29-46)."""
+    return movement.evict_delete_plan(_objects(spark, sf_dir), prefix="de/")
+
+
+@register(
+    "m10_sync_prune",
+    oracles.with_catalogs(
+        """
+        SELECT name, size FROM objects
+        WHERE doc_id % 7 <> 0
+          AND name NOT IN (SELECT name FROM remote_objects)
+        """,
+        "objects",
+        "remote_objects",
+    ),
+)
+def m10_sync_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: sync-prune anti-join (xact/xs/prune.go)."""
+    local = _objects(spark, sf_dir).filter(F.col("doc_id") % 7 != 0)
+    return movement.sync_prune_plan(local, _remote(spark, sf_dir))
+
+
+@register(
+    "f5_latest_version",
+    oracles.with_catalogs(
+        """
+        SELECT l.name AS name, l.version AS version,
+               r.version AS remote_version
+        FROM (SELECT name, version FROM objects WHERE doc_id % 7 <> 0) l
+        JOIN remote_objects r ON l.name = r.name
+        WHERE CAST(r.version AS BIGINT) > CAST(l.version AS BIGINT)
+        """,
+        "objects",
+        "remote_objects",
+    ),
+)
+def f5_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: latest-ver revalidation (api/apc/multiobj.go:101-104)."""
+    local = _objects(spark, sf_dir).filter(F.col("doc_id") % 7 != 0)
+    return movement.latest_version_plan(local, _remote(spark, sf_dir))

@@ -1,0 +1,132 @@
+"""Join-shaped operators (J1-J5).
+
+The reference has no relational joins, but four of its core flows are
+joins in disguise; each function below is the Spark-native form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: sentinel prefix for missing batch entries, api/apc/ml.go:37-41
+MISSING_SENTINEL = "__404__/"
+
+
+def get_batch_join(
+    requests: DataFrame,
+    members: DataFrame,
+    continue_on_err: bool = True,
+) -> DataFrame:
+    """J1/G1: the get-batch request join (``MossReq``, api/apc/ml.go:87-120).
+
+    Each request row is matched against stored content by object name;
+    missing objects surface as ``__404__/<name>`` sentinel rows with
+    size 0 when ``continue_on_err`` (left-outer semantics) or are
+    dropped (inner) otherwise — exec path ``xact/xs/moss.go:751-1047``.
+
+    Output carries ``req_idx`` so the TAR assembler can restore *exact
+    request order* (the reference's hard guarantee, api/apc/ml.go:26-28)
+    with a range-partitioned sort on an already-joined frame.
+
+    Content is deduplicated to one row per name first (min shard / min
+    size — deterministic), so the join never fans out a request.
+    """
+    content = members.groupBy("member").agg(
+        F.min("shard").alias("shard"), F.min("size").alias("size")
+    )
+    how = "left" if continue_on_err else "inner"
+    j = requests.join(content, requests["objname"] == content["member"], how)
+    missing = F.col("member").isNull()
+    return j.select(
+        F.col("req_idx"),
+        F.col("objname"),
+        F.when(missing, F.concat(F.lit(MISSING_SENTINEL), F.col("objname")))
+        .otherwise(F.concat(F.col("bucket"), F.lit("/"), F.col("objname")))
+        .alias("out_name"),
+        F.coalesce(F.col("size"), F.lit(0).cast("bigint")).alias("size"),
+        F.when(missing, F.lit("missing")).otherwise(F.lit("ok")).alias("status"),
+    )
+
+
+def ekm_route(records: DataFrame, ekm: DataFrame, fanout: int = 10) -> DataFrame:
+    """J2: external-key-map routing (``ext/dsort/shard/key.go:55-60``).
+
+    Each record's base name joins its *first* matching regex pattern
+    (priority order — parse/apply ``ext/dsort/dsort.go:646-814``); the
+    ``%d`` slot in the matched template is filled from the record id so
+    routing is deterministic. Records matching nothing get the
+    missing-key policy sentinel.
+
+    Spark shape: broadcast non-equi (rlike) join of the tiny EKM against
+    the record set, then a per-record ``row_number`` keeps the first
+    match. At 100 TB the EKM is always broadcast-sized (it's a config
+    artifact) so no shuffle of the records happens before the window;
+    the window partitions by record (no skew).
+    """
+    matched = records.join(
+        F.broadcast(ekm), F.expr("base rlike pattern"), "left"
+    )
+    w = Window.partitionBy("base").orderBy(F.col("priority").asc_nulls_last())
+    rec_id = F.substring(F.col("base"), 5, 100).cast("bigint")
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("base"),
+            F.when(F.col("priority").isNull(), F.lit("__missing__"))
+            .otherwise(
+                F.replace(
+                    F.col("template"),
+                    F.lit("%d"),
+                    (rec_id % fanout).cast("string"),
+                )
+            )
+            .alias("dst_shard"),
+            F.coalesce(F.col("priority"), F.lit(-1)).alias("matched_priority"),
+        )
+    )
+
+
+def catalog_diff(local: DataFrame, remote: DataFrame) -> DataFrame:
+    """J3: LsDiff — in-cluster vs remote catalog comparison
+    (``api/apc/lsmsg.go:80-86,129-135``; guard ``ais/plstcx.go:82-99``).
+
+    Full-outer join on name, classifying each object:
+    ``ver_removed`` (cached locally, gone remotely — EntryVerRemoved),
+    ``remote_only``, ``ver_changed`` (EntryVerChanged), ``in_sync``.
+    """
+    loc = local.select(
+        F.col("name").alias("l_name"), F.col("version").alias("l_version")
+    )
+    rem = remote.select(
+        F.col("name").alias("r_name"), F.col("version").alias("r_version")
+    )
+    j = loc.join(rem, loc["l_name"] == rem["r_name"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("l_name"), F.col("r_name")).alias("name"),
+        F.when(F.col("r_name").isNull(), F.lit("ver_removed"))
+        .when(F.col("l_name").isNull(), F.lit("remote_only"))
+        .when(F.col("l_version") != F.col("r_version"), F.lit("ver_changed"))
+        .otherwise(F.lit("in_sync"))
+        .alias("status"),
+    )
+
+
+def group_records(members: DataFrame) -> DataFrame:
+    """J5: group archived files into records (samples) by base name —
+    the WebDataset convention dsort builds on
+    (``ext/dsort/shard/record.go:41-77``).
+
+    One shuffle on ``base``; extension lists are deduplicated and
+    sorted so the output is deterministic.
+    """
+    per_ext = members.groupBy("base", "ext").agg(
+        F.count("*").alias("n"), F.sum("size").alias("bytes")
+    )
+    return per_ext.groupBy("base").agg(
+        F.sum("n").alias("n_files"),
+        F.count("*").alias("n_exts"),
+        F.array_join(F.sort_array(F.collect_list("ext")), ",").alias("exts"),
+        F.sum("bytes").alias("total_bytes"),
+    )

@@ -37,6 +37,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata's events.ts is parquet TIMESTAMP(NANOS) — Spark has no
+        # nanosecond timestamp type; read as int64 nanos (matches the
+        # reference's atime representation anyway, cmn/objattrs.go:80-81)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
