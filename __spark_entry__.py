@@ -21,7 +21,7 @@ from aistore_spark.benchqueries import ORACLES, QUERIES  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["s1_list_prefix_page"](spark, "/root/testdata/sf0.001")
+    return QUERIES["dsort_pipeline"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

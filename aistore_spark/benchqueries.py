@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aistore_spark import catalog, oracles
-from aistore_spark.operators import filters, joins, listing, movement, summary
+from aistore_spark.operators import dsort, filters, joins, listing, movement, summary
 from aistore_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -528,3 +528,147 @@ def f5_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: latest-ver revalidation (api/apc/multiobj.go:101-104)."""
     local = _objects(spark, sf_dir).filter(F.col("doc_id") % 7 != 0)
     return movement.latest_version_plan(local, _remote(spark, sf_dir))
+
+
+# ---- D: dsort ----------------------------------------------------------------
+
+
+@register(
+    "d1_sort_alphanumeric",
+    oracles.with_catalogs(
+        """
+        SELECT row_number() OVER (ORDER BY member) AS rank, member
+        FROM (SELECT DISTINCT member FROM members)
+        """,
+        "members",
+    ),
+)
+def d1_sort_alphanumeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: global alphanumeric sort (ext/dsort/sort.go:34-48)."""
+    names = _members(spark, sf_dir).select("member").distinct()
+    return dsort.global_rank(names, ["member"]).select("rank", "member")
+
+
+@register(
+    "d2_sort_content_int",
+    oracles.with_catalogs(
+        """
+        SELECT row_number() OVER (ORDER BY key_int, base) AS rank, base, key_int
+        FROM (
+          SELECT base, min(key_int) AS key_int
+          FROM members WHERE ext = 'cls' GROUP BY base
+        )
+        """,
+        "members",
+    ),
+)
+def d2_sort_content_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: content-key sort, int type (ext/dsort/shard/key.go:100-131)."""
+    keys = dsort.content_keys(_members(spark, sf_dir)).select("base", "key_int")
+    return dsort.global_rank(keys, ["key_int", "base"]).select(
+        "rank", "base", "key_int"
+    )
+
+
+@register(
+    "d3_seeded_shuffle",
+    oracles.with_catalogs(
+        """
+        SELECT row_number() OVER (ORDER BY md5('seed42' || base), base) AS rank,
+               base
+        FROM (SELECT DISTINCT base FROM members)
+        """,
+        "members",
+    ),
+)
+def d3_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: deterministic seeded shuffle, hash-order semantics
+    (ext/dsort/sort.go:55-68)."""
+    bases = _members(spark, sf_dir).select("base").distinct()
+    key = dsort.shuffle_key("base", "seed42")
+    return dsort.global_rank(bases, [key, F.col("base")]).select("rank", "base")
+
+
+@register(
+    "d4_md5_order",
+    oracles.with_catalogs(
+        """
+        SELECT row_number() OVER (ORDER BY md5(base), base) AS rank, base
+        FROM (SELECT DISTINCT base FROM members)
+        """,
+        "members",
+    ),
+)
+def d4_md5_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: md5-of-name order (ext/dsort/shard/key.go:66-78)."""
+    bases = _members(spark, sf_dir).select("base").distinct()
+    return dsort.global_rank(bases, [dsort.md5_key("base"), F.col("base")]).select(
+        "rank", "base"
+    )
+
+
+@register(
+    "d6_pack_shards",
+    oracles.with_catalogs(
+        """
+        SELECT CAST(floor((cum - size) / 1048576.0) AS BIGINT) AS shard_id,
+               count(*) AS n_items, sum(size) AS bytes,
+               min(member) AS first_item, max(member) AS last_item
+        FROM (
+          SELECT member, size,
+                 sum(size) OVER (ORDER BY member, size
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+          FROM members
+        )
+        GROUP BY 1
+        """,
+        "members",
+    ),
+)
+def d6_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: fixed-size output shard packing (ext/dsort/dsort.go:556-608)."""
+    packed = dsort.pack_shards(
+        _members(spark, sf_dir), ["member", "size"], "size", shard_size=1 << 20
+    )
+    return dsort.shard_manifest(packed)
+
+
+@register(
+    "dsort_pipeline",
+    oracles.with_catalogs(
+        """
+        WITH recs AS (
+          SELECT base, sum(size) AS bytes FROM members GROUP BY base
+        ), keys AS (
+          SELECT base, min(key_int) AS key_int
+          FROM members WHERE ext = 'cls' GROUP BY base
+        ), r AS (
+          SELECT k.base AS base, k.key_int AS key_int, recs.bytes AS bytes,
+                 sum(recs.bytes) OVER (ORDER BY k.key_int, k.base
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+          FROM keys k JOIN recs ON k.base = recs.base
+        )
+        SELECT CAST(floor((cum - bytes) / 4194304.0) AS BIGINT) AS shard_id,
+               count(*) AS n_items, sum(bytes) AS bytes,
+               min(base) AS first_item, max(base) AS last_item
+        FROM r GROUP BY 1
+        """,
+        "members",
+    ),
+)
+def dsort_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dsort as one declarative plan: group records (J5) →
+    content-key order (D2) → fixed-size shard packing (D6) → build
+    manifest. The reference needs 4 hand-built distributed phases for
+    this (ext/dsort/dsort.go:92-149); here it is one Catalyst plan.
+    """
+    members = _members(spark, sf_dir)
+    recs = members.groupBy("base").agg(F.sum("size").alias("bytes"))
+    keys = dsort.content_keys(members).select("base", "key_int")
+    records = keys.join(recs, "base")
+    packed = dsort.pack_shards(
+        records, ["key_int", "base"], "bytes", shard_size=4 << 20
+    )
+    return dsort.shard_manifest(packed, item_col="base", size_col="bytes")

