@@ -22,7 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aistore_spark import catalog, oracles
-from aistore_spark.operators import dsort, filters, joins, listing, movement, summary
+from aistore_spark.operators import (
+    archive,
+    dsort,
+    etl,
+    filters,
+    joins,
+    listing,
+    movement,
+    summary,
+)
 from aistore_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -672,3 +681,207 @@ def dsort_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         records, ["key_int", "base"], "bytes", shard_size=4 << 20
     )
     return dsort.shard_manifest(packed, item_col="base", size_col="bytes")
+
+
+# ---- T: ETL transforms -------------------------------------------------------
+
+
+def _docs_with_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as (name, data) pairs — the inline-ETL GET shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(
+            F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"), F.lit(".txt"),
+        ).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+
+
+@register(
+    "t1_inline_etl",
+    oracles.with_catalogs(
+        """
+        SELECT name, name || '|x=1|' || CAST(length(text) AS VARCHAR) AS out
+        FROM (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 text
+          FROM documents
+        )
+        """,
+        "objects",
+    ),
+)
+def t1_inline_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T5: inline ETL through the 3-arg transform contract
+    (base_etl_server.py:196-235) — a real Pandas UDF computes
+    path|args|charlen per object."""
+
+    def char_info(data: bytes, path: str, args: str) -> bytes:
+        return f"{path}|{args}|{len(data.decode('utf-8'))}".encode("utf-8")
+
+    df = etl.etl_inline(
+        _docs_with_data(spark, sf_dir), [char_info], etl_args="x=1"
+    )
+    return df.select("name", F.col("out").cast("string").alias("out"))
+
+
+@register(
+    "t2_offline_pipeline",
+    oracles.with_catalogs(
+        """
+        SELECT name, md5('ETL:' || text) AS out,
+               'xform/' || substr(name, 1, length(name) - 4) || '.md5' AS new_name
+        FROM (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 text
+          FROM documents
+        )
+        """,
+        "objects",
+    ),
+)
+def t2_offline_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+T4: offline bucket→bucket ETL with a 2-stage pipeline
+    (prepend → md5; TCBMsg pipeline, api/apc/tcbtco.go:50-80) and
+    destination ext remap."""
+    df = etl.etl_offline(
+        _docs_with_data(spark, sf_dir),
+        ["prepend", "md5"],
+        prepend="xform/",
+        ext_remap={".txt": ".md5"},
+        etl_args="ETL:",
+    )
+    return df.select("name", F.col("out").cast("string").alias("out"), "new_name")
+
+
+# ---- P/G: archives & get-batch assembly ---------------------------------------
+
+# analytic USTAR size: 512B header + 512-padded payload per member,
+# 1024B EOF, archive padded to 10240 — aistore_spark/operators/archive.py
+_TAR_SIZE_SQL = """
+  CAST(ceil((sum(512 + CAST(ceil(psz / 512.0) AS BIGINT) * 512) + 1024)
+            / 10240.0) AS BIGINT) * 10240
+"""
+
+
+@register(
+    "p1_pack_archive",
+    oracles.with_catalogs(
+        f"""
+        SELECT shard, count(*) AS n_members, sum(psz) AS payload_bytes,
+               {_TAR_SIZE_SQL} AS tar_bytes,
+               md5(string_agg(member, ',' ORDER BY member, size)) AS entries_md5
+        FROM (
+          SELECT shard, member, size,
+                 length(member || ':' || key_str) AS psz
+          FROM members
+        )
+        GROUP BY shard
+        """,
+        "members",
+    ),
+)
+def p1_pack_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: pack members into real TAR shards (xact/xs/archive.go:106-161).
+
+    Spark builds actual USTAR bytes per shard (applyInPandas); the
+    oracle cross-checks the exact archive size analytically and the
+    entry ORDER via an md5 fingerprint.
+    """
+    return archive.pack_members(_members(spark, sf_dir))
+
+
+@register(
+    "p2_extract_member",
+    oracles.with_catalogs(
+        """
+        SELECT member, size, md5(member || ':' || key_str) AS payload_md5
+        FROM members
+        WHERE shard = 'shard-00000.tar' AND member = 'rec-00000128.jpg'
+        """,
+        "members",
+    ),
+)
+def p2_extract_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: single archived-file point read via the member catalog
+    (= P5 shard index; ais/tgtobj.go:1341-1368)."""
+    hit = archive.extract_member(
+        _members(spark, sf_dir), "shard-00000.tar", "rec-00000128.jpg"
+    )
+    return hit.select(
+        "member", "size",
+        F.md5(F.concat(F.col("member"), F.lit(":"), F.col("key_str"))).alias(
+            "payload_md5"
+        ),
+    )
+
+
+@register(
+    "p3_extract_regex_pack",
+    oracles.with_catalogs(
+        f"""
+        SELECT response, count(*) AS n_members, sum(psz) AS payload_bytes,
+               {_TAR_SIZE_SQL} AS tar_bytes,
+               md5(string_agg(member, ',' ORDER BY member, size)) AS entries_md5
+        FROM (
+          SELECT 'resp-1' AS response, member, size,
+                 length(member || ':' || key_str) AS psz
+          FROM members
+          WHERE regexp_matches(member, '^rec-0000[01][0-9][0-9][0-9]\\.(jpg|cls)$')
+        )
+        GROUP BY response
+        """,
+        "members",
+    ),
+)
+def p3_extract_regex_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: archregx multi-match extraction streamed back as one TAR
+    (ais/tgtobj.go:1370-1400)."""
+    hits = archive.extract_matching(
+        _members(spark, sf_dir), r"^rec-0000[01][0-9][0-9][0-9]\.(jpg|cls)$"
+    ).withColumn("response", F.lit("resp-1"))
+    return archive.pack_members(hits, shard_col="response")
+
+
+@register(
+    "g1_assemble_batches",
+    oracles.with_catalogs(
+        """
+        WITH j AS (
+          SELECT r.req_idx AS req_idx,
+                 CASE WHEN c.member IS NULL THEN '__404__/' || r.objname
+                      ELSE r.bucket || '/' || r.objname END AS out_name,
+                 COALESCE(c.size, 0) AS size,
+                 CASE WHEN c.member IS NULL THEN 'missing' ELSE 'ok' END AS status
+          FROM batch_requests r
+          LEFT JOIN (
+            SELECT member, min(shard) AS shard, min(size) AS size
+            FROM members GROUP BY member
+          ) c ON r.objname = c.member
+        )
+        SELECT CAST(floor(req_idx / 250.0) AS BIGINT) AS batch_id,
+               count(*) AS n_entries,
+               sum(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS n_missing,
+               sum(size) AS payload_bytes,
+               CAST(ceil((sum(512 + CAST(ceil(size / 512.0) AS BIGINT) * 512)
+                          + 1024) / 10240.0) AS BIGINT) * 10240 AS tar_bytes,
+               md5(string_agg(out_name, ',' ORDER BY req_idx)) AS entries_md5
+        FROM j
+        GROUP BY 1
+        """,
+        "members",
+        "batch_requests",
+    ),
+)
+def g1_assemble_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: get-batch TAR assembly in exact request order with __404__
+    sentinels (xact/xs/moss.go:637-749). Real tar bytes per batch;
+    order proven by the entries_md5 fingerprint."""
+    j = joins.get_batch_join(_requests(spark, sf_dir), _members(spark, sf_dir))
+    j = j.withColumn(
+        "batch_id", F.floor(F.col("req_idx") / 250.0).cast("bigint")
+    )
+    return archive.assemble_batches(j)

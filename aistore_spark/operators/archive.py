@@ -1,0 +1,165 @@
+"""Archive pack / unpack / batch assembly (P1-P6, G1, S13).
+
+The reference treats TAR/TGZ/ZIP shards as first-class: pack selected
+objects into shards (``xact/xs/archive.go``), extract single members or
+regex matches (``ais/tgtobj.go:1341-1400``), and assemble get-batch
+responses as TARs in exact request order (``xact/xs/moss.go:637-749``).
+
+Spark-first: packing is ``groupBy(dst_shard).applyInPandas(tar_builder)``
+— one builder per output shard, embarrassingly parallel, each group
+sized by the packing policy (D6) so memory per task is bounded. The
+member *catalog* (P5's shard index) is how extraction avoids touching
+tar bytes at all: P2/P3 are catalog filters.
+
+Determinism: TARs are built with zeroed uid/gid/mtime (USTAR), so their
+byte size is an exact function of member names+sizes::
+
+    tar_size = roundup(sum(512 + ceil(size/512)*512) + 1024, 10240)
+
+The oracle recomputes that formula in SQL — if our tarfile output ever
+deviates (long names → extended headers, format drift), the size check
+catches it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import tarfile
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TAR_BLOCK = 512
+TAR_EOF = 1024  # two zero blocks
+TAR_RECORDSIZE = 10240  # tarfile pads archives to RECORDSIZE
+
+
+def expected_tar_size(sizes: Iterable[int]) -> int:
+    """Size in bytes of a USTAR archive holding members of *sizes*."""
+    body = sum(TAR_BLOCK + -(-s // TAR_BLOCK) * TAR_BLOCK for s in sizes)
+    total = body + TAR_EOF
+    return -(-total // TAR_RECORDSIZE) * TAR_RECORDSIZE
+
+
+def build_tar(names: list[str], payloads: list[bytes]) -> bytes:
+    """Deterministic USTAR archive: zeroed uid/gid/mtime, entries in the
+    given order (the get-batch order guarantee, api/apc/ml.go:26-28)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
+        for name, payload in zip(names, payloads):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tar.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def synth_payload(member: str, key_str: str) -> bytes:
+    """Deterministic member payload for catalogs that carry no real
+    bytes (testdata): ``member:key_str`` ASCII."""
+    return f"{member}:{key_str}".encode("ascii")
+
+
+def pack_members(
+    members: DataFrame,
+    shard_col: str = "shard",
+    order_cols: tuple[str, ...] = ("member", "size"),
+) -> DataFrame:
+    """P1: pack members into one archive per *shard_col* value
+    (``ArchiveMsg``, api/apc/multiobj.go:158-180; writers
+    ``ext/dsort/shard/tar.go``).
+
+    Builds REAL tar bytes per group and reports the shard manifest:
+    ``(shard, n_members, payload_bytes, tar_bytes, entries_md5)`` where
+    ``entries_md5`` fingerprints the exact entry order.
+    """
+    schema = (
+        f"{shard_col} string, n_members bigint, payload_bytes bigint, "
+        "tar_bytes bigint, entries_md5 string"
+    )
+    order = list(order_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        payloads = [
+            synth_payload(m, k) for m, k in zip(pdf["member"], pdf["key_str"])
+        ]
+        tar = build_tar(list(pdf["member"]), payloads)
+        fp = hashlib.md5(",".join(pdf["member"]).encode()).hexdigest()
+        return pd.DataFrame(
+            {
+                shard_col: [pdf[shard_col].iloc[0]],
+                "n_members": [len(pdf)],
+                "payload_bytes": [sum(len(p) for p in payloads)],
+                "tar_bytes": [len(tar)],
+                "entries_md5": [fp],
+            }
+        )
+
+    return members.groupBy(shard_col).applyInPandas(pack, schema=schema)
+
+
+def extract_member(members: DataFrame, shard: str, member: str) -> DataFrame:
+    """P2: single archived-file read (``GET ?archpath=``,
+    ais/tgtobj.go:1341-1368). The member catalog IS the shard index
+    (P5), so this is a point lookup, not a tar scan."""
+    return members.filter(
+        (F.col("shard") == shard) & (F.col("member") == member)
+    )
+
+
+def extract_matching(
+    members: DataFrame, pattern: str, mode: str = "regexp"
+) -> DataFrame:
+    """P3: multi-match extraction (``GET ?archregx=&archmode=``,
+    cmn/archive/read.go:25-38) — filter the member catalog, then pack
+    the hits as a streamed TAR (P1)."""
+    from aistore_spark.operators.filters import select_regex
+
+    return select_regex(members, pattern, mode=mode, name_col="member")
+
+
+def assemble_batches(
+    joined: DataFrame,
+    batch_col: str = "batch_id",
+) -> DataFrame:
+    """G1/S13: get-batch TAR assembly in exact request order.
+
+    Input is the get-batch join output (J1) plus a ``batch_col``
+    grouping requests into response batches. Per batch, entries are
+    written in ``req_idx`` order — missing objects appear as their
+    ``__404__/`` sentinel with size 0 (api/apc/ml.go:37-41). The
+    ``entries_md5`` fingerprint is over the ordered entry names, so any
+    order violation changes the output.
+
+    Scale: one task per batch; a batch is bounded by the loader's
+    request size, so payload materialization per task is bounded. The
+    shuffle is on ``batch_col`` only.
+    """
+    schema = (
+        f"{batch_col} bigint, n_entries bigint, n_missing bigint, "
+        "payload_bytes bigint, tar_bytes bigint, entries_md5 string"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("req_idx", kind="mergesort")
+        payloads = [b"\0" * int(s) for s in pdf["size"]]
+        tar = build_tar(list(pdf["out_name"]), payloads)
+        fp = hashlib.md5(",".join(pdf["out_name"]).encode()).hexdigest()
+        return pd.DataFrame(
+            {
+                batch_col: [pdf[batch_col].iloc[0]],
+                "n_entries": [len(pdf)],
+                "n_missing": [int((pdf["status"] == "missing").sum())],
+                "payload_bytes": [int(pdf["size"].sum())],
+                "tar_bytes": [len(tar)],
+                "entries_md5": [fp],
+            }
+        )
+
+    return joined.groupBy(batch_col).applyInPandas(pack, schema=schema)

@@ -1,0 +1,70 @@
+"""ETL + archive semantics: transform contract, pipeline composition,
+tar round-trips (the reference's own style — unpack every output shard
+and check contents, ais/test/dsort_test.go:363-510)."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+from pyspark.sql import functions as F
+
+from aistore_spark.catalog import members_catalog
+from aistore_spark.operators import etl
+from aistore_spark.operators.archive import (
+    build_tar,
+    expected_tar_size,
+    pack_members,
+    synth_payload,
+)
+from aistore_spark.sources.tables import load_table
+
+
+def test_tar_roundtrip_preserves_order_and_bytes():
+    names = [f"x/{i:04d}.bin" for i in range(50)]
+    payloads = [bytes([i % 251]) * (i * 17 % 3000) for i in range(50)]
+    blob = build_tar(names, payloads)
+    assert len(blob) == expected_tar_size(len(p) for p in payloads)
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tar:
+        got = [(m.name, tar.extractfile(m).read()) for m in tar.getmembers()]
+    assert got == list(zip(names, payloads)), "order + bytes must round-trip"
+
+
+def test_compress_decompress_pipeline_roundtrip():
+    fn = etl.resolve(["compress", "decompress"])
+    data = b"aistore" * 1000
+    assert fn(data, "p", "") == data
+    # deterministic gzip: same input -> same bytes
+    c = etl.resolve(["compress"])
+    assert c(data, "p", "") == c(data, "p", "")
+
+
+def test_etl_stream_matches_inline(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    df = docs.select(
+        F.col("doc_id").cast("string").alias("name"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    inline = etl.etl_inline(df, ["md5"]).select(
+        "name", F.col("out").cast("string").alias("out")
+    )
+    streamed = etl.etl_stream(
+        df, ["md5"], schema="name string, data binary, out binary"
+    ).select("name", F.col("out").cast("string").alias("out"))
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, streamed.collect())
+    )
+
+
+def test_pack_members_builds_real_tars(spark, sf_dir):
+    members = members_catalog(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("shard") == "shard-00000.tar"
+    )
+    stats = pack_members(members).collect()
+    assert len(stats) == 1
+    s = stats[0]
+    rows = members.orderBy("member", "size").collect()
+    sizes = [len(synth_payload(r.member, r.key_str)) for r in rows]
+    assert s.n_members == len(rows)
+    assert s.payload_bytes == sum(sizes)
+    assert s.tar_bytes == expected_tar_size(sizes)
