@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 from aistore_spark import catalog, oracles
 from aistore_spark.operators import (
     archive,
+    dedup,
+    multimodal,
+    simsearch,
+    text,
     dsort,
     etl,
     filters,
@@ -885,3 +889,393 @@ def g1_assemble_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id", F.floor(F.col("req_idx") / 250.0).cast("bigint")
     )
     return archive.assemble_batches(j)
+
+
+# ---- DD: deduplication (training-data pipeline) --------------------------------
+
+_SHINGLES_SQL = """
+  SELECT DISTINCT a.doc_id AS doc_id,
+         a.word || ' ' || b.word || ' ' || c.word AS shingle
+  FROM wp a
+  JOIN wp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN wp c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+"""
+
+_WP_SQL = """
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+"""
+
+
+@register(
+    "dd1_exact_dedup",
+    oracles.with_catalogs(
+        """
+        SELECT doc_id, md5(text) AS checksum,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup,
+               count(*) OVER (PARTITION BY md5(text)) AS group_size
+        FROM documents
+        """,
+        "objects",
+    ),
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash grouping, canonical = min doc_id."""
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dd2_ngram_jaccard",
+    oracles.with_catalogs(
+        f"""
+        WITH wp AS ({_WP_SQL}),
+        sh AS ({_SHINGLES_SQL}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE common * 20 >= (sa.n_sh + sb.n_sh - common) * 1
+        """,
+        "objects",
+    ),
+)
+def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verify stage: exact word-3-gram Jaccard >= 1/20,
+    integer-exact threshold (no float division)."""
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold_num=1,
+        threshold_den=20,
+    )
+
+
+@register(
+    "dd3_lsh_candidates",
+    oracles.with_catalogs(
+        f"""
+        WITH wp AS ({_WP_SQL}),
+        sh AS ({_SHINGLES_SQL}),
+        mh AS (
+          SELECT doc_id, CAST(r AS INT) AS band,
+                 min(md5(CAST(r AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh, range(0, 8) t(r)
+          GROUP BY doc_id, r
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_bands
+        FROM mh a
+        JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
+                  AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        """,
+        "objects",
+    ),
+)
+def dd3_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 bands, r=1): the scale path —
+    shuffle keys are (band, minhash), never an all-pairs product."""
+    return dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), bands=8, n=3
+    )
+
+
+@register(
+    "dd4_simhash",
+    oracles.with_catalogs(
+        """
+        WITH wd AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        votes AS (
+          SELECT doc_id, CAST(j AS INT) AS j,
+                 sum(CASE WHEN substr(md5(word), CAST(j AS INT) + 1, 1)
+                          IN ('8','9','a','b','c','d','e','f')
+                     THEN 1 ELSE -1 END) AS s
+          FROM wd, range(0, 16) t(j)
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY j) AS simhash
+        FROM votes GROUP BY doc_id
+        """,
+        "objects",
+    ),
+)
+def dd4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit fingerprints from md5-nibble votes."""
+    return dedup.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+# ---- ANN: similarity search ----------------------------------------------------
+
+_QELEM = (
+    "CAST(round(CAST({side}.embedding[CAST(i AS INT)] AS DOUBLE) * 10000, 0) "
+    "AS BIGINT)"
+)
+
+_DOTS_SQL = f"""
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum({_QELEM.format(side='q')} * {_QELEM.format(side='c')}) AS dot
+  FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q,
+       embeddings c, range(1, 65) t(i)
+  WHERE c.vec_id <> q.vec_id
+  GROUP BY 1, 2
+"""
+
+
+def _bucket_sql(alias: str, bits: int = 8) -> str:
+    parts = [
+        "CASE WHEN CAST(round(CAST({a}.embedding[{i}] AS DOUBLE) * 10000, 0) "
+        "AS BIGINT) >= 0 THEN '1' ELSE '0' END".format(a=alias, i=i)
+        for i in range(1, bits + 1)
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "ann1_brute_topk",
+    oracles.with_catalogs(
+        f"""
+        WITH dots AS ({_DOTS_SQL})
+        SELECT query_id,
+               CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, dot
+        FROM dots
+        WINDOW w AS (PARTITION BY query_id ORDER BY dot DESC, neighbor_id)
+        QUALIFY row_number() OVER w <= 10
+        """,
+        "objects",
+    ),
+)
+def ann1_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MIPS top-10 per query vector (fixed-point integer dot —
+    cross-engine exact). Queries = vec_id % 100 == 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "ann2_lsh_bucket_stats",
+    oracles.with_catalogs(
+        f"""
+        SELECT {_bucket_sql('embeddings')} AS bucket, count(*) AS n_vecs
+        FROM embeddings GROUP BY 1
+        """,
+        "objects",
+    ),
+)
+def ann2_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket occupancy (the ANN scale path's partitioner)."""
+    return simsearch.lsh_bucket_stats(
+        load_table(spark, sf_dir, "embeddings"), n_bits=8
+    )
+
+
+@register(
+    "ann3_lsh_topk",
+    oracles.with_catalogs(
+        f"""
+        WITH bq AS (
+          SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+          FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        bc AS (
+          SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+          FROM embeddings
+        ),
+        dots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum({_QELEM.format(side='q')} * {_QELEM.format(side='c')}) AS dot
+          FROM bq q JOIN bc c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id,
+               range(1, 65) t(i)
+          GROUP BY 1, 2
+        )
+        SELECT query_id,
+               CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, dot
+        FROM dots
+        WINDOW w AS (PARTITION BY query_id ORDER BY dot DESC, neighbor_id)
+        QUALIFY row_number() OVER w <= 10
+        """,
+        "objects",
+    ),
+)
+def ann3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: LSH-bucketed candidates + exact rerank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.lsh_topk(emb, queries, k=10, n_bits=8)
+
+
+# ---- TX: text analysis ---------------------------------------------------------
+
+
+@register(
+    "tx1_token_stats",
+    oracles.with_catalogs(
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                 AS n_uniq_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        """,
+        "objects",
+    ),
+)
+def tx1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (JVM-side, scan-speed)."""
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx2_quality_score",
+    oracles.with_catalogs(
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','and','is','to','in')))
+                 AS BIGINT) AS n_stopwords,
+               round(CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the','a','of','and','is','to','in')))
+                 AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+               round(CAST(length(text) - len(string_split(text, ' ')) + 1
+                 AS DOUBLE) / len(string_split(text, ' ')), 6)
+                 AS mean_token_len,
+               round(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                 AS DOUBLE) / len(string_split(text, ' ')), 6) AS repetition
+        FROM documents
+        """,
+        "objects",
+    ),
+)
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: stopword ratio, mean token length, repetition."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql(lang: str, markers: tuple[str, ...]) -> str:
+    lst = ",".join(f"'{m}'" for m in markers)
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN ({lst}))) "
+        f"AS BIGINT) AS hits_{lang}"
+    )
+
+
+@register(
+    "tx3_lang_id",
+    oracles.with_catalogs(
+        f"""
+        WITH h AS (
+          SELECT doc_id, lang AS label,
+                 {", ".join(_lang_hits_sql(lg, mk) for lg, mk in text.LANG_MARKERS.items())}
+          FROM documents
+        )
+        SELECT doc_id, label, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+               CASE
+                 WHEN hits_zh > greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'zh'
+                 WHEN hits_fr > greatest(hits_en, hits_de, hits_es) THEN 'fr'
+                 WHEN hits_es > greatest(hits_en, hits_de) THEN 'es'
+                 WHEN hits_de > hits_en THEN 'de'
+                 ELSE 'en'
+               END AS pred_lang,
+               (CASE
+                 WHEN hits_zh > greatest(hits_en, hits_de, hits_es, hits_fr) THEN 'zh'
+                 WHEN hits_fr > greatest(hits_en, hits_de, hits_es) THEN 'fr'
+                 WHEN hits_es > greatest(hits_en, hits_de) THEN 'es'
+                 WHEN hits_de > hits_en THEN 'de'
+                 ELSE 'en'
+               END) = label AS agree
+        FROM h
+        """,
+        "objects",
+    ),
+)
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with per-language hit counts."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tx4_fingerprint",
+    oracles.with_catalogs(
+        f"""
+        WITH wp AS ({_WP_SQL}),
+        sh_all AS (
+          SELECT a.doc_id AS doc_id,
+                 a.word || ' ' || b.word || ' ' || c.word AS shingle
+          FROM wp a
+          JOIN wp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+          JOIN wp c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+        ),
+        mins AS (
+          SELECT doc_id, min(md5(shingle)) AS shingle_minhash
+          FROM sh_all GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc_id, md5(lower(d.text)) AS content_md5,
+               m.shingle_minhash AS shingle_minhash
+        FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+        """,
+        "objects",
+    ),
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5 + 1-permutation shingle MinHash fingerprints."""
+    return text.fingerprint(load_table(spark, sf_dir, "documents"), n=3)
+
+
+# ---- MM: multimodal plumbing ----------------------------------------------------
+
+_HEXB = (
+    "((strpos('0123456789abcdef', substr(md5(text), {p1}, 1)) - 1) * 16 + "
+    "(strpos('0123456789abcdef', substr(md5(text), {p2}, 1)) - 1))"
+)
+
+
+@register(
+    "mm1_decode_media",
+    oracles.with_catalogs(
+        f"""
+        SELECT lang || '/' || source || '/'
+                 || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS media_type,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(64 + {_HEXB.format(p1=1, p2=2)} * 4 AS BIGINT) AS width,
+               CAST(64 + {_HEXB.format(p1=3, p2=4)} * 4 AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                    ELSE 1 + {_HEXB.format(p1=5, p2=6)} % 240 END AS BIGINT)
+                 AS n_frames,
+               md5(text) AS checksum
+        FROM documents
+        """,
+        "objects",
+    ),
+)
+def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing: binary column → typed metadata via
+    mapInPandas (deterministic fake decoder; real codecs are stubbed —
+    see operators/multimodal.py). The oracle recomputes the fake
+    decoder's md5-derived dimensions in SQL, so the whole Arrow/UDF
+    path is value-checked, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(
+            F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"), F.lit(".txt"),
+        ).alias("name"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    return multimodal.decode_media(media, fake=True)

@@ -1,0 +1,198 @@
+"""Deduplication for large-scale training-data pipelines.
+
+Beyond-reference operators (SURVEY.md §7.8): the reference stores and
+moves training data; a 100 TB corpus pipeline additionally needs
+exact + near-duplicate detection before training. All variants below
+are pure DataFrame/SQL ops over the ``documents`` table:
+
+- exact: content-hash groupBy (one shuffle on the hash)
+- shingling: word n-grams as the unit of similarity
+- n-gram Jaccard: exact pairwise similarity via a shingle-inverted
+  index self-join (the verification stage of a dedup pipeline)
+- MinHash + LSH banding: the scale path — candidate pairs only from
+  shared (band, min-hash) buckets, never an all-pairs product
+- SimHash: per-doc bit-fingerprint from hashed term signs
+
+Determinism: every hash is md5 (identical in Spark and DuckDB), every
+score kept in exact integer form (Jaccard thresholds are compared via
+cross-multiplication, not float division).
+
+Scale notes (100 TB): shingling is a flatMap (no shuffle); the LSH
+bucket join shuffles (band, hash) pairs — O(docs x bands) rows of a
+few bytes; the Jaccard verify join runs only on LSH candidates. The
+all-pairs variant here is for oracle verification at test SF and as
+the verify stage; never run it on a full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: every doc flagged, canonical = min
+    doc_id within its hash group. One hash-shuffle; at scale, group by
+    a 128-bit digest, never the text itself."""
+    w = Window.partitionBy("checksum")
+    return documents.select(
+        F.col("doc_id"),
+        F.md5(F.col(text_col)).alias("checksum"),
+    ).select(
+        "doc_id",
+        "checksum",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+def shingles(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Word n-gram shingles, one row per distinct (doc, shingle).
+
+    JVM-side only: split + sequence/transform + explode — no Python.
+    """
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every doc pair sharing at
+    least one shingle; keep pairs with J >= num/den.
+
+    The threshold compares ``common * den >= (|A|+|B|-common) * num``
+    in exact integers — no float division anywhere, so the oracle
+    matches bit-for-bit.
+    """
+    sh = shingles(documents, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("common") * threshold_den
+            >= (F.col("n_a") + F.col("n_b") - F.col("common")) * threshold_num
+        )
+        .select("doc_a", "doc_b", "common", "n_a", "n_b")
+    )
+
+
+def minhash_bands(documents: DataFrame, bands: int = 8, n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature, one row per band: the band's hash is
+    ``min(md5(band || '|' || shingle))``. r=1 row per band (bands
+    independent single-hash LSH)."""
+    sh = shingles(documents, n=n)
+    spark = documents.sparkSession
+    band_ids = spark.range(bands).select(F.col("id").cast("int").alias("band"))
+    return (
+        sh.crossJoin(F.broadcast(band_ids))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(
+                        F.col("band").cast("string"), F.lit("|"), F.col("shingle")
+                    )
+                )
+            ).alias("minhash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing a (band, minhash)
+    bucket in >= 1 band. The only shuffle keys are (band, minhash) —
+    no all-pairs product ever materializes."""
+    mh = minhash_bands(documents, bands=bands, n=n)
+    a = mh.alias("a")
+    b = mh.alias("b")
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared_bands"))
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: for nibble position j of md5(word), each
+    word occurrence votes +1 if the hex digit >= 8 else -1; bit j is 1
+    when the vote sum is >= 0. Returns ``(doc_id, simhash)`` with the
+    fingerprint as a '0'/'1' string (cross-engine exact; near-dup docs
+    differ in few bit positions).
+    """
+    spark = documents.sparkSession
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    pos = spark.range(bits).select(F.col("id").cast("int").alias("j"))
+    votes = (
+        words.crossJoin(F.broadcast(pos))
+        .select(
+            "doc_id",
+            "j",
+            F.when(
+                F.substring(F.md5(F.col("word")), F.col("j") + 1, 1).isin(
+                    *"89abcdef"
+                ),
+                1,
+            )
+            .otherwise(-1)
+            .alias("vote"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.withColumn(
+            "bit", F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j"), F.col("bit")))
+                    ),
+                    lambda st: st["bit"],
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,105 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (beyond-reference, SURVEY.md §7.8).
+
+The Spark-side contract is real and tested: binary content column,
+typed metadata struct, Arrow-batched ``mapInPandas`` decode/feature
+stages with bounded batch sizes. The actual codec calls are STUBBED —
+this container has no image/audio libraries — behind
+``_decode_real``, which raises ``NotImplementedError``; a
+deterministic fake decoder stands in so the plumbing (schemas,
+batching, partitioning) is exercised end-to-end.
+
+At 100 TB: content lives in object storage; the catalog carries
+(name, media_type, nbytes, metadata). Decode stages are
+embarrassingly parallel; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds decoded-frame memory, and `.repartition` by size buckets evens
+skew from mixed media sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "name string, media_type string, n_bytes bigint, "
+    "width bigint, height bigint, n_frames bigint, checksum string"
+)
+
+
+def _decode_real(data: bytes, media_type: str):
+    """Real decoder hook — wire Pillow/torchaudio/PyAV here when the
+    runtime has them. Deliberately unimplemented in this container."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake=True (deterministic stub) or install codecs"
+    )
+
+
+def _decode_fake(data: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic stand-in: dimensions derived from the content
+    digest, so tests are stable and the full pipeline shape runs."""
+    h = hashlib.md5(data).digest()
+    width = 64 + h[0] * 4
+    height = 64 + h[1] * 4
+    n_frames = 1 if media_type == "image" else 1 + h[2] % 240
+    return width, height, n_frames
+
+
+def decode_media(
+    df: DataFrame,
+    data_col: str = "data",
+    name_col: str = "name",
+    type_col: str = "media_type",
+    fake: bool = True,
+) -> DataFrame:
+    """Decode a binary media column into typed metadata via
+    ``mapInPandas`` (iterator form — never materializes a partition).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_fake if fake else _decode_real
+        for pdf in batches:
+            out = {
+                "name": pdf[name_col],
+                "media_type": pdf[type_col],
+                "n_bytes": pdf[data_col].map(len),
+                "width": [],
+                "height": [],
+                "n_frames": [],
+                "checksum": [],
+            }
+            ws, hs, fr, ck = [], [], [], []
+            for data, mt in zip(pdf[data_col], pdf[type_col]):
+                w, h, n = decode(data, mt)
+                ws.append(w)
+                hs.append(h)
+                fr.append(n)
+                ck.append(hashlib.md5(data).hexdigest())
+            out["width"], out["height"], out["n_frames"], out["checksum"] = (
+                ws,
+                hs,
+                fr,
+                ck,
+            )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(
+    decoded: DataFrame, every_n: int = 30, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plan for video rows: which frame indices a
+    downstream extract stage should pull. Pure column expressions
+    (sequence + slice), one row in → one row out."""
+    idx = F.sequence(
+        F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
+    )
+    return decoded.withColumn(
+        "sample_frames", F.slice(idx, 1, max_frames)
+    ).withColumn("n_sampled", F.size("sample_frames").cast("bigint"))

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (beyond-reference,
+SURVEY.md §7.8): brute-force exact top-k as the baseline, sign-LSH
+bucketing as the scale path.
+
+Metric: max-inner-product (MIPS) over fixed-point embeddings — every
+vector element is quantized to ``round(x * 10^4)`` int64, so dot
+products are exact integer sums: order-independent, bit-identical in
+Spark and DuckDB, overflow-safe for |x| <= ~10^5 at 64 dims. (Cosine
+needs float norms whose summation order is engine-dependent; for
+*ranking* on L2-normalized embeddings MIPS is equivalent.)
+
+Scale design:
+- brute-force: broadcast the query set (queries are few), keep the
+  corpus partition-parallel; per-partition top-k via window on
+  (query, dot) — never a global sort of the corpus.
+- sign-LSH: 1 shuffle on bucket id; candidates only join within their
+  bucket (multi-probe = widen to neighboring buckets). An IVF variant
+  is the same shape with k-means centroids as the bucketer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 10_000
+
+
+def quantized(col: Column | str) -> Column:
+    """array<float> → array<bigint> fixed-point (1e4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * QUANT, 0).cast("bigint")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<bigint> columns —
+    zip_with product + aggregate sum, all JVM-side codegen."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact MIPS top-k: for each query vector, the k corpus vectors
+    with the largest integer dot product (ties → lower id first).
+    Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qvec"), F.col("cvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+
+def sign_lsh_bucket(vec_col: Column | str, n_bits: int = 8) -> Column:
+    """Sign-quantization LSH bucket id: the sign pattern of the first
+    *n_bits* (quantized) components as a '0'/'1' string. Axis-aligned
+    hyperplanes — deterministic and engine-portable; random-projection
+    planes are a broadcast matrix away, same plan shape."""
+    qv = quantized(vec_col)
+    return F.array_join(
+        F.transform(
+            F.slice(qv, 1, n_bits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+
+
+def lsh_bucket_stats(corpus: DataFrame, n_bits: int = 8) -> DataFrame:
+    """Bucket occupancy — the data the multi-probe planner needs."""
+    return (
+        corpus.select(sign_lsh_bucket("embedding", n_bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact MIPS rerank within it. Recall grows with fewer
+    bits / multi-probe; the shuffle is only on bucket id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantized(vec_col).alias("qvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantized(vec_col).alias("cvec"),
+        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qvec"), F.col("cvec")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
