@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aistore_spark.util import spread
+
 #: tiny per-language marker-word lists for the n-gram/stopword
 #: language-ID heuristic (argmax of marker hits; ties resolve in this
 #: tuple order).
@@ -98,6 +100,7 @@ def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
     """Document fingerprints: full-content md5 (exact dedup key) and a
     1-permutation MinHash over word n-gram shingles (robust to small
     edits — the rolling-hash winnowing shape)."""
+    documents = spread(documents)
     words = F.split(F.col("text"), " ")
     grams = F.when(
         F.size(words) >= n,

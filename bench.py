@@ -19,6 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from aistore_spark.benchqueries import QUERIES  # noqa: E402
+from aistore_spark.operators.dsort import release_cached  # noqa: E402
 from aistore_spark.session import get_spark  # noqa: E402
 
 
@@ -37,6 +38,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         per_query[name] = round(time.time() - t0, 3)
+        release_cached()
 
     total = round(sum(per_query.values()), 3)
     print(
