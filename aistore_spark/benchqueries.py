@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -36,6 +36,7 @@ from aistore_spark.operators import (
     movement,
     summary,
 )
+from aistore_spark.sources import downloader
 from aistore_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1279,3 +1280,170 @@ def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("data"),
     )
     return multimodal.decode_media(media, fake=True)
+
+
+# ---- DS/S4/D5/A3/T6: downloader, archive listing, reshard, stats --------------
+
+
+@register(
+    "ds1_download_plan",
+    """
+    SELECT url, 'ingest/part-' || lpad(CAST(r AS VARCHAR), 5, '0')
+             || '.bin' AS objname
+    FROM (
+      SELECT 'http://data.example.com/corpus/part-'
+               || lpad(CAST(r AS VARCHAR), 5, '0') || '.bin' AS url, r
+      FROM range(0, 200) t(r)
+    )
+    WHERE regexp_matches(url, 'part-00[01][0-9][0-9]')
+    """,
+)
+def ds1_download_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: range-download job plan — brace-template URL expansion +
+    regex subset (ext/dload/api.go:87-129). No table input: the plan
+    is generated, like the reference's dispatcher."""
+    return downloader.range_job_plan(
+        spark,
+        "http://data.example.com/corpus/part-{00000..00199}.bin",
+        dest_prefix="ingest/",
+        regex=r"part-00[01][0-9][0-9]",
+    )
+
+
+@register(
+    "ds2_download_exec",
+    """
+    SELECT url, CAST(32 AS BIGINT) AS size, md5(md5(url)) AS checksum
+    FROM (
+      SELECT 'http://data.example.com/corpus/part-'
+               || lpad(CAST(r AS VARCHAR), 5, '0') || '.bin' AS url
+      FROM range(0, 50) t(r)
+    )
+    """,
+)
+def ds2_download_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 execution: mapInPandas fetch (deterministic fake fetcher —
+    body = md5(url) hex; real HTTP fetcher gated behind network)."""
+    plan = downloader.range_job_plan(
+        spark, "http://data.example.com/corpus/part-{00000..00049}.bin"
+    )
+    out = downloader.execute_download(plan, fetch=downloader.fake_fetch)
+    return out.select("url", "size", "checksum")
+
+
+@register(
+    "s4_archive_listing",
+    oracles.with_catalogs(
+        """
+        SELECT shard || '/' || member AS path, size, pos
+        FROM (
+          SELECT shard, member, size,
+                 CAST(row_number() OVER (PARTITION BY shard
+                                         ORDER BY member, size) AS BIGINT)
+                   AS pos
+          FROM members
+        )
+        WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-000001%'
+        ORDER BY path LIMIT 50
+        """,
+        "members",
+    ),
+)
+def s4_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: archive-expanded listing — prefix paging *inside* a shard
+    (LsArchDir, api/apc/lsmsg.go:31-32). Offset = position in the
+    shard's member order (the index datum)."""
+    members = _members(spark, sf_dir)
+    w = Window.partitionBy("shard").orderBy("member", "size")
+    inside = members.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        inside.filter(
+            (F.col("shard") == "shard-00042.tar")
+            & F.col("member").startswith("rec-000001")
+        )
+        .select(
+            F.concat(F.col("shard"), F.lit("/"), F.col("member")).alias("path"),
+            "size",
+            "pos",
+        )
+        .orderBy("path")
+        .limit(50)
+    )
+
+
+@register(
+    "d5_reshard",
+    oracles.with_catalogs(
+        """
+        SELECT CAST(floor((cum - size) / 2097152.0) AS BIGINT) AS shard_id,
+               count(*) AS n_items, sum(size) AS bytes,
+               min(member) AS first_item, max(member) AS last_item
+        FROM (
+          SELECT member, size,
+                 sum(size) OVER (ORDER BY shard, member, size
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+          FROM members
+        )
+        GROUP BY 1
+        """,
+        "members",
+    ),
+)
+def d5_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: reshard-only (algorithm "none", ext/dsort/api.go:21) — pack
+    into 2 MiB outputs preserving input (shard, member) order, no sort
+    key."""
+    packed = dsort.pack_shards(
+        _members(spark, sf_dir),
+        ["shard", "member", "size"],
+        "size",
+        shard_size=2 << 20,
+    )
+    return dsort.shard_manifest(packed)
+
+
+@register(
+    "a3_job_stats",
+    """
+    SELECT event_type AS job_kind,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_workers,
+           epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_job_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: job/xaction stats rollup (xact/api_snap.go shape) over the
+    events stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("job_kind")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_workers"),
+        F.expr("min(ts) div 1000").alias("first_us"),
+        F.expr("max(ts) div 1000").alias("last_us"),
+    )
+
+
+@register(
+    "t6_canned_sha256",
+    oracles.with_catalogs(
+        """
+        SELECT name, sha256(text) AS out
+        FROM (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 text
+          FROM documents
+        )
+        """,
+        "objects",
+    ),
+)
+def t6_canned_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: canned HASH transform (etl_templates.py) via the Pandas-UDF
+    path, value-checked against DuckDB's sha256."""
+    df = etl.etl_inline(_docs_with_data(spark, sf_dir), ["sha256"])
+    return df.select("name", F.col("out").cast("string").alias("out"))

@@ -1,0 +1,101 @@
+"""Real-bytes sources + streaming + SDK surface: write genuine TAR
+shards to disk, read them back through binaryFile + expansion; stream
+the events table through a windowed aggregation; drive the BatchLoader
+iterator; execute a (fake-fetch) download job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aistore_spark.api import BatchLoader
+from aistore_spark.catalog import members_catalog
+from aistore_spark.operators.archive import build_tar, synth_payload
+from aistore_spark.sources.binary import (
+    expand_tar_members,
+    read_binary_objects,
+)
+from aistore_spark.sources.downloader import (
+    execute_download,
+    fake_fetch,
+    range_job_plan,
+)
+from aistore_spark.sources.tables import load_table
+from aistore_spark.streaming.ingest import stream_events, windowed_event_counts
+
+
+def test_binaryfile_tar_expansion_roundtrip(spark, tmp_path):
+    # build 3 real shards with known members
+    expected = {}
+    for s in range(3):
+        names = [f"rec-{s}{i:04d}.jpg" for i in range(20)]
+        payloads = [f"{n}:payload".encode() for n in names]
+        (tmp_path / f"shard-{s}.tar").write_bytes(build_tar(names, payloads))
+        expected.update(
+            {(f"shard-{s}.tar", n): p for n, p in zip(names, payloads)}
+        )
+    members = expand_tar_members(
+        read_binary_objects(spark, str(tmp_path / "*.tar"))
+    ).collect()
+    assert len(members) == 60
+    for r in members:
+        shard = r.shard.rsplit("/", 1)[-1]
+        assert bytes(r.bytes) == expected[(shard, r.member)]
+        assert r.size == len(expected[(shard, r.member)])
+        assert r.offset % 512 == 0 and r.offset > 0
+
+
+def test_member_index_without_bytes(spark, tmp_path):
+    names = [f"a/{i}.bin" for i in range(5)]
+    (tmp_path / "s.tar").write_bytes(build_tar(names, [b"x" * i for i in range(5)]))
+    meta = expand_tar_members(
+        read_binary_objects(spark, str(tmp_path / "s.tar")), with_bytes=False
+    )
+    assert "bytes" not in meta.columns
+    assert meta.count() == 5
+
+
+def test_batch_loader_order_and_sentinels(spark, sf_dir):
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    existing = [
+        r.member
+        for r in members.filter(F.col("ext") == "jpg").limit(3).collect()
+    ]
+    loader = BatchLoader(spark, members).add(
+        existing[0], "rec-99999999.jpg", existing[1], existing[2]
+    )
+    got = list(loader.get())
+    assert len(got) == 4
+    assert got[0][0].endswith(existing[0]) and got[0][1] is not None
+    assert got[1][0].startswith("__404__/") and got[1][1] is None
+    assert got[2][0].endswith(existing[1])
+    assert [g[0].split("/")[-1] for g in got if g[1] is not None] == existing
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    events = stream_events(spark, sf_dir)
+    agg = windowed_event_counts(events, window="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("evt_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM evt_counts").collect()
+    assert out, "stream produced no windows"
+    total = sum(r.n_events for r in out)
+    assert total == load_table(spark, sf_dir, "events").count()
+    types = {r.event_type for r in out}
+    assert "purchase" in types and "error" in types
+
+
+def test_download_execution_deterministic(spark):
+    plan = range_job_plan(spark, "http://h/x/f-{00..09}.bin", dest_prefix="in/")
+    out = execute_download(plan, fetch=fake_fetch).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.objname.startswith("in/f-")
+        assert r.size == 32
+        assert bytes(r.data) == fake_fetch(r.url)
