@@ -1447,3 +1447,114 @@ def t6_canned_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, value-checked against DuckDB's sha256."""
     df = etl.etl_inline(_docs_with_data(spark, sf_dir), ["sha256"])
     return df.select("name", F.col("out").cast("string").alias("out"))
+
+
+# ---- S6/S7, P4, T7: backend listing, archive append, ETL-on-ingest ------------
+
+
+@register(
+    "s6_remote_enriched",
+    oracles.with_catalogs(
+        """
+        SELECT r.name AS name, r.size AS size, r.version AS remote_version,
+               l.cached AS cached, l.copies AS copies
+        FROM remote_objects r
+        LEFT JOIN (SELECT name, cached, copies FROM objects
+                   WHERE doc_id % 7 <> 0) l
+          ON r.name = l.name
+        WHERE r.name > 'en/src12' ORDER BY r.name LIMIT 200
+        """,
+        "objects",
+        "remote_objects",
+    ),
+)
+def s6_remote_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S7: backend-listing page (R-flow) enriched with in-cluster
+    props — the reference streams backend pages to targets for
+    metadata enrichment (xact/xs/lso.go:578-715); here it is a left
+    join of the remote relation against the local catalog."""
+    remote = _remote(spark, sf_dir)
+    local = (
+        _objects(spark, sf_dir)
+        .filter(F.col("doc_id") % 7 != 0)
+        .select("name", "cached", "copies")
+    )
+    return (
+        remote.join(local, "name", "left")
+        .filter(F.col("name") > "en/src12")
+        .orderBy("name")
+        .limit(200)
+        .select(
+            "name",
+            "size",
+            F.col("version").alias("remote_version"),
+            "cached",
+            "copies",
+        )
+    )
+
+
+@register(
+    "p4_archive_append",
+    oracles.with_catalogs(
+        f"""
+        SELECT shard, count(*) AS n_members, sum(psz) AS payload_bytes,
+               {_TAR_SIZE_SQL} AS tar_bytes,
+               md5(string_agg(member, ',' ORDER BY member, size)) AS entries_md5
+        FROM (
+          SELECT shard, member, size,
+                 length(member || ':' || key_str) AS psz
+          FROM members WHERE shard = 'shard-00007.tar'
+          UNION ALL
+          SELECT 'shard-00007.tar' AS shard, 'appended-' || CAST(r AS VARCHAR)
+                   || '.bin' AS member,
+                 CAST(100 + r AS BIGINT) AS size,
+                 length('appended-' || CAST(r AS VARCHAR) || '.bin:new')
+                   AS psz
+          FROM range(0, 5) t(r)
+        )
+        GROUP BY shard
+        """,
+        "members",
+    ),
+)
+def p4_archive_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: append-to-archive = rewrite shard with old ∪ new members
+    (objects are immutable; xact/xs/archive.go:667-717 appends
+    in-place, we re-pack — same resulting archive)."""
+    old = _members(spark, sf_dir).filter(
+        F.col("shard") == "shard-00007.tar"
+    ).select("shard", "member", "size", "key_str")
+    new = spark.range(5).select(
+        F.lit("shard-00007.tar").alias("shard"),
+        F.concat(F.lit("appended-"), F.col("id").cast("string"), F.lit(".bin"))
+        .alias("member"),
+        (F.col("id") + 100).cast("bigint").alias("size"),
+        F.lit("new").alias("key_str"),
+    )
+    return archive.pack_members(old.unionByName(new))
+
+
+@register(
+    "ds3_download_etl",
+    """
+    SELECT url, sha256('H:' || md5(url)) AS out
+    FROM (
+      SELECT 'http://data.example.com/corpus/part-'
+               || lpad(CAST(r AS VARCHAR), 5, '0') || '.bin' AS url
+      FROM range(0, 30) t(r)
+    )
+    """,
+)
+def ds3_download_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: ETL on ingest — download job piped through a transform
+    pipeline (ext/dload/api.go:84-86): fetch → prepend args → sha256."""
+    plan = downloader.range_job_plan(
+        spark, "http://data.example.com/corpus/part-{00000..00029}.bin"
+    )
+    fetched = downloader.execute_download(plan, fetch=downloader.fake_fetch)
+    out = etl.etl_inline(
+        fetched, ["prepend", "sha256"], data_col="data", path_col="url",
+        etl_args="H:",
+    )
+    return out.select("url", F.col("out").cast("string").alias("out"))
