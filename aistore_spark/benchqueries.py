@@ -1558,3 +1558,105 @@ def ds3_download_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         etl_args="H:",
     )
     return out.select("url", F.col("out").cast("string").alias("out"))
+
+
+# ---- depth: remaining dsort key types, embedding near-dup, BPE tokens ---------
+
+
+@register(
+    "d2f_sort_content_float",
+    oracles.with_catalogs(
+        """
+        SELECT row_number() OVER (ORDER BY key_float, base) AS rank,
+               base, key_float
+        FROM (
+          SELECT base, min(key_float) AS key_float
+          FROM members WHERE ext = 'cls' GROUP BY base
+        )
+        """,
+        "members",
+    ),
+)
+def d2f_sort_content_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 float-key variant (ext/dsort/shard/key.go:22-26: typed keys
+    {int,float,string}; float compare ext/dsort/shard/record.go:227-265)."""
+    keys = dsort.content_keys(_members(spark, sf_dir)).select("base", "key_float")
+    return dsort.global_rank(keys, ["key_float", "base"]).select(
+        "rank", "base", "key_float"
+    )
+
+
+@register(
+    "d2s_sort_content_string",
+    oracles.with_catalogs(
+        """
+        SELECT row_number() OVER (ORDER BY key_str, base) AS rank, base, key_str
+        FROM (
+          SELECT base, min(key_str) AS key_str
+          FROM members WHERE ext = 'cls' GROUP BY base
+        )
+        """,
+        "members",
+    ),
+)
+def d2s_sort_content_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 string-key variant."""
+    keys = dsort.content_keys(_members(spark, sf_dir)).select("base", "key_str")
+    return dsort.global_rank(keys, ["key_str", "base"]).select(
+        "rank", "base", "key_str"
+    )
+
+
+@register(
+    "dd5_embedding_neardup",
+    f"""
+    WITH dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             sum(CAST(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 10000, 0) AS BIGINT)
+               * CAST(round(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 10000, 0) AS BIGINT)) AS dot
+      FROM embeddings a, embeddings b, range(1, 65) t(i)
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, dot FROM dots WHERE dot >= 40000000
+    """,
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup detection: vector pairs whose fixed-point
+    inner product clears a threshold (cosine-equivalent ranking on
+    normalized embeddings; ~0.4 at the 1e4 quantization scale). The
+    verify stage of an embedding-dedup pipeline — at corpus scale the
+    candidate set comes from sign-LSH buckets (ann2/ann3) first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simsearch.block_pairs_above(emb, threshold=40_000_000)
+
+
+@register(
+    "tx5_bpe_tokens",
+    oracles.with_catalogs(
+        """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                 AS BIGINT) AS n_bpe_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                 AS n_number_tokens
+        FROM documents
+        """,
+        "objects",
+    ),
+)
+def tx5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: word/number/symbol token classes
+    (the pre-tokenizer shape of GPT-style BPE vocabularies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_number_tokens"),
+    )

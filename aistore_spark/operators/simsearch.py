@@ -143,3 +143,56 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+def block_pairs_above(
+    corpus: DataFrame,
+    threshold: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs inner products above *threshold* via block matrix
+    multiply: broadcast the quantized corpus as one int64 numpy matrix,
+    then each partition multiplies its block against it (exact integer
+    math — bit-identical to the per-pair formulation, ~100x faster
+    than per-element codegen).
+
+    This is the distributed brute-force pattern: O(rows x corpus) work
+    split by partition, driver holds one copy of the matrix. Broadcast
+    is viable to ~10^6 x 64 int64 (~0.5 GB); beyond that, go through
+    sign-LSH buckets (``lsh_topk``) or IVF shards first and run this
+    per bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = corpus.select(
+        F.col(id_col).alias("_id"), quantized(vec_col).alias("_q")
+    )
+    rows = q.collect()
+    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["_q"] for r in rows], dtype=np.int64)
+    spark = corpus.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def blocks(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            my_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            my_mat = np.array(list(pdf["_q"]), dtype=np.int64)
+            dots = my_mat @ all_mat.T  # exact int64
+            li, ri = np.nonzero(dots >= threshold)
+            va, vb = my_ids[li], all_ids[ri]
+            keep = va < vb  # upper triangle only, no self-pairs
+            yield pd.DataFrame(
+                {
+                    "vec_a": va[keep],
+                    "vec_b": vb[keep],
+                    "dot": dots[li, ri][keep],
+                }
+            )
+
+    return q.mapInPandas(blocks, schema="vec_a bigint, vec_b bigint, dot bigint")

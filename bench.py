@@ -30,8 +30,18 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("aistore_spark_bench", cpus=cpus)
-    # warmup: JVM + Arrow + parquet footers
+    # warmup: JVM + parquet footers + Python/Arrow worker spin-up, so
+    # the first Pandas-UDF query isn't charged the daemon startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm("id")).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     per_query: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
