@@ -1660,3 +1660,47 @@ def tx5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_number_tokens"),
     )
+
+
+@register(
+    "t3_multiobj_transform",
+    oracles.with_catalogs(
+        """
+        SELECT m.member AS member,
+               md5('X:' || m.member || ':' || m.key_str) AS out,
+               'xf/' || m.member AS new_name
+        FROM members m
+        JOIN (
+          SELECT 'rec-' || lpad(CAST(r AS VARCHAR), 8, '0') || '.cls' AS name
+          FROM range(0, 2000, 4) t(r)
+        ) sel ON m.member = sel.name
+        """,
+        "members",
+    ),
+)
+def t3_multiobj_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: multi-object transform — ListRange template selection piped
+    through an ETL pipeline with destination prepend (TCOMsg,
+    api/apc/tcbtco.go:85-89). Selection is F2's broadcast semi-join;
+    the transform is the 2-stage prepend→md5 pipeline over the member
+    payloads."""
+    members = _members(spark, sf_dir)
+    sel = filters.select_by_template(
+        members, spark, "rec-{00000000..00001996..4}.cls", name_col="member"
+    )
+    with_data = sel.select(
+        F.col("member").alias("name"),
+        F.encode(
+            F.concat(F.col("member"), F.lit(":"), F.col("key_str")), "UTF-8"
+        ).alias("data"),
+    )
+    out = etl.etl_offline(
+        with_data,
+        ["prepend", "md5"],
+        prepend="xf/",
+        data_col="data",
+        etl_args="X:",
+    ).withColumnRenamed("name", "member")
+    return out.select(
+        "member", F.col("out").cast("string").alias("out"), "new_name"
+    )
