@@ -1704,3 +1704,47 @@ def t3_multiobj_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "member", F.col("out").cast("string").alias("out"), "new_name"
     )
+
+
+@register(
+    "s2c_custom_props",
+    oracles.with_catalogs(
+        """
+        SELECT name, custom['ETag'] AS etag, custom['source'] AS src
+        FROM objects WHERE name LIKE 'es/%'
+        """,
+        "objects",
+    ),
+)
+def s2c_custom_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: custom-metadata KV projection (LsoEnt.Custom,
+    cmn/objattrs.go:20-44) — map column extraction."""
+    return (
+        _objects(spark, sf_dir)
+        .filter(F.col("name").startswith("es/"))
+        .select(
+            "name",
+            F.col("custom")["ETag"].alias("etag"),
+            F.col("custom")["source"].alias("src"),
+        )
+    )
+
+
+@register("j4_hrw_placement")  # no oracle: xxhash64 is Spark-side only
+def j4_hrw_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: rendezvous (HRW) placement — every object name hashed to an
+    owning target (core/meta/hrw.go:23-57). Spark-native form: argmax
+    over targets of xxhash64(name, target) — declared rows-only (the
+    oracle lacks xxhash64; semantics verified by the balance test)."""
+    objects = _objects(spark, sf_dir)
+    targets = spark.range(8).select(F.col("id").alias("target"))
+    scored = objects.select("name").crossJoin(F.broadcast(targets)).select(
+        "name", "target", F.xxhash64(F.col("name"), F.col("target")).alias("h")
+    )
+    w = Window.partitionBy("name").orderBy(F.col("h").desc(), F.col("target"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("target")
+        .agg(F.count("*").alias("n_objects"))
+    )

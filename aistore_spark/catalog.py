@@ -63,6 +63,10 @@ def objects_catalog(documents: DataFrame) -> DataFrame:
         (F.lit(1) + d % 3).cast("string").alias("version"),
         (F.lit(1) + d % 3).cast("bigint").alias("copies"),
         ((d % 10) < 7).alias("cached"),
+        F.create_map(
+            F.lit("ETag"), F.md5(F.col("text")),
+            F.lit("source"), F.col("source"),
+        ).alias("custom"),
         d.alias("doc_id"),
         F.col("lang"),
         F.col("source"),

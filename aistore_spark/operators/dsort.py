@@ -171,6 +171,7 @@ def pack_shards(
     size_col: str,
     shard_size: int,
     shard_col: str = "shard_id",
+    compression_ratio: float = 1.0,
 ) -> DataFrame:
     """D6: split a globally ordered stream into fixed-byte output shards.
 
@@ -182,9 +183,14 @@ def pack_shards(
     """
     cum = global_cumsum(df, order_cols, size_col, cumsum_col="_cum")
     start = F.col("_cum") - F.col(size_col)
+    # compression-ratio feedback (dsort.go:113-123): when outputs are
+    # compressed (tgz/lz4), scale the uncompressed-byte budget so the
+    # on-disk shard lands near shard_size. Sample-based: ratio from a
+    # trial pack of a few shards.
+    effective = float(shard_size) * float(compression_ratio)
     return cum.withColumn(
         shard_col,
-        F.floor(start / F.lit(float(shard_size))).cast("bigint"),
+        F.floor(start / F.lit(effective)).cast("bigint"),
     ).drop("_cum")
 
 

@@ -25,6 +25,7 @@ SELECT
   CAST(1 + doc_id % 3 AS VARCHAR)                               AS version,
   CAST(1 + doc_id % 3 AS BIGINT)                                AS copies,
   (doc_id % 10) < 7                                             AS cached,
+  map(['ETag', 'source'], [md5(text), source])                  AS custom,
   doc_id,
   lang,
   source
