@@ -1,0 +1,72 @@
+"""Movement-plan invariants (M1-M10, F5): the diff statuses partition
+the namespace; prefetch never fetches what is cached; sync-prune and
+prefetch are disjoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aistore_spark.catalog import objects_catalog, remote_objects_catalog
+from aistore_spark.operators import joins, movement
+from aistore_spark.sources.tables import load_table
+
+
+def _local_remote(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    local = objects_catalog(docs).filter(F.col("doc_id") % 7 != 0)
+    return local, remote_objects_catalog(docs)
+
+
+def test_diff_partitions_namespace(spark, sf_dir):
+    local, remote = _local_remote(spark, sf_dir)
+    diff = joins.catalog_diff(local, remote)
+    n_all = diff.count()
+    assert n_all == local.select("name").union(remote.select("name")).distinct().count()
+    by_status = dict(
+        (r.status, r.n)
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    )
+    assert set(by_status) <= {"ver_removed", "remote_only", "ver_changed", "in_sync"}
+    assert sum(by_status.values()) == n_all
+    assert by_status.get("ver_changed", 0) > 0
+    assert by_status.get("ver_removed", 0) > 0
+
+
+def test_prefetch_skips_cached(spark, sf_dir):
+    local, remote = _local_remote(spark, sf_dir)
+    plan = movement.prefetch_plan(remote, local)
+    cached_names = {r.name for r in local.filter(F.col("cached")).collect()}
+    for r in plan.collect():
+        assert r.name not in cached_names
+
+
+def test_sync_prune_is_local_minus_remote(spark, sf_dir):
+    local, remote = _local_remote(spark, sf_dir)
+    prune = {r.name for r in movement.sync_prune_plan(local, remote).collect()}
+    lnames = {r.name for r in local.select("name").collect()}
+    rnames = {r.name for r in remote.select("name").collect()}
+    assert prune == lnames - rnames
+
+
+def test_catalog_upsert_scd1(spark, sf_dir):
+    from aistore_spark.operators.maintenance import (
+        delete_from_catalog,
+        upsert_catalog,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = objects_catalog(docs)
+    n0 = base.count()
+    # bump version of 10 objects + add 5 brand-new ones
+    changed = base.limit(10).withColumn("version", F.lit("bumped"))
+    fresh = (
+        base.limit(5)
+        .withColumn("name", F.concat(F.lit("new/"), F.col("name")))
+    )
+    merged = upsert_catalog(base, changed.unionByName(fresh))
+    assert merged.count() == n0 + 5
+    assert merged.filter(F.col("version") == "bumped").count() == 10
+    assert merged.select("name").distinct().count() == n0 + 5
+
+    after_delete = delete_from_catalog(merged, fresh.select("name"))
+    assert after_delete.count() == n0
