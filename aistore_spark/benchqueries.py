@@ -37,6 +37,7 @@ from aistore_spark.operators import (
     summary,
 )
 from aistore_spark.sources import downloader
+from aistore_spark.util import ensure_shipped
 from aistore_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -47,10 +48,18 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # works on ANY caller-provided session: ship the package to
+            # executor workers before the first UDF-bearing plan runs
+            ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

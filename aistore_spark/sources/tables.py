@@ -24,6 +24,12 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark refuses it unless
+        # nanos are read as int64. Runtime-settable SQL conf — set it
+        # here too (not only in session.py) so queries also work on a
+        # caller-provided SparkSession (the driver's harness).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -21,3 +21,28 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     if df.rdd.getNumPartitions() * min_factor < target:
         return df.repartition(target)
     return df
+
+
+def ensure_shipped(spark) -> None:
+    """Make the ``aistore_spark`` package importable on executor Python
+    workers regardless of how the SparkSession was built.
+
+    Our Pandas-UDF/mapInPandas closures pickle by module reference; a
+    caller-provided session (the driver's harness) may spawn workers
+    without this repo on PYTHONPATH. ``addPyFile`` of a package zip is
+    runtime-safe and idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_aistore_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_root = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "aistore_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for py in sorted(pkg_root.rglob("*.py")):
+            z.write(py, arcname=str(py.relative_to(pkg_root.parent)))
+    sc.addPyFile(str(zpath))
+    sc._aistore_spark_shipped = True
