@@ -125,21 +125,21 @@ def minhash_bands(documents: DataFrame, bands: int = 8, n: int = 3) -> DataFrame
     ``min(md5(band || '|' || shingle))``. r=1 row per band (bands
     independent single-hash LSH)."""
     sh = shingles(documents, n=n)
-    spark = documents.sparkSession
-    band_ids = spark.range(bands).select(F.col("id").cast("int").alias("band"))
-    return (
-        sh.crossJoin(F.broadcast(band_ids))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(
-                        F.col("band").cast("string"), F.lit("|"), F.col("shingle")
-                    )
-                )
-            ).alias("minhash")
-        )
-    )
+    # One pass over the shingle rows: all `bands` hashes are computed
+    # per row and min-aggregated as separate columns (map-side partial
+    # agg keeps the shuffle at one row per doc), then unpivoted. An
+    # explode-by-band would shuffle `bands`x the rows for no benefit.
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))
+        ).alias(f"_mh{b}")
+        for b in range(bands)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{b}, _mh{b}" for b in range(bands))
+    return per_doc.selectExpr(
+        "doc_id", f"stack({bands}, {stack_args}) as (band, minhash)"
+    ).withColumn("band", F.col("band").cast("int"))
 
 
 def lsh_candidate_pairs(
