@@ -43,18 +43,24 @@ def main() -> None:
         "noop"
     ).save()
 
+    # min of 2 runs per query: wall-clock on a shared host is noisy
+    # (first-run JIT, page cache, neighbor load); the min is the
+    # reproducible cost of the plan itself.
     per_query: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        per_query[name] = round(time.time() - t0, 3)
-        release_cached()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+            release_cached()
+        per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total_declared_query_wall_sec",
+                "metric": "total_declared_query_wall_sec_min_of_2",
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
