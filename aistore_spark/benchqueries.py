@@ -1757,3 +1757,67 @@ def j4_hrw_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("target")
         .agg(F.count("*").alias("n_objects"))
     )
+
+
+@register(
+    "ev1_windowed_counts",
+    """
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev1_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event rollup — the deterministic batch
+    semantics of streaming/ingest.windowed_event_counts (the driver's
+    oracle can't run a stream; the window math is identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("ts div 3600000000000").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "ann4_ivf_cells",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+               WHERE vec_id < 16),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             sum(CAST(round(CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 10000, 0) AS BIGINT)
+               * CAST(round(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 10000, 0) AS BIGINT)) AS dot
+      FROM embeddings v, c, range(1, 65) t(i)
+      GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id, dot,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dot DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT centroid_id, count(*) AS n_vecs,
+           min(dot) AS min_dot, max(dot) AS max_dot
+    FROM assigned WHERE rn = 1 GROUP BY centroid_id
+    """,
+)
+def ann4_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell occupancy: vectors assigned to their max-inner-product
+    centroid (centroids = vec_id < 16, deterministic). The coarse
+    quantizer an IVF ANN index routes queries through; k-means
+    refinement is the same broadcast-assign plan iterated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    assigned = simsearch.ivf_assign(emb, centroids)
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("dot").alias("min_dot"),
+        F.max("dot").alias("max_dot"),
+    )

@@ -41,6 +41,8 @@ exchange plays "record distribution", the offset broadcast plays the
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -209,3 +211,68 @@ def shard_manifest(
         F.min(item_col).alias("first_item"),
         F.max(item_col).alias("last_item"),
     )
+
+
+# ---- user-facing job API (POST /v1/sort parity) -----------------------------
+
+
+@dataclass(frozen=True)
+class DsortSpec:
+    """The request-spec surface of a dsort job
+    (``ext/dsort/request_spec.go:100-145``), Spark-shaped: input is a
+    member DataFrame (from the catalog or binaryFile expansion), output
+    is a packed frame + manifest.
+
+    - ``algorithm``: alphanumeric | content | md5 | shuffle | none
+    - ``key_ext`` / ``key_type``: content-key source member + type
+    - ``output_shard_size``: bytes per output shard
+    - ``seed``: shuffle seed (hash-order semantics)
+    - ``descending``: reverse order (``Algorithm.Decreasing``)
+    """
+
+    algorithm: str = "alphanumeric"
+    key_ext: str = "cls"
+    key_type: str = "int"
+    output_shard_size: int = 1 << 20
+    seed: str = "0"
+    descending: bool = False
+    compression_ratio: float = 1.0
+
+
+def run_dsort(members: DataFrame, spec: DsortSpec) -> DataFrame:
+    """Run the full dsort plan for *spec*: record grouping →
+    key derivation → global order → size packing. Returns the packed
+    record frame (one row per record with ``shard_id``); feed it to
+    ``shard_manifest`` or a tar-building ``applyInPandas`` for the
+    creation phase (see tests/test_dsort_e2e.py).
+    """
+    recs = members.groupBy("base").agg(F.sum("size").alias("rec_bytes"))
+    if spec.algorithm == "content":
+        key_col = {"int": "key_int", "float": "key_float", "string": "key_str"}[
+            spec.key_type
+        ]
+        keys = content_keys(members, key_ext=spec.key_ext).select(
+            "base", F.col(key_col).alias("_key")
+        )
+        recs = recs.join(keys, "base")
+    elif spec.algorithm == "md5":
+        recs = recs.withColumn("_key", md5_key("base"))
+    elif spec.algorithm == "shuffle":
+        recs = recs.withColumn("_key", shuffle_key("base", spec.seed))
+    elif spec.algorithm == "alphanumeric":
+        recs = recs.withColumn("_key", F.col("base"))
+    elif spec.algorithm == "none":
+        recs = recs.withColumn("_key", F.lit(""))
+    else:
+        raise ValueError(f"unknown dsort algorithm {spec.algorithm!r}")
+    order = [
+        F.col("_key").desc() if spec.descending else F.col("_key").asc(),
+        F.col("base").asc(),
+    ]
+    return pack_shards(
+        recs,
+        order,
+        "rec_bytes",
+        spec.output_shard_size,
+        compression_ratio=spec.compression_ratio,
+    ).drop("_key")

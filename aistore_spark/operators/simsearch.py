@@ -196,3 +196,36 @@ def block_pairs_above(
             )
 
     return q.mapInPandas(blocks, schema="vec_a bigint, vec_b bigint, dot bigint")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector joins its max-inner-product
+    centroid (ties → lower centroid id). The centroid set is tiny and
+    broadcast; the corpus never shuffles for assignment.
+
+    Centroids here are caller-chosen vectors (deterministic); a k-means
+    refinement is the same plan iterated (assign → mean per cell →
+    reassign), each iteration one broadcast join + one groupBy.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
+    )
+    v = corpus.select(
+        F.col(id_col).alias("vec"), quantized(vec_col).alias("qvec")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec", "centroid_id", int_dot(F.col("qvec"), F.col("cvec")).alias("dot")
+    )
+    w = Window.partitionBy("vec").orderBy(
+        F.col("dot").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec").alias("vec_id"), "centroid_id", "dot")
+    )

