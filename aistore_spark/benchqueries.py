@@ -1821,3 +1821,29 @@ def ann4_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dot").alias("min_dot"),
         F.max("dot").alias("max_dot"),
     )
+
+
+@register(
+    "m6_rename_bucket",
+    oracles.with_catalogs(
+        """
+        SELECT 'ais://renamed-corpus' AS bucket, name, size, checksum
+        FROM objects WHERE bucket = 'ais://src3'
+        """,
+        "objects",
+    ),
+)
+def m6_rename_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: rename bucket — a pure catalog-metadata rewrite (the
+    reference couples it to rebalance, xact/xs/brename.go; with
+    location-independent catalogs it is one column update)."""
+    return (
+        _objects(spark, sf_dir)
+        .filter(F.col("bucket") == "ais://src3")
+        .select(
+            F.lit("ais://renamed-corpus").alias("bucket"),
+            "name",
+            "size",
+            "checksum",
+        )
+    )

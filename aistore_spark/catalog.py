@@ -62,7 +62,10 @@ def objects_catalog(documents: DataFrame) -> DataFrame:
         (F.lit(ATIME_EPOCH_NS) + d * F.lit(ATIME_STEP_NS)).alias("atime_ns"),
         (F.lit(1) + d % 3).cast("string").alias("version"),
         (F.lit(1) + d % 3).cast("bigint").alias("copies"),
-        ((d % 10) < 7).alias("cached"),
+        # presence bit from the content hash (~69% true) — must not
+        # correlate with bucket (source == doc_id%20 in the testdata,
+        # so a doc_id-mod bit would make whole buckets cached)
+        (F.substring(F.md5(F.col("text")), 1, 1) <= "a").alias("cached"),
         F.create_map(
             F.lit("ETag"), F.md5(F.col("text")),
             F.lit("source"), F.col("source"),

@@ -24,7 +24,7 @@ SELECT
   1735689600000000000 + doc_id * 60000000000                    AS atime_ns,
   CAST(1 + doc_id % 3 AS VARCHAR)                               AS version,
   CAST(1 + doc_id % 3 AS BIGINT)                                AS copies,
-  (doc_id % 10) < 7                                             AS cached,
+  substr(md5(text), 1, 1) <= 'a'                                AS cached,
   map(['ETag', 'source'], [md5(text), source])                  AS custom,
   doc_id,
   lang,

@@ -126,3 +126,22 @@ def test_stateful_sessionization(spark, sf_dir, tmp_path):
     assert total_events == ev.count()
     for r in rows:
         assert r.session_start_ns <= r.session_end_ns
+
+
+def test_offset_based_extraction_is_range_read(spark, tmp_path):
+    """P2's point: with the member index, extracting one archived file
+    is a seek+read of exactly (offset, size) — no tar scan. Prove it by
+    reading raw bytes at the indexed offset and comparing."""
+    names = [f"d/{i:03d}.bin" for i in range(30)]
+    payloads = [bytes([i]) * (37 * i + 1) for i in range(30)]
+    shard_path = tmp_path / "x.tar"
+    shard_path.write_bytes(build_tar(names, payloads))
+
+    index = expand_tar_members(
+        read_binary_objects(spark, str(shard_path)), with_bytes=False
+    ).collect()
+    by_member = {r.member: r for r in index}
+    raw = shard_path.read_bytes()
+    for name, payload in zip(names, payloads):
+        r = by_member[name]
+        assert raw[r.offset : r.offset + r.size] == payload
