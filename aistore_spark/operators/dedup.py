@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aistore_spark.util import spread
+from aistore_spark.util import pin, spread
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,7 +87,10 @@ def ngram_jaccard_pairs(
     in exact integers — no float division anywhere, so the oracle
     matches bit-for-bit.
     """
-    sh = shingles(documents, n=n)
+    # the shingle subtree feeds three consumers (sizes, the shared-
+    # shingle prune, and both join sides) — pin it or Spark recomputes
+    # the split+explode+distinct chain per consumer (measured ~3x cost)
+    sh = pin(shingles(documents, n=n))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # Shingles appearing in exactly one document can never produce a
     # pair — prune them before the self-join. At corpus scale this

@@ -46,16 +46,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: frames persisted by the two-pass rank/cumsum (the range partitioner
-#: must not resample between the offsets job and the final pass).
-#: Call :func:`release_cached` after materializing downstream results.
-_CACHED: list[DataFrame] = []
-
-
-def release_cached() -> None:
-    """Unpersist every frame the two-pass helpers pinned."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+from aistore_spark.util import pin, release_cached  # noqa: F401  (re-export)
 
 
 def _offsets_by_partition(
@@ -65,8 +56,7 @@ def _offsets_by_partition(
     partition-ordered frame. *parted* must already be range-partitioned
     and sorted; it is persisted here because two jobs observe it and the
     range partitioner must not resample in between."""
-    parted = parted.withColumn("_pid", F.spark_partition_id()).persist()
-    _CACHED.append(parted)
+    parted = pin(parted.withColumn("_pid", F.spark_partition_id()))
     totals = (
         parted.groupBy("_pid").agg(F.sum(weight_col).alias("_w")).orderBy("_pid")
     ).collect()

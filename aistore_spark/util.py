@@ -4,6 +4,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: frames pinned by operators whose plans re-reference an expensive
+#: subtree (two-pass rank/cumsum, shingle self-joins). Callers run
+#: :func:`release_cached` after materializing downstream results.
+_CACHED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist *df* and register it for :func:`release_cached`."""
+    df = df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every frame pinned via :func:`pin`."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition a frame whose scan under-parallelizes.
