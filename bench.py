@@ -57,6 +57,35 @@ def main() -> None:
         per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
+
+    # derived throughputs on the BASELINE.md axes (single-node local[N]
+    # vs the reference's per-target numbers): get-batch entries/sec,
+    # dsort records/sec, listing rows/sec, archive members packed/sec
+    from aistore_spark.sources.tables import load_table
+
+    n_requests = load_table(spark, sf_dir, "events").count()
+    n_members = load_table(spark, sf_dir, "lineitem").count()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    derived = {}
+    if per_query.get("g1_assemble_batches"):
+        derived["get_batch_entries_per_sec"] = round(
+            n_requests / per_query["g1_assemble_batches"], 1
+        )
+    if per_query.get("dsort_pipeline"):
+        derived["dsort_members_per_sec"] = round(
+            n_members / per_query["dsort_pipeline"], 1
+        )
+    if per_query.get("p1_pack_archive"):
+        derived["archive_pack_members_per_sec"] = round(
+            n_members / per_query["p1_pack_archive"], 1
+        )
+    if per_query.get("s1_list_prefix_page"):
+        derived["listing_page_sec"] = per_query["s1_list_prefix_page"]
+    if per_query.get("dd3_lsh_candidates"):
+        derived["minhash_lsh_docs_per_sec"] = round(
+            n_docs / per_query["dd3_lsh_candidates"], 1
+        )
+
     print(
         json.dumps(
             {
@@ -64,6 +93,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "derived": derived,
                 "sf": sf,
             }
         )
