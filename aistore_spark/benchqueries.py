@@ -1847,3 +1847,65 @@ def m6_rename_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum",
         )
     )
+
+
+@register(
+    "s8_range_reads",
+    oracles.with_catalogs(
+        """
+        SELECT r.req_idx AS req_idx, r.objname AS objname,
+               r.start AS start,
+               CASE WHEN c.member IS NULL THEN 0
+                    WHEN r.length = -1
+                      THEN greatest(c.size - r.start, 0)
+                    ELSE least(greatest(c.size - r.start, 0), r.length)
+               END AS read_len,
+               CASE WHEN c.member IS NULL THEN 'missing'
+                    WHEN r.start >= c.size THEN 'empty'
+                    ELSE 'ok' END AS status
+        FROM (
+          SELECT req_idx, objname,
+                 (req_idx * 17) % 40960 AS start,
+                 CASE WHEN req_idx % 5 = 0 THEN -1
+                      ELSE (req_idx % 7) * 4096 END AS length
+          FROM batch_requests
+        ) r
+        LEFT JOIN (
+          SELECT member, min(size) AS size FROM members GROUP BY member
+        ) c ON r.objname = c.member
+        """,
+        "members",
+        "batch_requests",
+    ),
+)
+def s8_range_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: byte-range read planning — (start, length) with -1 =
+    open-ended (api/apc/ml.go:53-68): effective read length clipped to
+    object size, empty reads past EOF, missing objects flagged."""
+    req = catalog.batch_requests(load_table(spark, sf_dir, "events")).select(
+        "req_idx",
+        "objname",
+        ((F.col("req_idx") * 17) % 40960).alias("start"),
+        F.when(F.col("req_idx") % 5 == 0, F.lit(-1))
+        .otherwise((F.col("req_idx") % 7) * 4096)
+        .alias("length"),
+    )
+    content = (
+        _members(spark, sf_dir).groupBy("member").agg(F.min("size").alias("size"))
+    )
+    j = req.join(content, req["objname"] == content["member"], "left")
+    avail = F.greatest(F.col("size") - F.col("start"), F.lit(0))
+    return j.select(
+        "req_idx",
+        "objname",
+        "start",
+        F.when(F.col("member").isNull(), F.lit(0).cast("bigint"))
+        .when(F.col("length") == -1, avail)
+        .otherwise(F.least(avail, F.col("length")))
+        .cast("bigint")
+        .alias("read_len"),
+        F.when(F.col("member").isNull(), "missing")
+        .when(F.col("start") >= F.col("size"), "empty")
+        .otherwise("ok")
+        .alias("status"),
+    )
