@@ -163,3 +163,42 @@ def assemble_batches(
         )
 
     return joined.groupBy(batch_col).applyInPandas(pack, schema=schema)
+
+
+def build_tgz(names: list[str], payloads: list[bytes]) -> bytes:
+    """TAR.GZ shard: deterministic (zeroed gzip mtime, fixed level)."""
+    import gzip
+
+    return gzip.compress(build_tar(names, payloads), compresslevel=6, mtime=0)
+
+
+def build_zip(names: list[str], payloads: list[bytes]) -> bytes:
+    """ZIP shard (STORED — the reference archives already-compressed
+    media; date_time pinned for determinism)."""
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
+        for name, payload in zip(names, payloads):
+            info = zipfile.ZipInfo(filename=name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(info, payload)
+    return buf.getvalue()
+
+
+def build_tar_lz4(names: list[str], payloads: list[bytes]) -> bytes:
+    """TAR.LZ4 shard — lz4 binding not in this runtime; gated."""
+    try:
+        import lz4.frame  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "lz4 is not installed in this runtime; use tar/tgz/zip"
+        ) from exc
+    return lz4.frame.compress(build_tar(names, payloads))
+
+
+ARCHIVE_BUILDERS = {
+    "tar": build_tar,
+    "tgz": build_tgz,
+    "zip": build_zip,
+    "tar.lz4": build_tar_lz4,
+}

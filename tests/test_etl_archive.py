@@ -68,3 +68,31 @@ def test_pack_members_builds_real_tars(spark, sf_dir):
     assert s.n_members == len(rows)
     assert s.payload_bytes == sum(sizes)
     assert s.tar_bytes == expected_tar_size(sizes)
+
+
+def test_all_archive_formats_roundtrip():
+    """Format parity with cmn/archive/mime.go:25-29 (TAR/TGZ/ZIP;
+    TAR.LZ4 gated on the lz4 binding)."""
+    import gzip
+    import zipfile
+
+    import pytest
+
+    from aistore_spark.operators.archive import build_tar_lz4, build_tgz, build_zip
+
+    names = [f"r/{i:03d}.bin" for i in range(10)]
+    payloads = [bytes([i]) * (100 * i + 1) for i in range(10)]
+
+    tgz = build_tgz(names, payloads)
+    assert tgz == build_tgz(names, payloads), "tgz must be deterministic"
+    with tarfile.open(fileobj=io.BytesIO(gzip.decompress(tgz))) as tar:
+        assert [m.name for m in tar.getmembers()] == names
+
+    zp = build_zip(names, payloads)
+    assert zp == build_zip(names, payloads), "zip must be deterministic"
+    with zipfile.ZipFile(io.BytesIO(zp)) as zf:
+        assert zf.namelist() == names
+        assert all(zf.read(n) == p for n, p in zip(names, payloads))
+
+    with pytest.raises(NotImplementedError):
+        build_tar_lz4(names, payloads)
