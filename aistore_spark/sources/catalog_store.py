@@ -1,0 +1,35 @@
+"""Materialized catalog storage — the deployment shape of catalog.py.
+
+The derived-view catalogs are the testdata stand-in; a deployment
+materializes them as partitioned Parquet so that listing predicates hit
+Parquet row-group statistics:
+
+- partitioned by ``bucket`` → partition pruning for bucket-scoped ops;
+- sorted by ``name`` within partitions → min/max row-group pruning for
+  prefix + continuation-token predicates (the S1 hot path).
+
+``materialize_objects`` writes that layout; reading back through
+``load_objects`` gives a frame whose prefix filters show up in
+``PushedFilters`` of the physical plan (asserted by
+tests/test_catalog_store.py — this closes the "derived name defeats
+pushdown" caveat in SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def materialize_objects(objects: DataFrame, path: str, buckets: int = 8) -> None:
+    """Write the objects catalog in its scan-optimized layout."""
+    (
+        objects.repartition(buckets, "bucket")
+        .sortWithinPartitions("bucket", "name")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def load_objects(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
