@@ -146,16 +146,42 @@ def minhash_bands(documents: DataFrame, bands: int = 8, n: int = 3) -> DataFrame
 
 
 def lsh_candidate_pairs(
-    documents: DataFrame, bands: int = 8, n: int = 3
+    documents: DataFrame,
+    bands: int = 8,
+    n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing a (band, minhash)
     bucket in >= 1 band. The only shuffle keys are (band, minhash) —
-    no all-pairs product ever materializes."""
+    no all-pairs product ever materializes.
+
+    ``max_bucket`` is the hot-bucket skew bound (SCALE.md §skew): a
+    bucket of k docs yields O(k²) pairs, so near-dup *clusters* (the
+    very thing dedup finds) create quadratic hot keys. When set,
+    buckets larger than ``max_bucket`` are deterministically sub-split
+    by a hash of doc_id into ceil(k/max) cells and pairs form only
+    within a cell — bounded work per key, at a quantified recall cost
+    on the split buckets (candidates can still surface via the other
+    bands; that's why bands exist)."""
     mh = minhash_bands(documents, bands=bands, n=n)
+    if max_bucket is not None:
+        sizes = mh.groupBy("band", "minhash").agg(F.count("*").alias("_bk"))
+        mh = mh.join(sizes, ["band", "minhash"]).withColumn(
+            "_cell",
+            F.when(
+                F.col("_bk") > max_bucket,
+                F.pmod(
+                    F.xxhash64("doc_id"),
+                    F.ceil(F.col("_bk") / max_bucket).cast("bigint"),
+                ),
+            ).otherwise(F.lit(0)),
+        ).drop("_bk")
+    else:
+        mh = mh.withColumn("_cell", F.lit(0))
     a = mh.alias("a")
     b = mh.alias("b")
     return (
-        a.join(b, ["band", "minhash"])
+        a.join(b, ["band", "minhash", "_cell"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

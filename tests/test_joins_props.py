@@ -36,3 +36,16 @@ def test_get_batch_join_preserves_cardinality(spark, sf_dir):
     inner = joins.get_batch_join(req, members, continue_on_err=False)
     n_missing = out.filter(F.col("status") == "missing").count()
     assert inner.count() == req.count() - n_missing
+
+
+def test_lsh_hot_bucket_split_bounds_work(spark, sf_dir):
+    from aistore_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = lsh_candidate_pairs(docs, bands=8)
+    split = lsh_candidate_pairs(docs, bands=8, max_bucket=10)
+    full_pairs = {(r.doc_a, r.doc_b) for r in full.collect()}
+    split_pairs = {(r.doc_a, r.doc_b) for r in split.collect()}
+    # sub-splitting only removes candidates, never invents them
+    assert split_pairs <= full_pairs
+    assert split_pairs, "split run must still find candidates"
