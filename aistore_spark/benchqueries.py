@@ -1909,3 +1909,114 @@ def s8_range_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("status"),
     )
+
+
+@register(
+    "dd6_simhash_pairs",
+    """
+    WITH wd AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             sum(CASE WHEN substr(md5(word), CAST(j AS INT) + 1, 1)
+                      IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END) AS s
+      FROM wd, range(0, 16) t(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY j) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             substr(simhash, CAST(b AS INT) * 4 + 1, 4) AS band_val
+      FROM fp, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           CAST(sum(CASE WHEN substr(fa.simhash, CAST(j AS INT) + 1, 1)
+                          <> substr(fb.simhash, CAST(j AS INT) + 1, 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b, range(0, 16) t(j)
+    GROUP BY 1, 2
+    HAVING CAST(sum(CASE WHEN substr(fa.simhash, CAST(j AS INT) + 1, 1)
+                          <> substr(fb.simhash, CAST(j AS INT) + 1, 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) <= 3
+    """,
+)
+def dd6_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates (4x4-bit) + exact
+    Hamming verify <= 3 on candidates only. Pigeonhole-complete recall
+    (3 < 4 bands); shuffle keys are (band, band_val) only."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=3
+    )
+
+
+@register(
+    "ann5_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+               WHERE vec_id < 16),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             sum({_QELEM.format(side='v')} * {_QELEM.format(side='c')}) AS cdot
+      FROM embeddings v, c, range(1, 65) t(i)
+      GROUP BY 1, 2
+    ),
+    vassign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM scored WHERE vec_id % 100 = 0
+      ) WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM qprobe p JOIN vassign a
+        ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    ),
+    dots AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             sum({_QELEM.format(side='q')} * {_QELEM.format(side='n')}) AS dot
+      FROM cand cd
+      JOIN embeddings q ON q.vec_id = cd.query_id
+      JOIN embeddings n ON n.vec_id = cd.neighbor_id, range(1, 65) t(i)
+      GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, dot
+    FROM dots
+    WINDOW w AS (PARTITION BY query_id ORDER BY dot DESC, neighbor_id)
+    QUALIFY row_number() OVER w <= 10
+    """,
+)
+def ann5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN read path: queries probe their 2 best cells (centroids =
+    vec_id < 16), exact integer-MIPS rerank over those cells'
+    occupants only — the full coarse-quantize -> probe -> rerank
+    index, all broadcast joins + one agg row per corpus vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.ivf_topk(emb, centroids, queries, k=10, nprobe=2)

@@ -236,3 +236,68 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
             ).alias("simhash")
         )
     )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: band the *bits*-bit fingerprint
+    into *bands* equal slices, candidate pairs share at least one
+    exact band, then verify exact Hamming distance <= *max_hamming*
+    on candidates only.
+
+    Recall is complete by pigeonhole whenever ``max_hamming < bands``:
+    a pair within distance d < bands cannot differ in every one of the
+    bands, so it must share one and is always a candidate. (Production
+    sizing: 64-bit fingerprints, 4x16-bit bands; same plan.)
+
+    Scale shape: the only shuffle keys are (band, band_val) — O(docs x
+    bands) short rows; the Hamming verify runs on candidates only,
+    entirely in codegen (no Python).
+    """
+    width = bits // bands
+    fp = simhash(documents, bits=bits)
+    spark = documents.sparkSession
+    bidx = spark.range(bands).select(F.col("id").cast("int").alias("band"))
+    banded = fp.crossJoin(F.broadcast(bidx)).select(
+        "doc_id",
+        "band",
+        F.col("simhash")
+        .substr(F.col("band") * width + 1, F.lit(width))
+        .alias("band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("sh_a").substr(i, F.lit(1)) != F.col("sh_b").substr(i, F.lit(1)),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -229,3 +229,92 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(F.col("vec").alias("vec_id"), "centroid_id", "dot")
     )
+
+
+def _cells(
+    df: DataFrame,
+    centroids_b: DataFrame,
+    out_id: str,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Top-*nprobe* max-inner-product cells per vector, carrying the
+    quantized vector along. nprobe==1 uses a partial-aggregable
+    min(struct(-dot, centroid_id)) — one combiner-side shuffle row per
+    vector, no window exchange of the (vector x centroid) product."""
+    v = df.select(
+        F.col(id_col).alias(out_id), quantized(vec_col).alias("vq")
+    )
+    scored = v.crossJoin(centroids_b).select(
+        out_id,
+        "vq",
+        "centroid_id",
+        int_dot(F.col("vq"), F.col("cvec")).alias("cdot"),
+    )
+    if nprobe == 1:
+        return (
+            scored.groupBy(out_id)
+            .agg(
+                F.min(F.struct((-F.col("cdot")).alias("nd"), F.col("centroid_id"))).alias("best"),
+                F.first("vq").alias("vq"),  # constant within the group
+            )
+            .select(out_id, F.col("best.centroid_id").alias("centroid_id"), "vq")
+        )
+    w = Window.partitionBy(out_id).orderBy(
+        F.col("cdot").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(out_id, "centroid_id", "vq")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: each query probes its *nprobe* best cells and
+    exact-reranks only the corpus vectors assigned (rn=1) to those
+    cells. The full IVF index read path: coarse-quantize -> probe ->
+    rerank.
+
+    Scale shape: centroids broadcast (assignment never shuffles the
+    corpus beyond one agg row per vector); the probe set is queries x
+    nprobe rows and is broadcast into the candidate join, so corpus
+    bytes move zero times; only the candidate set (cells' occupants)
+    is scored. Recall is tunable via nprobe; exactness within probed
+    cells is guaranteed (integer dot, deterministic ties).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
+        )
+    )
+    assign = _cells(corpus, c, "neighbor_id", 1, id_col, vec_col)
+    probe = _cells(queries, c, "query_id", nprobe, id_col, vec_col).select(
+        "query_id", "centroid_id", F.col("vq").alias("qq")
+    )
+    scored = (
+        assign.join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qq"), F.col("vq")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )

@@ -1,0 +1,64 @@
+"""Property checks for the near-dup / ANN scale paths: the approximate
+variants must relate provably to their exact counterparts (reference
+test style: invariants, not golden files — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aistore_spark.operators import dedup, simsearch
+from aistore_spark.sources.tables import load_table
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """With nprobe = #centroids every cell is probed, so IVF search
+    must reproduce exact brute-force top-k bit-for-bit."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = simsearch.ivf_topk(emb, centroids, queries, k=10, nprobe=16)
+    brute = simsearch.brute_force_topk(emb, queries, k=10)
+    got = sorted(map(tuple, ivf.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want
+
+
+def test_ivf_partial_probe_subset_of_brute_candidates(spark):
+    """nprobe=2 results are exact within probed cells: every returned
+    dot must equal the brute-force dot for that (query, neighbor)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = simsearch.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
+    brute = simsearch.brute_force_topk(emb, queries, k=10**9)  # all pairs
+    bmap = {
+        (r["query_id"], r["neighbor_id"]): r["dot"] for r in brute.collect()
+    }
+    rows = ivf.collect()
+    assert rows, "probe returned nothing"
+    for r in rows:
+        assert bmap[(r["query_id"], r["neighbor_id"])] == r["dot"]
+
+
+def test_simhash_pairs_pigeonhole_recall(spark):
+    """Every pair within Hamming <= max_hamming (< bands) must appear:
+    banding cannot lose a pair that differs in fewer bits than there
+    are bands. Brute-force all-pairs Hamming is the witness."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(120)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(
+            docs, bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, 16).collect()}
+    ids = sorted(fp)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(fp[a], fp[b]))
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
