@@ -2020,3 +2020,145 @@ def ann5_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 16)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return simsearch.ivf_topk(emb, centroids, queries, k=10, nprobe=2)
+
+
+@register(
+    "ev2_sessions",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS t_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, t_us,
+             CASE WHEN lag(t_us) OVER w IS NULL
+                    OR t_us - lag(t_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM t
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, t_us,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY t_us
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(t_us) AS session_start_us,
+           max(t_us) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def ev2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min gap) — the deterministic
+    batch mirror of streaming/ingest.sessionize_users' state machine
+    (same session boundaries the applyInPandasWithState operator
+    emits once the stream drains)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    lag = F.lag("t_us").over(w)
+    flagged = ev.select(
+        "user_id",
+        "t_us",
+        F.when(lag.isNull() | (F.col("t_us") - lag > 1_800_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn(
+            "session_id", F.sum("new_sess").over(wc).cast("bigint")
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("t_us").alias("session_start_us"),
+            F.max("t_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "a4_capacity",
+    oracles.with_catalogs(
+        """
+        WITH placed AS (
+          SELECT 'mp-' || CAST(('0x' || substr(md5(name), 1, 8))::BIGINT % 4
+                               AS VARCHAR) AS mountpath,
+                 size
+          FROM objects
+        ),
+        per_mount AS (
+          SELECT mountpath, count(*) AS n_objects,
+                 sum(size) AS used_bytes
+          FROM placed GROUP BY 1
+        )
+        SELECT mountpath, n_objects, used_bytes,
+               CAST((used_bytes * 1000000)
+                    // sum(used_bytes) OVER () AS BIGINT) AS used_ppm
+        FROM per_mount
+        """,
+        "objects",
+    ),
+)
+def a4_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: capacity aggregation across mountpaths — objects placed on
+    mounts by a deterministic name hash (the HRW idea, J4), rolled up
+    to per-mount used bytes and parts-per-million of total (integer
+    math; the reference's used%% from xact/xs/nsumm.go TotalSize)."""
+    placed = _objects(spark, sf_dir).select(
+        F.concat(
+            F.lit("mp-"),
+            (
+                F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("bigint")
+                % 4
+            ).cast("string"),
+        ).alias("mountpath"),
+        "size",
+    )
+    per_mount = placed.groupBy("mountpath").agg(
+        F.count("*").alias("n_objects"), F.sum("size").alias("used_bytes")
+    )
+    return per_mount.select(
+        "mountpath",
+        "n_objects",
+        "used_bytes",
+        F.expr("used_bytes * 1000000 div sum(used_bytes) over ()")
+        .cast("bigint")
+        .alias("used_ppm"),
+    )
+
+
+@register(
+    "m4_evict_bucket",
+    oracles.with_catalogs(
+        """
+        SELECT bucket,
+               count(*) AS n_meta_kept,
+               sum(CASE WHEN cached THEN 1 ELSE 0 END) AS n_evicted,
+               sum(CASE WHEN cached THEN size ELSE 0 END) AS bytes_freed
+        FROM objects GROUP BY bucket
+        """,
+        "objects",
+    ),
+)
+def m4_evict_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: evict remote bucket keeping metadata (QparamKeepRemote,
+    api/apc/query.go:62): drop every cached copy, keep catalog rows —
+    the plan is this per-bucket rollup of what gets freed vs kept."""
+    return _objects(spark, sf_dir).groupBy("bucket").agg(
+        F.count("*").alias("n_meta_kept"),
+        F.sum(F.when(F.col("cached"), 1).otherwise(0)).alias("n_evicted"),
+        F.sum(F.when(F.col("cached"), F.col("size")).otherwise(0)).alias(
+            "bytes_freed"
+        ),
+    )

@@ -197,44 +197,28 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     fingerprint as a '0'/'1' string (cross-engine exact; near-dup docs
     differ in few bit positions).
     """
-    spark = documents.sparkSession
-    words = spread(documents).select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    # Single pass: one md5 per word occurrence, all *bits* vote sums as
+    # parallel agg columns (partial/final combine; no word x position
+    # row blow-up, shuffle carries `bits` ints per doc).
+    digests = (
+        spread(documents)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .select("doc_id", F.md5("word").alias("digest"))
     )
-    pos = spark.range(bits).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        words.crossJoin(F.broadcast(pos))
-        .select(
-            "doc_id",
-            "j",
-            F.when(
-                F.substring(F.md5(F.col("word")), F.col("j") + 1, 1).isin(
-                    *"89abcdef"
-                ),
-                1,
-            )
-            .otherwise(-1)
-            .alias("vote"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
+    vote = lambda j: F.when(  # noqa: E731
+        F.substring(F.col("digest"), j + 1, 1).isin(*"89abcdef"), 1
+    ).otherwise(-1)
+    sums = digests.groupBy("doc_id").agg(
+        *[F.sum(vote(j)).alias(f"s{j}") for j in range(bits)]
     )
-    return (
-        votes.withColumn(
-            "bit", F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("j"), F.col("bit")))
-                    ),
-                    lambda st: st["bit"],
-                ),
-                "",
-            ).alias("simhash")
-        )
+    return sums.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(bits)
+            ]
+        ).alias("simhash"),
     )
 
 
