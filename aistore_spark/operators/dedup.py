@@ -243,18 +243,27 @@ def simhash_pairs(
     entirely in codegen (no Python).
     """
     width = bits // bands
-    fp = simhash(documents, bits=bits)
+    # Fingerprint as one bigint: band extraction is shift+mask, the
+    # Hamming verify is bit_count(xor) — one codegen op per candidate
+    # instead of `bits` string compares. Verify runs BEFORE the pair
+    # dedup, so the distinct shuffles only matching pairs (x<=bands),
+    # never the full candidate product of hot bands.
+    fp = simhash(documents, bits=bits).select(
+        "doc_id", F.conv("simhash", 2, 10).cast("bigint").alias("fp")
+    )
     spark = documents.sparkSession
     bidx = spark.range(bands).select(F.col("id").cast("int").alias("band"))
+    mask = (1 << width) - 1
     banded = fp.crossJoin(F.broadcast(bidx)).select(
         "doc_id",
+        "fp",
         "band",
-        F.col("simhash")
-        .substr(F.col("band") * width + 1, F.lit(width))
-        .alias("band_val"),
+        F.expr(
+            f"shiftright(fp, ({bands} - 1 - band) * {width}) & {mask}"
+        ).alias("band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -262,26 +271,13 @@ def simhash_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    hamming = F.aggregate(
-        F.sequence(F.lit(1), F.lit(bits)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.col("sh_a").substr(i, F.lit(1)) != F.col("sh_b").substr(i, F.lit(1)),
-            1,
-        ).otherwise(0),
-    )
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select(
-            "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
