@@ -2162,3 +2162,143 @@ def m4_evict_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bytes_freed"
         ),
     )
+
+
+@register(
+    "p6_rechunk_plan",
+    oracles.with_catalogs(
+        """
+        WITH eligible AS (
+          SELECT bucket, name, size,
+                 CAST((size + 63) // 64 AS BIGINT) AS n_chunks
+          FROM objects WHERE size >= 256
+        )
+        SELECT bucket, name,
+               CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id,
+               CAST(unnest(range(0, n_chunks)) * 64 AS BIGINT) AS chunk_start,
+               CAST(least(64, size - unnest(range(0, n_chunks)) * 64)
+                    AS BIGINT) AS chunk_len
+        FROM eligible
+        """,
+        "objects",
+    ),
+)
+def p6_rechunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: rechunk plan (api/apc/rechunk.go:13-26) — objects >=
+    ObjSizeLimit (256 B at test SF) split into ChunkSize (64 B) chunk
+    manifests:
+    one row per chunk with byte offsets, last chunk short. Pure
+    generate-and-explode, no shuffle at all (chunk rows are produced
+    in the scan's partitions)."""
+    return (
+        _objects(spark, sf_dir)
+        .filter(F.col("size") >= 256)
+        .select(
+            "bucket",
+            "name",
+            "size",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.expr("(size + 63) div 64") - 1,
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "bucket",
+            "name",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.col("chunk_id") * 64).cast("bigint").alias("chunk_start"),
+            F.least(
+                F.lit(64), F.col("size") - F.col("chunk_id") * 64
+            ).cast("bigint").alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "g2_coloc_routing",
+    oracles.with_catalogs(
+        """
+        WITH owners AS (
+          SELECT r.req_idx, CAST(r.req_idx // 100 AS BIGINT) AS batch_id,
+                 r.objname, CAST(t.target AS BIGINT) AS target,
+                 ('0x' || substr(md5(CAST(t.target AS VARCHAR) || '|'
+                                  || r.objname), 1, 8))::BIGINT AS h
+          FROM batch_requests r, range(0, 8) t(target)
+        ),
+        placed AS (
+          SELECT req_idx, batch_id, target FROM (
+            SELECT req_idx, batch_id, target,
+                   row_number() OVER (PARTITION BY req_idx
+                                      ORDER BY h DESC, target) AS rn
+            FROM owners
+          ) WHERE rn = 1
+        ),
+        votes AS (
+          SELECT batch_id, target, count(*) AS n_on_target
+          FROM placed GROUP BY 1, 2
+        )
+        SELECT v.batch_id AS batch_id, v.target AS designated_target,
+               v.n_on_target AS n_on_designated, tot.n_entries AS n_entries
+        FROM (
+          SELECT batch_id, target, n_on_target,
+                 row_number() OVER (PARTITION BY batch_id
+                                    ORDER BY n_on_target DESC, target) AS rn
+          FROM votes
+        ) v
+        JOIN (SELECT batch_id, count(*) AS n_entries
+              FROM placed GROUP BY 1) tot
+          ON v.batch_id = tot.batch_id
+        WHERE v.rn = 1
+        """,
+        "batch_requests",
+    ),
+)
+def g2_coloc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: colocation routing (api/apc/ml.go:43-51) — the proxy picks
+    the designated target owning the HRW-majority of a batch's
+    objects (ties -> lower target id). Placement = argmax over targets
+    of a deterministic name hash (md5-based so the oracle can replay
+    it; the Spark-native fast path is xxhash64, j4)."""
+    req = catalog.batch_requests(load_table(spark, sf_dir, "events"))
+    targets = F.broadcast(
+        spark.range(8).select(F.col("id").cast("bigint").alias("target"))
+    )
+    owners = req.crossJoin(targets).select(
+        "req_idx",
+        F.expr("req_idx div 100").cast("bigint").alias("batch_id"),
+        "target",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("target").cast("string"), F.lit("|"),
+                               F.col("objname"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint").alias("h"),
+    )
+    wo = Window.partitionBy("req_idx").orderBy(F.col("h").desc(), "target")
+    placed = (
+        owners.withColumn("rn", F.row_number().over(wo))
+        .filter(F.col("rn") == 1)
+        .select("req_idx", "batch_id", "target")
+    )
+    votes = placed.groupBy("batch_id", "target").agg(
+        F.count("*").alias("n_on_target")
+    )
+    wv = Window.partitionBy("batch_id").orderBy(
+        F.col("n_on_target").desc(), "target"
+    )
+    totals = placed.groupBy("batch_id").agg(F.count("*").alias("n_entries"))
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .join(totals, "batch_id")
+        .select(
+            "batch_id",
+            F.col("target").alias("designated_target"),
+            F.col("n_on_target").alias("n_on_designated"),
+            "n_entries",
+        )
+    )
