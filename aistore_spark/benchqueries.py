@@ -2302,3 +2302,62 @@ def g2_coloc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_entries",
         )
     )
+
+
+@register(
+    "pipe1_curation",
+    """
+    WITH q AS (
+      SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+             md5(text) AS cks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> list_contains(['the','a','of','and',
+                                                      'is','to','in'], w)))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    canon AS (SELECT cks, min(doc_id) AS canonical FROM q GROUP BY 1)
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens,
+           sum(n_chars) AS total_chars
+    FROM q JOIN canon ON q.cks = canon.cks AND q.doc_id = canon.canonical
+    WHERE n_tokens >= 20 AND n_stop * 100 >= n_tokens
+    GROUP BY 1, 2
+    """,
+)
+def pipe1_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the pipeline these operators exist
+    for: exact-dedup (keep canonical), quality gate (>= 20 tokens and
+    stopword ratio >= 1%, integer cross-multiplied — no float
+    compare), then per-(lang, source) corpus accounting. One shuffle
+    for the dedup hash, one for the final rollup; every stage is the
+    already-declared operator (dd1 + tx1/tx2 composed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = dedup.exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    q = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    return (
+        q.join(d, "doc_id", "left_semi")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop") * 100 >= F.col("n_tokens"))
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
