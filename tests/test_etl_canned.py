@@ -1,0 +1,72 @@
+"""Canned-transform parity (T6): xxhash64 against the public test
+vectors and Spark's JVM implementation; TAR2TF framing verified by
+parsing the TFRecord stream back."""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from aistore_spark.operators.archive import build_tar
+from aistore_spark.operators.etl import (
+    CANNED,
+    _masked_crc,
+    _xxh64,
+    t_tar2tf,
+    t_xxhash,
+)
+
+
+def test_xxh64_public_vectors():
+    # xxhash.com reference vectors (seed 0)
+    assert _xxh64(b"") == 0xEF46DB3751D8E999
+    assert _xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert _xxh64(b"abc") == 0x44BC2CF5AD770999
+    # >=32-byte path
+    assert _xxh64(b"a" * 101, seed=1) == _xxh64(b"a" * 101, seed=1)
+    assert t_xxhash(b"abc", "p", "") == b"44bc2cf5ad770999"
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    """Spark's xxhash64 over BINARY uses raw-bytes XXH64 with seed 42 —
+    our pure-Python port must agree on every length class (tail sizes
+    exercise the 8/4/1-byte finishers)."""
+    payloads = [b"", b"x", b"1234", b"12345678", b"a" * 31, b"b" * 32,
+                b"c" * 100]
+    df = spark.createDataFrame(
+        [(bytearray(p),) for p in payloads], "data binary"
+    ).select(F.xxhash64("data").alias("h"))
+    jvm = [r["h"] & ((1 << 64) - 1) for r in df.collect()]
+    ours = [_xxh64(p, seed=42) for p in payloads]
+    assert ours == jvm
+
+
+def parse_tfrecords(stream: bytes) -> list[bytes]:
+    out, off = [], 0
+    while off < len(stream):
+        (length,) = struct.unpack_from("<Q", stream, off)
+        (len_crc,) = struct.unpack_from("<I", stream, off + 8)
+        assert len_crc == _masked_crc(stream[off : off + 8])
+        payload = stream[off + 12 : off + 12 + length]
+        (data_crc,) = struct.unpack_from("<I", stream, off + 12 + length)
+        assert data_crc == _masked_crc(payload)
+        out.append(payload)
+        off += 12 + length + 4
+    return out
+
+
+def test_tar2tf_roundtrip():
+    names = [f"rec-{i:04d}.jpg" for i in range(7)]
+    payloads = [bytes([i]) * (11 * i + 3) for i in range(7)]
+    tfstream = t_tar2tf(build_tar(names, payloads), "s.tar", "")
+    assert parse_tfrecords(tfstream) == payloads
+
+
+def test_lib_gated_stubs_raise():
+    for name in ("keras_transform", "torchvision_transform",
+                 "ffmpeg_audio", "face_detection"):
+        with pytest.raises(NotImplementedError):
+            CANNED[name](b"x", "p", "")
