@@ -2361,3 +2361,42 @@ def pipe1_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@register(
+    "ann6_kmeans_step",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+               WHERE vec_id < 16),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             sum({_QELEM.format(side='v')} * {_QELEM.format(side='c')}) AS cdot
+      FROM embeddings v, c, range(1, 65) t(i)
+      GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT a.centroid_id AS centroid_id, CAST(i AS BIGINT) AS dim,
+           CAST(sum({_QELEM.format(side='v')}) // count(*) AS BIGINT)
+             AS mean_q,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM assigned a JOIN embeddings v ON v.vec_id = a.vec_id,
+         range(1, 65) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def ann6_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means refinement iteration of the IVF coarse quantizer
+    (the index BUILD path; ann5 is the read path): assign-then-mean in
+    exact integer math, new centroids in long form (centroid, dim,
+    floor-mean). Iterated to convergence this is distributed k-means —
+    each pass one broadcast join + two partial/final aggs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    return simsearch.kmeans_step(emb, centroids)

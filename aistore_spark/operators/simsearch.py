@@ -318,3 +318,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "dot")
     )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One k-means refinement iteration for the IVF coarse quantizer:
+    assign every vector to its max-inner-product centroid (rn=1), then
+    emit the new centroid as per-dimension integer means (floor-div —
+    deterministic, engine-portable) in long form ``(centroid_id, dim,
+    mean_q, n_vecs)``.
+
+    Scale shape: assignment is the broadcast+agg of ``ivf_topk`` (one
+    combiner row per vector); the mean is a partial/final agg keyed on
+    (centroid, dim) — at 64 dims the shuffle is 64 small rows per
+    vector, or fold the sums into a single vector-valued agg via
+    ``F.aggregate`` if that ever shows up in a profile. Iterating =
+    feeding the output back as the next centroid set.
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
+        )
+    )
+    assigned = _cells(corpus, c, "vec", 1, id_col, vec_col)
+    return (
+        assigned.select(
+            "centroid_id", F.posexplode(F.col("vq")).alias("dim0", "q")
+        )
+        .groupBy("centroid_id", (F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.expr("sum(q) div count(*)").alias("mean_q"),
+            F.count("*").alias("n_vecs"),
+        )
+        .select(
+            "centroid_id",
+            F.col("dim").cast("bigint").alias("dim"),
+            "mean_q",
+            "n_vecs",
+        )
+    )

@@ -62,3 +62,21 @@ def test_simhash_pairs_pigeonhole_recall(spark):
             if h <= 3:
                 want[(a, b)] = h
     assert got == want
+
+
+def test_kmeans_step_conserves_vectors(spark):
+    """Every corpus vector lands in exactly one cell: n_vecs summed
+    over one dim equals the corpus size, and each (centroid, dim) mean
+    lies within the quantized component range."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    step = simsearch.kmeans_step(emb, centroids).collect()
+    n = emb.count()
+    dims = {}
+    for r in step:
+        dims.setdefault(r["dim"], 0)
+        dims[r["dim"]] += r["n_vecs"]
+        assert -20000 < r["mean_q"] < 20000  # embeddings span ~±0.53*1e4
+    assert set(dims.values()) == {n}
