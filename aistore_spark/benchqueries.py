@@ -2400,3 +2400,34 @@ def ann6_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 16)
     return simsearch.kmeans_step(emb, centroids)
+
+
+@register(
+    "s2b_atime_format",
+    oracles.with_catalogs(
+        """
+        SELECT name, size,
+               strftime(make_timestamp(atime_ns // 1000),
+                        '%d %b %Y %H:%M:%S') AS atime_str
+        FROM objects WHERE bucket = 'ais://src7'
+        """,
+        "objects",
+    ),
+)
+def s2b_atime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/§2.11: render-time atime formatting — listings return times
+    through a caller-chosen format string (api/apc/lsmsg.go:215-217,
+    default RFC822). date_format on a UTC session is codegen'd; the
+    formatted string is projection-only, never a filter/join key."""
+    return (
+        _objects(spark, sf_dir)
+        .filter(F.col("bucket") == "ais://src7")
+        .select(
+            "name",
+            "size",
+            F.date_format(
+                F.timestamp_micros(F.expr("atime_ns div 1000")),
+                "dd MMM yyyy HH:mm:ss",
+            ).alias("atime_str"),
+        )
+    )
