@@ -2,11 +2,17 @@
 
 The reference accepts bash-brace templates naming object sets:
 ``prefix-{0001..0010..2}-suffix`` (numeric, optional step, zero-padded
-to the start token's width), multiple ranges per template, single-char
-alpha ranges ``{a..z}``, and the at-style shorthand ``prefix-@100``
-(= ``{000..099}``). Behavior per ``cmn/cos/template.go:32-142`` and its
-usage in ``api/apc/multiobj.go:16-28`` (ListRange) — re-implemented
-from the documented surface, not ported.
+to ``min(len(start), len(end))`` per ``parseBashRangeNumbers``,
+``cmn/cos/template.go:305-320``), multiple ranges per template,
+single-char alpha ranges ``{a..z}``, the at-style shorthand
+``prefix-@100`` (Start=0, End=100 *inclusive*, DigitCount=3 → 101
+names ``000``..``100``, ``cmn/cos/template.go:408-441``), and
+fmt-style ``prefix-%06d-suffix`` (Start=0, End=MaxInt64 — an
+*unbounded* range usable only as a matcher,
+``cmn/cos/template.go:260-303``). Re-implemented from the documented
+surface, not ported. Parse precedence mirrors ``NewParsedTemplate``
+(``template.go:122-142``): bash/at ranges win; ``%..d`` is only
+recognized when no brace/at range matched.
 
 Spark-first: a template expands to a *generated* DataFrame
 (``spark.range`` cross-joined per range segment — no data read, no
@@ -27,18 +33,23 @@ from pyspark.sql import functions as F
 _RANGE = re.compile(
     r"\{(?:(\d+)\.\.(\d+)(?:\.\.(\d+))?|([a-zA-Z])\.\.([a-zA-Z]))\}|@(\d+)"
 )
+# fmt-style directive: exactly one '%', '%d' or '%0Nd' (template.go:260-291)
+_FMT = re.compile(r"%(?:0(\d+))?d")
 
 
 @dataclass(frozen=True)
 class RangeSpec:
     start: int
-    end: int  # inclusive
+    end: int  # inclusive; -1 with fmt=True means unbounded (MaxInt64)
     step: int
     width: int  # zero-pad width; 0 = no padding
     alpha: bool = False
+    fmt: bool = False  # unbounded %0Nd range — matcher-only
 
     @property
     def count(self) -> int:
+        if self.fmt:
+            raise ValueError("fmt-style template range is unbounded")
         return (self.end - self.start) // self.step + 1
 
 
@@ -54,9 +65,11 @@ def parse_template(template: str) -> tuple[list[str], list[RangeSpec]]:
     for m in _RANGE.finditer(template):
         literals.append(template[pos : m.start()])
         pos = m.end()
-        if m.group(6) is not None:  # @N shorthand
+        if m.group(6) is not None:  # @N shorthand — END-INCLUSIVE
+            # ParseAtTemplate (template.go:408-441): Start=0, End=N,
+            # DigitCount=len(number) — '@100' yields 101 names 000..100.
             n = int(m.group(6))
-            ranges.append(RangeSpec(0, n - 1, 1, width=len(m.group(6))))
+            ranges.append(RangeSpec(0, n, 1, width=len(m.group(6))))
         elif m.group(4) is not None:  # alpha range
             a, b = ord(m.group(4)), ord(m.group(5))
             if a > b:
@@ -68,9 +81,56 @@ def parse_template(template: str) -> tuple[list[str], list[RangeSpec]]:
             step = int(step_tok) if step_tok else 1
             if end < start or step <= 0:
                 raise ValueError(f"invalid range in {template!r}")
-            ranges.append(RangeSpec(start, end, step, width=len(start_tok)))
+            # parseBashRangeNumbers (template.go:305-320):
+            # DigitCount = min(len(start), len(end))
+            width = min(len(start_tok), len(end_tok))
+            ranges.append(RangeSpec(start, end, step, width=width))
     literals.append(template[pos:])
+    if not ranges:
+        # NewParsedTemplate precedence (template.go:122-142): bash and
+        # at-style parse first; only then is a single '%..d' directive
+        # recognized as an fmt template (unbounded 0..MaxInt64 range).
+        fm = list(_FMT.finditer(template))
+        if len(fm) == 1 and template.count("%") == 1:
+            m = fm[0]
+            width = int(m.group(1)) if m.group(1) else 0
+            return (
+                [template[: m.start()], template[m.end() :]],
+                [RangeSpec(0, -1, 1, width=width, fmt=True)],
+            )
+        if "%" in template and "d" in template.split("%", 1)[1]:
+            raise ValueError(
+                f"unsupported fmt-style template {template!r}: multiple '%' "
+                "directives (reference accepts exactly one, template.go:265)"
+            )
     return literals, ranges
+
+
+def has_fmt_range(template: str) -> bool:
+    """True if *template* parses as an unbounded fmt-style template."""
+    _, ranges = parse_template(template)
+    return any(r.fmt for r in ranges)
+
+
+def template_regex(template: str) -> str:
+    """Anchored regex matching every name the template can generate.
+
+    Needed for fmt-style templates whose range is unbounded
+    (``template.go:260-303``): a zero-padded ``%0Nd`` renders exactly N
+    digits for values < 10^N and more above, so the match is
+    ``\\d{N,}``. Literal pieces are escaped.
+    """
+    literals, ranges = parse_template(template)
+    parts = [re.escape(literals[0])]
+    for i, r in enumerate(ranges):
+        if r.fmt:
+            parts.append(r"\d{%d,}" % max(r.width, 1))
+        elif r.alpha:
+            parts.append("[%s-%s]" % (chr(r.start), chr(r.end)))
+        else:
+            parts.append(r"\d+")
+        parts.append(re.escape(literals[i + 1]))
+    return "^" + "".join(parts) + "$"
 
 
 def template_count(template: str) -> int:
@@ -90,6 +150,12 @@ def expand_template(spark: SparkSession, template: str) -> DataFrame:
     cartesian semantics).
     """
     literals, ranges = parse_template(template)
+    if any(r.fmt for r in ranges):
+        raise ValueError(
+            f"fmt-style template {template!r} is unbounded (0..MaxInt64, "
+            "template.go:295-301) and cannot be expanded; use "
+            "template_regex()/select_by_template() to match instead"
+        )
     df = spark.range(1).select(F.lit(literals[0]).alias("name"))
     for i, r in enumerate(ranges):
         seg = spark.range(r.start, r.end + 1, r.step)

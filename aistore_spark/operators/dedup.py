@@ -242,14 +242,25 @@ def simhash_pairs(
     bands) short rows; the Hamming verify runs on candidates only,
     entirely in codegen (no Python).
     """
+    if bits > 64:
+        raise ValueError(f"simhash fingerprint is one bigint; bits={bits} > 64")
     width = bits // bands
     # Fingerprint as one bigint: band extraction is shift+mask, the
     # Hamming verify is bit_count(xor) — one codegen op per candidate
     # instead of `bits` string compares. Verify runs BEFORE the pair
     # dedup, so the distinct shuffles only matching pairs (x<=bands),
     # never the full candidate product of hot bands.
+    # Signed fold (shiftleft|or), NOT conv(.., 2, 10): conv returns an
+    # unsigned decimal string, so at bits=64 a set top bit exceeds
+    # bigint max and casts to NULL, silently dropping those docs. The
+    # shift fold wraps to the signed bigint with the same bit pattern
+    # and never overflows (shifts are exempt from ANSI overflow checks).
     fp = simhash(documents, bits=bits).select(
-        "doc_id", F.conv("simhash", 2, 10).cast("bigint").alias("fp")
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(1, {bits}), 0L, (acc, i) -> "
+            "shiftleft(acc, 1) | if(substring(simhash, i, 1) = '1', 1L, 0L))"
+        ).alias("fp"),
     )
     spark = documents.sparkSession
     bidx = spark.range(bands).select(F.col("id").cast("int").alias("band"))

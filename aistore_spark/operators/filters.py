@@ -14,7 +14,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aistore_spark.functions.templates import expand_template, template_count
+from aistore_spark.functions.templates import (
+    expand_template,
+    has_fmt_range,
+    template_count,
+    template_regex,
+)
 
 #: archive multi-match modes, cmn/archive/read.go:32-38
 ARCH_MODES = ("regexp", "prefix", "suffix", "substr", "wdskey")
@@ -36,7 +41,12 @@ def select_by_template(
 
     The expansion is a generated DataFrame; small expansions broadcast
     (no shuffle of the catalog), huge ones fall back to a hash join.
+    Fmt-style templates (``prefix-%06d-suffix``) are unbounded ranges
+    (``cmn/cos/template.go:295-301``) — matched with an anchored regex
+    filter instead of an expansion join.
     """
+    if has_fmt_range(template):
+        return catalog.filter(F.col(name_col).rlike(template_regex(template)))
     names = expand_template(spark, template)
     if template_count(template) <= broadcast_threshold:
         names = F.broadcast(names)

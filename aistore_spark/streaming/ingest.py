@@ -47,9 +47,11 @@ def stream_events(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1) 
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-    )
+    # `ts div 1000` (exact integer division) — float division loses
+    # precision above 2^53 ns (~1984-era int64 nanos already exceed it),
+    # which could drift event_time by ~1µs across window boundaries and
+    # break parity with the batch mirror (benchqueries uses `div` too).
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(

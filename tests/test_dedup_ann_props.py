@@ -80,3 +80,40 @@ def test_kmeans_step_conserves_vectors(spark):
         dims[r["dim"]] += r["n_vecs"]
         assert -20000 < r["mean_q"] < 20000  # embeddings span ~±0.53*1e4
     assert set(dims.values()) == {n}
+
+
+def test_simhash_pairs_64bit_no_null_fingerprints(spark):
+    """At the production sizing (64-bit fingerprints) the bigint fold
+    must keep every doc — the old conv(simhash,2,10) path cast
+    top-bit-set fingerprints to NULL and silently dropped them. The
+    signed fold wraps them negative instead; pair recall vs the
+    string-Hamming witness must still be exact."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(80)
+    n_docs = docs.count()
+    fp_str = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, 64).collect()}
+    # the fold inside simhash_pairs: rebuild it standalone to assert no NULLs
+    fp_df = dedup.simhash(docs, bits=64).select(
+        "doc_id",
+        F.expr(
+            "aggregate(sequence(1, 64), 0L, (acc, i) -> "
+            "shiftleft(acc, 1) | if(substring(simhash, i, 1) = '1', 1L, 0L))"
+        ).alias("fp"),
+    )
+    rows = fp_df.collect()
+    assert len(rows) == n_docs
+    assert all(r["fp"] is not None for r in rows)
+    # signed wrap: bit pattern must round-trip to the same 64-bit string
+    for r in rows:
+        assert format(r["fp"] & (2**64 - 1), "064b") == fp_str[r["doc_id"]]
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, bits=64, bands=8, max_hamming=3).collect()
+    }
+    ids = sorted(fp_str)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = sum(x != y for x, y in zip(fp_str[a], fp_str[b]))
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
