@@ -199,14 +199,27 @@ def a1_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT
           bucket,
-          count(*) AS shards,
-          sum(archived_objs) AS archived_objs,
+          count(*) AS tar_objs,
           sum(shard_bytes) AS tar_size,
-          max(archived_objs) AS max_shard_objs
+          sum(CASE WHEN health = 'valid' THEN 1 ELSE 0 END) AS shards,
+          sum(CASE WHEN health = 'valid' THEN shard_bytes ELSE 0 END)
+            AS shard_size,
+          sum(CASE WHEN health = 'valid' THEN archived_objs ELSE 0 END)
+            AS archived_objs,
+          sum(CASE WHEN health = 'stale' THEN 1 ELSE 0 END) AS stale_indexes,
+          sum(CASE WHEN health = 'invalid' THEN 1 ELSE 0 END)
+            AS invalid_indexes
         FROM (
-          SELECT bucket, shard,
-                 count(*) AS archived_objs, sum(size) AS shard_bytes
-          FROM members GROUP BY bucket, shard
+          SELECT bucket, shard, archived_objs, shard_bytes,
+                 CASE WHEN substr(idx_fp, 1, 1) = 'f' THEN 'invalid'
+                      WHEN substr(idx_fp, 1, 1) IN ('c','d','e') THEN 'stale'
+                      ELSE 'valid' END AS health
+          FROM (
+            SELECT bucket, shard,
+                   count(*) AS archived_objs, sum(size) AS shard_bytes,
+                   md5(string_agg(member, ',' ORDER BY member)) AS idx_fp
+            FROM members GROUP BY bucket, shard
+          )
         )
         GROUP BY bucket
         """,
@@ -214,7 +227,8 @@ def a1_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def a2_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: shard/TAR coverage summary (api/apc/shard_idx.go:14-43)."""
+    """A2: full ShardSummResult — TAR coverage + index health
+    (stale/invalid index counts), api/apc/shard_idx.go:14-43."""
     return summary.shard_summary(_members(spark, sf_dir))
 
 
@@ -362,7 +376,7 @@ def f6_size_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.with_catalogs(
         """
         SELECT r.req_idx AS req_idx, r.objname AS objname,
-               CASE WHEN c.member IS NULL THEN '__404__/' || r.objname
+               CASE WHEN c.member IS NULL THEN '__404__/' || r.bucket || '/' || r.objname
                     ELSE r.bucket || '/' || r.objname END AS out_name,
                COALESCE(c.size, 0) AS size,
                CASE WHEN c.member IS NULL THEN 'missing' ELSE 'ok' END AS status
@@ -866,7 +880,8 @@ def p3_extract_regex_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH j AS (
           SELECT r.req_idx AS req_idx,
-                 CASE WHEN c.member IS NULL THEN '__404__/' || r.objname
+                 CASE WHEN c.member IS NULL
+                      THEN '__404__/' || r.bucket || '/' || r.objname
                       ELSE r.bucket || '/' || r.objname END AS out_name,
                  COALESCE(c.size, 0) AS size,
                  CASE WHEN c.member IS NULL THEN 'missing' ELSE 'ok' END AS status
@@ -898,6 +913,98 @@ def g1_assemble_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = j.withColumn(
         "batch_id", F.floor(F.col("req_idx") / 250.0).cast("bigint")
     )
+    return archive.assemble_batches(j)
+
+
+_MIXED_JOIN_SQL = """
+plainc AS (
+  SELECT member, min(size) AS psize FROM members GROUP BY member
+),
+archc AS (
+  SELECT shard, member, min(size) AS asize FROM members GROUP BY shard, member
+),
+mj AS (
+  SELECT r.req_idx, r.objname, r.archpath, r.rstart, r.rlength, r.bucket,
+         CASE WHEN r.archpath = '' THEN p.psize ELSE a.asize END AS csize
+  FROM mixed_requests r
+  LEFT JOIN plainc p ON r.archpath = '' AND r.objname = p.member
+  LEFT JOIN archc a ON r.archpath <> '' AND r.objname = a.shard
+                    AND r.archpath = a.member
+),
+me AS (
+  SELECT *,
+         CASE WHEN csize IS NULL THEN NULL
+              WHEN rstart = 0 AND rlength = 0 THEN csize
+              WHEN rlength = -1
+                THEN CASE WHEN rstart < csize THEN csize - rstart END
+              ELSE CASE WHEN rstart + rlength <= csize THEN rlength END
+         END AS eff
+  FROM mj
+),
+mo AS (
+  SELECT req_idx, objname, archpath,
+         CASE WHEN csize IS NULL THEN 'missing'
+              WHEN eff IS NULL THEN 'range_not_satisfiable'
+              ELSE 'ok' END AS status,
+         CASE WHEN csize IS NOT NULL AND eff IS NOT NULL
+              THEN '' ELSE '__404__/' END
+           || bucket || '/' || objname
+           || CASE WHEN archpath = '' THEN '' ELSE '/' || archpath END
+           AS out_name,
+         COALESCE(eff, 0) AS size
+  FROM me
+)
+"""
+
+
+@register(
+    "j1b_mixed_entries",
+    oracles.with_catalogs(
+        f"""
+        WITH {_MIXED_JOIN_SQL}
+        SELECT req_idx, objname, archpath, out_name, size, status FROM mo
+        """,
+        "members",
+        "mixed_requests",
+    ),
+)
+def j1b_mixed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 full surface: mixed MossIn entry kinds — plain objects,
+    archpath extractions, byte ranges — in one batch join
+    (api/apc/ml.go:53-68,87-120; exec xact/xs/moss.go:751-1047)."""
+    return joins.get_batch_join_mixed(
+        catalog.mixed_batch_requests(load_table(spark, sf_dir, "events")),
+        _members(spark, sf_dir),
+    )
+
+
+@register(
+    "g1_mixed_batches",
+    oracles.with_catalogs(
+        f"""
+        WITH {_MIXED_JOIN_SQL}
+        SELECT CAST(floor(req_idx / 250.0) AS BIGINT) AS batch_id,
+               count(*) AS n_entries,
+               sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) AS n_missing,
+               sum(size) AS payload_bytes,
+               CAST(ceil((sum(512 + CAST(ceil(size / 512.0) AS BIGINT) * 512)
+                          + 1024) / 10240.0) AS BIGINT) * 10240 AS tar_bytes,
+               md5(string_agg(out_name, ',' ORDER BY req_idx)) AS entries_md5
+        FROM mo
+        GROUP BY 1
+        """,
+        "members",
+        "mixed_requests",
+    ),
+)
+def g1_mixed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 full surface: TAR assembly of mixed-entry batches — plain +
+    archpath + ranged reads with __404__ sentinels for every error
+    kind, entries in exact request order (api/apc/ml.go:26-28)."""
+    j = joins.get_batch_join_mixed(
+        catalog.mixed_batch_requests(load_table(spark, sf_dir, "events")),
+        _members(spark, sf_dir),
+    ).withColumn("batch_id", F.floor(F.col("req_idx") / 250.0).cast("bigint"))
     return archive.assemble_batches(j)
 
 
@@ -1352,7 +1459,7 @@ def ds2_download_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS pos
           FROM members
         )
-        WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-000001%'
+        WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-0000%'
         ORDER BY path LIMIT 50
         """,
         "members",
@@ -1370,7 +1477,7 @@ def s4_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inside.filter(
             (F.col("shard") == "shard-00042.tar")
-            & F.col("member").startswith("rec-000001")
+            & F.col("member").startswith("rec-0000")
         )
         .select(
             F.concat(F.col("shard"), F.lit("/"), F.col("member")).alias("path"),
@@ -1380,6 +1487,39 @@ def s4_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("path")
         .limit(50)
     )
+
+
+@register(
+    "s4b_zip_listing",
+    oracles.with_catalogs(
+        """
+        SELECT member,
+               COALESCE(sum(30 + length(member) + psz)
+                        OVER (ORDER BY member
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS zoffset,
+               psz AS size
+        FROM (
+          SELECT member,
+                 length(member || ':' || min(key_str)) AS psz
+          FROM members
+          WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-0000%'
+          GROUP BY member
+        )
+        """,
+        "members",
+    ),
+)
+def s4b_zip_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 over a real ZIP shard: pack members into genuine zip bytes,
+    list them back from the central directory; offsets verified against
+    the STORED-entry layout formula (cmn/archive/mime.go:25-29,
+    cmn/archive/read.go:137-165)."""
+    sel = _members(spark, sf_dir).filter(
+        (F.col("shard") == "shard-00042.tar")
+        & F.col("member").startswith("rec-0000")
+    )
+    return archive.zip_round_trip_listing(sel)
 
 
 @register(
@@ -1635,11 +1775,12 @@ def d2s_sort_content_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup detection: vector pairs whose fixed-point
     inner product clears a threshold (cosine-equivalent ranking on
-    normalized embeddings; ~0.4 at the 1e4 quantization scale). The
-    verify stage of an embedding-dedup pipeline — at corpus scale the
-    candidate set comes from sign-LSH buckets (ann2/ann3) first."""
+    normalized embeddings; ~0.4 at the 1e4 quantization scale).
+    Scale-safe blocked matmul — no driver collect/broadcast; see
+    simsearch.blocked_pairs_above. At corpus scale the candidate set
+    comes from sign-LSH buckets (ann2/ann3) first."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return simsearch.block_pairs_above(emb, threshold=40_000_000)
+    return simsearch.blocked_pairs_above(emb, threshold=40_000_000)
 
 
 @register(

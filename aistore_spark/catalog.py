@@ -159,6 +159,58 @@ def batch_requests(events: DataFrame) -> DataFrame:
     )
 
 
+def mixed_batch_requests(events: DataFrame) -> DataFrame:
+    """Mixed-kind get-batch request list: every ``MossIn`` entry type in
+    one batch (``api/apc/ml.go:87-120``).
+
+    Kind by ``event_id % 3``:
+    - 0 — plain object (``rec-<rid>.jpg``, no range);
+    - 1 — archived file: ``objname`` is the shard, ``archpath`` the
+      member (``.cls``);
+    - 2 — ranged read; odd ``user_id`` ranges an archived file
+      (``.xml``), even a plain object. ``rlength`` is -1 (open-ended)
+      every 5th request, else a positive multiple of 4096; ``rstart``
+      spreads past typical member sizes so ErrRangeNotSatisfiable rows
+      occur naturally.
+
+    Requested ids spread over a 20000-wide space vs ~15000 existing
+    records, so every kind has deterministic misses.
+    """
+    rid = (F.col("user_id") * 131 + F.col("event_id") * 7) % 20000
+    kind = F.col("event_id") % 3
+    is_arch = (kind == 1) | ((kind == 2) & (F.col("user_id") % 2 == 1))
+    rec = F.concat(F.lit("rec-"), F.lpad(rid.cast("string"), 8, "0"))
+    shard = F.concat(
+        F.lit("shard-"), F.lpad((rid % 128).cast("string"), 5, "0"), F.lit(".tar")
+    )
+    return events.select(
+        F.col("event_id").alias("req_idx"),
+        F.lit("ais://shards").alias("bucket"),
+        F.when(is_arch, shard).otherwise(F.concat(rec, F.lit(".jpg"))).alias(
+            "objname"
+        ),
+        F.when(
+            is_arch,
+            F.concat(rec, F.lit("."), F.when(kind == 1, "cls").otherwise("xml")),
+        )
+        .otherwise(F.lit(""))
+        .alias("archpath"),
+        F.when(kind == 2, (F.col("event_id") * 17) % 40960)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rstart"),
+        F.when(
+            kind == 2,
+            F.when(F.col("event_id") % 5 == 0, F.lit(-1)).otherwise(
+                (1 + F.col("event_id") % 7) * 4096
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rlength"),
+    )
+
+
 # External key map (dsort EKM, ext/dsort/shard/key.go:55-60): regex over a
 # record's base name -> destination shard template, first match by
 # priority. Patterns stay in the regex subset shared by Java (Spark

@@ -155,7 +155,10 @@ def assemble_batches(
             {
                 batch_col: [pdf[batch_col].iloc[0]],
                 "n_entries": [len(pdf)],
-                "n_missing": [int((pdf["status"] == "missing").sum())],
+                # every error kind lands under __404__/ (missing object,
+                # missing archived file, unsatisfiable range) — moss.go
+                # addMissingIn handles them uniformly
+                "n_missing": [int((pdf["status"] != "ok").sum())],
                 "payload_bytes": [int(pdf["size"].sum())],
                 "tar_bytes": [len(tar)],
                 "entries_md5": [fp],
@@ -163,6 +166,48 @@ def assemble_batches(
         )
 
     return joined.groupBy(batch_col).applyInPandas(pack, schema=schema)
+
+
+def zip_round_trip_listing(members: DataFrame) -> DataFrame:
+    """S4-family over a real ZIP: pack the selected members (deduped to
+    one row per member, deterministic member order) into an actual ZIP
+    via :func:`build_zip`, then list it back by reading the central
+    directory — member offsets/sizes come from genuine zip bytes (the
+    reference's uniform archive read path, ``cmn/archive/mime.go:25-29``
+    / ``cmn/archive/read.go:137-165``).
+
+    The oracle re-derives the layout arithmetically: a STORED zip entry
+    occupies ``30 + len(name)`` local-header bytes plus the payload, so
+    ``zoffset_i = sum_{j<i} (30 + len(name_j) + size_j)`` — if our
+    writer or reader ever drifts (extra fields, zip64, descriptor
+    flags), the offsets stop matching.
+
+    Scale: one task per response archive, the P3/S13 bounded shape.
+    """
+    sel = members.groupBy("member").agg(F.min("key_str").alias("key_str"))
+    schema = "member string, zoffset bigint, size bigint"
+
+    def pack_expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        import zipfile
+
+        pdf = pdf.sort_values("member", kind="mergesort")
+        payloads = [
+            synth_payload(m, k) for m, k in zip(pdf["member"], pdf["key_str"])
+        ]
+        blob = build_zip(list(pdf["member"]), payloads)
+        rows: dict[str, list] = {"member": [], "zoffset": [], "size": []}
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            for info in zf.infolist():
+                rows["member"].append(info.filename)
+                rows["zoffset"].append(info.header_offset)
+                rows["size"].append(info.file_size)
+        return pd.DataFrame(rows)
+
+    return (
+        sel.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: pack_expand(pdf), schema=schema)
+    )
 
 
 def build_tgz(names: list[str], payloads: list[bytes]) -> bytes:

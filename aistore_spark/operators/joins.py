@@ -38,15 +38,112 @@ def get_batch_join(
     how = "left" if continue_on_err else "inner"
     j = requests.join(content, requests["objname"] == content["member"], how)
     missing = F.col("member").isNull()
+    # sentinel naming per api/apc/ml.go:39-41: missing entries land
+    # under __404__/<Bucket>/<ObjName> (the 404 prefix wraps the full
+    # in-archive name, exec xact/xs/moss.go:834)
     return j.select(
         F.col("req_idx"),
         F.col("objname"),
-        F.when(missing, F.concat(F.lit(MISSING_SENTINEL), F.col("objname")))
+        F.when(
+            missing,
+            F.concat(
+                F.lit(MISSING_SENTINEL), F.col("bucket"), F.lit("/"), F.col("objname")
+            ),
+        )
         .otherwise(F.concat(F.col("bucket"), F.lit("/"), F.col("objname")))
         .alias("out_name"),
         F.coalesce(F.col("size"), F.lit(0).cast("bigint")).alias("size"),
         F.when(missing, F.lit("missing")).otherwise(F.lit("ok")).alias("status"),
     )
+
+
+def get_batch_join_mixed(
+    requests: DataFrame,
+    members: DataFrame,
+    continue_on_err: bool = True,
+    only_obj_name: bool = False,
+) -> DataFrame:
+    """J1/G1 full surface: one batch mixing all three ``MossIn`` entry
+    kinds (``api/apc/ml.go:87-120``):
+
+    - **plain object** — ``archpath`` empty, no range: the J1 join;
+    - **archived file** — ``archpath`` set: extract that file from the
+      shard named by ``objname`` (join on ``(shard, member)``);
+    - **byte range** — ``(rstart, rlength)`` on either of the above,
+      applied to the object bytes or the *extracted* file respectively
+      (``ml.go:55-68``): ``(0,0)`` = whole, ``(N,-1)`` = open-ended,
+      ``(N,L>0)`` = exactly L bytes; out-of-bounds (``rstart >= size``
+      or ``rstart+rlength > size``) => ErrRangeNotSatisfiable.
+
+    Request schema: ``req_idx, bucket, objname, archpath ('' = plain),
+    rstart, rlength``. In-archive naming per ``NameInRespArch``
+    (``ml.go:122-136``) + ``/<archpath>`` for archived files
+    (``xact/xs/moss.go:899``); every error kind surfaces under the
+    ``__404__/`` prefix with size 0 when *continue_on_err* (the
+    reference's addMissingIn path, ``moss.go:1629-1652``) and is
+    dropped otherwise.
+
+    Scale shape: both content sides are pre-aggregated to one row per
+    key, so neither join fans out a request; the plain side joins on
+    ``member``, the arch side on ``(shard, member)`` — two hash joins
+    (or broadcast when the request batch is small), no window.
+    """
+    plain_content = members.groupBy("member").agg(F.min("size").alias("psize"))
+    arch_content = members.groupBy("shard", "member").agg(
+        F.min("size").alias("asize")
+    )
+    is_arch = F.col("archpath") != ""
+    j = requests.join(
+        plain_content,
+        (~is_arch) & (requests["objname"] == plain_content["member"]),
+        "left",
+    ).drop("member")
+    j = j.join(
+        arch_content,
+        is_arch
+        & (j["objname"] == arch_content["shard"])
+        & (j["archpath"] == arch_content["member"]),
+        "left",
+    ).drop("member", "shard")
+    csize = F.when(is_arch, F.col("asize")).otherwise(F.col("psize"))
+    found = csize.isNotNull()
+    whole = (F.col("rstart") == 0) & (F.col("rlength") == 0)
+    eff = (
+        F.when(whole, csize)
+        .when(
+            F.col("rlength") == -1,
+            F.when(F.col("rstart") < csize, csize - F.col("rstart")),
+        )
+        .otherwise(
+            F.when(F.col("rstart") + F.col("rlength") <= csize, F.col("rlength"))
+        )
+    )
+    status = (
+        F.when(~found, F.lit("missing"))
+        .when(eff.isNull(), F.lit("range_not_satisfiable"))
+        .otherwise(F.lit("ok"))
+    )
+    base = (
+        F.col("objname")
+        if only_obj_name
+        else F.concat(F.col("bucket"), F.lit("/"), F.col("objname"))
+    )
+    name = F.when(is_arch, F.concat(base, F.lit("/"), F.col("archpath"))).otherwise(
+        base
+    )
+    result = j.select(
+        F.col("req_idx"),
+        F.col("objname"),
+        F.col("archpath"),
+        F.when(status == "ok", name)
+        .otherwise(F.concat(F.lit(MISSING_SENTINEL), name))
+        .alias("out_name"),
+        F.coalesce(eff, F.lit(0)).cast("bigint").alias("size"),
+        status.alias("status"),
+    )
+    if not continue_on_err:
+        result = result.filter(F.col("status") == "ok")
+    return result
 
 
 def ekm_route(records: DataFrame, ekm: DataFrame, fanout: int = 10) -> DataFrame:

@@ -198,6 +198,94 @@ def block_pairs_above(
     return q.mapInPandas(blocks, schema="vec_a bigint, vec_b bigint, dot bigint")
 
 
+def blocked_pairs_above(
+    corpus: DataFrame,
+    threshold: int,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs inner products above *threshold* — the SCALE-SAFE
+    form: classic 2-D blocked matrix multiply with **no driver hop**.
+
+    Each vector lands in block ``id % n_blocks``; a generated
+    ``(bi, bj), bi <= bj`` cell table fans the corpus out so every
+    unordered vector pair meets in exactly one cell: same-block pairs
+    in the diagonal cell (upper triangle emitted), cross-block pairs in
+    their one ``(min_blk, max_blk)`` cell (orientation normalized to
+    ``vec_a < vec_b``) — so the union of cell outputs IS the exact
+    pair set, no dedup shuffle afterwards.
+
+    Cost shape: compute is the unavoidable O(N^2) dot products; the
+    *shuffle* is O(N * n_blocks) short rows (each vector is shipped to
+    ``n_blocks`` cells), and per-task memory is two row blocks of
+    ~N/n_blocks vectors — pick ``n_blocks ~ N * dim * 8 / target_task_
+    bytes`` so a cell's matrices fit an executor. Contrast
+    :func:`block_pairs_above`, which collects the corpus on the driver
+    and broadcasts it: faster below ~10^6 x 64 but a hard wall beyond.
+    At 100 TB, cut candidates with sign-LSH/IVF first and run this per
+    bucket.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q = corpus.select(
+        F.col(id_col).alias("_id"),
+        quantized(vec_col).alias("_q"),
+        (F.col(id_col) % n_blocks).alias("_blk"),
+    )
+    cells = (
+        spark.range(n_blocks)
+        .select(F.col("id").alias("bi"))
+        .crossJoin(spark.range(n_blocks).select(F.col("id").alias("bj")))
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    a_side = q.join(F.broadcast(cells), q["_blk"] == cells["bi"]).select(
+        "bi", "bj", F.lit("a").alias("_role"), "_id", "_q"
+    )
+    b_side = q.join(
+        F.broadcast(cells),
+        (q["_blk"] == cells["bj"]) & (cells["bi"] != cells["bj"]),
+    ).select("bi", "bj", F.lit("b").alias("_role"), "_id", "_q")
+
+    def cell_mm(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["_role"] == "a"]
+        b = pdf[pdf["_role"] == "b"]
+        diagonal = not len(b)
+        if diagonal:
+            b = a
+        A = np.array(list(a["_q"]), dtype=np.int64)
+        ai = a["_id"].to_numpy(dtype=np.int64)
+        B = np.array(list(b["_q"]), dtype=np.int64)
+        bi_ = b["_id"].to_numpy(dtype=np.int64)
+        dots = A @ B.T  # exact int64
+        li, ri = np.nonzero(dots >= threshold)
+        va, vb, d = ai[li], bi_[ri], dots[li, ri]
+        if diagonal:
+            keep = va < vb  # upper triangle once
+            return pd.DataFrame(
+                {"vec_a": va[keep], "vec_b": vb[keep], "dot": d[keep]}
+            )
+        # cross cell: each unordered pair appears once; normalize order
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(va, vb),
+                "vec_b": np.maximum(va, vb),
+                "dot": d,
+            }
+        )
+
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("bi", "bj")
+        .applyInPandas(
+            lambda pdf: cell_mm(pdf),
+            schema="vec_a bigint, vec_b bigint, dot bigint",
+        )
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

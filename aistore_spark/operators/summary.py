@@ -36,20 +36,55 @@ def bucket_summary(objects: DataFrame) -> DataFrame:
 
 
 def shard_summary(members: DataFrame) -> DataFrame:
-    """A2: per-bucket shard/TAR coverage stats.
+    """A2: per-bucket shard/TAR + index-health coverage stats.
 
-    Reference result type ``api/apc/shard_idx.go:14-43`` with an explicit
-    ``Aggregate()`` merge — Spark's partial/final agg replicates it.
+    Full ``ShardSummResult`` surface (``api/apc/shard_idx.go:19-28``):
+    ``tar_objs/tar_size`` count every local TAR; ``shards/shard_size/
+    archived_objs`` count only TARs whose shard index is *valid*;
+    ``stale_indexes`` are TARs whose index no longer matches the shard
+    content; ``invalid_indexes`` failed to load. Per-field ``+=`` merge
+    (``Aggregate()``, ``shard_idx.go:36-44``) is Spark's partial/final
+    aggregate.
+
+    Index health is derived deterministically from the shard's content
+    fingerprint (md5 over the ordered member list — the checksum an
+    index stores to detect staleness, ``xact/xs/shard_summ.go``): first
+    hex digit ``c|d|e`` → stale, ``f`` → invalid, else valid. On real
+    shards the fingerprint comparison is index-checksum vs shard
+    checksum; the derivation keeps the same three-way classification.
+
+    Scale: per-shard agg then per-bucket agg — two map-side-combined
+    shuffles, O(shards) rows after the first.
     """
     per_shard = members.groupBy("bucket", "shard").agg(
         F.count("*").alias("archived_objs"),
         F.sum("size").alias("shard_bytes"),
+        F.md5(F.array_join(F.sort_array(F.collect_list("member")), ",")).alias(
+            "idx_fp"
+        ),
     )
+    digit = F.substring("idx_fp", 1, 1)
+    health = (
+        F.when(digit == "f", "invalid")
+        .when(digit.isin("c", "d", "e"), "stale")
+        .otherwise("valid")
+    )
+    per_shard = per_shard.withColumn("idx_health", health)
+    valid = F.col("idx_health") == "valid"
     return per_shard.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("shards"),
-        F.sum("archived_objs").alias("archived_objs"),
+        F.count("*").cast("bigint").alias("tar_objs"),
         F.sum("shard_bytes").alias("tar_size"),
-        F.max("archived_objs").alias("max_shard_objs"),
+        F.sum(valid.cast("bigint")).alias("shards"),
+        F.sum(F.when(valid, F.col("shard_bytes")).otherwise(0)).alias("shard_size"),
+        F.sum(F.when(valid, F.col("archived_objs")).otherwise(0)).alias(
+            "archived_objs"
+        ),
+        F.sum((F.col("idx_health") == "stale").cast("bigint")).alias(
+            "stale_indexes"
+        ),
+        F.sum((F.col("idx_health") == "invalid").cast("bigint")).alias(
+            "invalid_indexes"
+        ),
     )
 
 

@@ -77,6 +77,33 @@ SELECT
 FROM events
 """
 
+MIXED_REQUESTS_SQL = """
+SELECT
+  event_id                                                      AS req_idx,
+  'ais://shards'                                                AS bucket,
+  CASE WHEN (event_id % 3 = 1)
+         OR (event_id % 3 = 2 AND user_id % 2 = 1)
+       THEN 'shard-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000 % 128
+                                  AS VARCHAR), 5, '0') || '.tar'
+       ELSE 'rec-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000
+                                AS VARCHAR), 8, '0') || '.jpg'
+  END                                                           AS objname,
+  CASE WHEN (event_id % 3 = 1)
+         OR (event_id % 3 = 2 AND user_id % 2 = 1)
+       THEN 'rec-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000
+                                AS VARCHAR), 8, '0')
+            || CASE WHEN event_id % 3 = 1 THEN '.cls' ELSE '.xml' END
+       ELSE ''
+  END                                                           AS archpath,
+  CAST(CASE WHEN event_id % 3 = 2 THEN (event_id * 17) % 40960
+            ELSE 0 END AS BIGINT)                               AS rstart,
+  CAST(CASE WHEN event_id % 3 = 2
+            THEN CASE WHEN event_id % 5 = 0 THEN -1
+                      ELSE (1 + event_id % 7) * 4096 END
+            ELSE 0 END AS BIGINT)                               AS rlength
+FROM events
+"""
+
 EKM_SQL = "SELECT * FROM (VALUES {rows}) AS t(pattern, template, priority)".format(
     rows=", ".join(f"('{p}', '{t}', {pr})" for p, t, pr in EKM_RULES)
 )
@@ -86,6 +113,7 @@ _CATALOGS = {
     "remote_objects": REMOTE_OBJECTS_SQL,
     "members": MEMBERS_SQL,
     "batch_requests": BATCH_REQUESTS_SQL,
+    "mixed_requests": MIXED_REQUESTS_SQL,
     "ekm": EKM_SQL,
 }
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import tarfile
+import zipfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -29,20 +30,86 @@ MEMBER_SCHEMA = (
 )
 MEMBER_META_SCHEMA = "shard string, member string, offset bigint, size bigint"
 
+#: the reference's archive MIME set, cmn/archive/mime.go:25-29
+ARCHIVE_EXTS = (".tar", ".tgz", ".tar.gz", ".zip", ".tar.lz4")
+
 
 def read_binary_objects(spark: SparkSession, path: str) -> DataFrame:
     """Objects as (path, modificationTime, length, content) rows."""
     return spark.read.format("binaryFile").load(path)
 
 
-def expand_tar_members(
+def detect_mime(name: str, content: bytes) -> str:
+    """Resolve an object's archive type: filename extension first, then
+    magic-byte sniffing — the reference's detection order and signature
+    set (``cmn/archive/mime.go:41-60``: ustar@257, gzip 1f8b, zip PK).
+    Returns one of :data:`ARCHIVE_EXTS`; raises ``ValueError`` when the
+    object is no recognizable archive.
+    """
+    low = name.lower()
+    for ext in (".tar.lz4", ".tar.gz", ".tgz", ".tar", ".zip"):
+        if low.endswith(ext):
+            return ".tar.gz" if ext == ".tgz" else ext
+    if len(content) >= 262 and content[257:262] == b"ustar":
+        return ".tar"
+    if content[:2] == b"\x1f\x8b":
+        return ".tar.gz"
+    if content[:2] == b"PK":
+        return ".zip"
+    raise ValueError(f"{name!r}: not a recognized archive (mime.go:25-29)")
+
+
+def _iter_members(name: str, content: bytes, with_bytes: bool):
+    """Yield ``(member, offset, size, bytes|None)`` for every regular
+    file in the archive, uniformly across the reference's MIME set
+    (read modes ``cmn/archive/read.go:137-165``).
+
+    Offsets: for TAR-family the member's payload offset in the
+    (decompressed) stream — the shard-index datum behind O(1) archpath
+    range reads; for ZIP the local-header offset from the central
+    directory (the seek point a ranged extract starts at).
+    """
+    mime = detect_mime(name, content)
+    if mime == ".tar.lz4":
+        try:
+            import lz4.frame  # type: ignore[import-not-found]
+        except ImportError as exc:  # pragma: no cover - lib-gated
+            raise NotImplementedError(
+                "lz4 is not installed in this runtime; tar/tgz/zip only"
+            ) from exc
+        content, mime = lz4.frame.decompress(content), ".tar"
+    if mime == ".zip":
+        with zipfile.ZipFile(io.BytesIO(content)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                yield (
+                    info.filename,
+                    info.header_offset,
+                    info.file_size,
+                    zf.read(info) if with_bytes else None,
+                )
+        return
+    mode = "r:gz" if mime == ".tar.gz" else "r:"
+    with tarfile.open(fileobj=io.BytesIO(content), mode=mode) as tar:
+        for info in tar.getmembers():
+            if not info.isfile():
+                continue
+            yield (
+                info.name,
+                info.offset_data,
+                info.size,
+                tar.extractfile(info).read() if with_bytes else None,
+            )
+
+
+def expand_archive_members(
     binary_df: DataFrame, with_bytes: bool = True
 ) -> DataFrame:
-    """S4/P5: one row per file inside each TAR object.
-
-    ``offset`` is the member's payload offset inside the shard — the
-    shard-index datum that makes P2 archpath reads O(1) range-GETs
-    (``ais/tgtobj.go:1341-1368``).
+    """S4/P5: one row per file inside each archive object, uniformly
+    for TAR / TGZ / TAR.GZ / ZIP / TAR.LZ4 (lib-gated) — the
+    reference's listable-shard MIME set (``cmn/archive/mime.go:25-29``,
+    read modes ``cmn/archive/read.go:137-165``).
     """
     schema = MEMBER_SCHEMA if with_bytes else MEMBER_META_SCHEMA
 
@@ -57,21 +124,22 @@ def expand_tar_members(
             if with_bytes:
                 out["bytes"] = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(content)) as tar:
-                    for info in tar.getmembers():
-                        if not info.isfile():
-                            continue
-                        out["shard"].append(path)
-                        out["member"].append(info.name)
-                        out["offset"].append(info.offset_data)
-                        out["size"].append(info.size)
-                        if with_bytes:
-                            out["bytes"].append(
-                                tar.extractfile(info).read()
-                            )
+                for member, offset, size, payload in _iter_members(
+                    path, bytes(content), with_bytes
+                ):
+                    out["shard"].append(path)
+                    out["member"].append(member)
+                    out["offset"].append(offset)
+                    out["size"].append(size)
+                    if with_bytes:
+                        out["bytes"].append(payload)
             yield pd.DataFrame(out)
 
     return binary_df.select("path", "content").mapInPandas(expand, schema=schema)
+
+
+#: backward-compat name — TARs are just one mime of the general expander
+expand_tar_members = expand_archive_members
 
 
 def build_member_index(

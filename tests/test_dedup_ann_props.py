@@ -117,3 +117,22 @@ def test_simhash_pairs_64bit_no_null_fingerprints(spark):
             if h <= 3:
                 want[(a, b)] = h
     assert got == want
+
+
+def test_blocked_pairs_equals_broadcast_pairs(spark):
+    """The scale-safe blocked matmul (no driver hop) must produce the
+    exact pair set of the driver-broadcast fast path — every unordered
+    pair meets in exactly one cell, diagonal cells emit the upper
+    triangle, cross cells normalize orientation."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    blocked = {
+        (r.vec_a, r.vec_b): r.dot
+        for r in simsearch.blocked_pairs_above(
+            emb, threshold=40_000_000, n_blocks=5
+        ).collect()
+    }
+    broadcast = {
+        (r.vec_a, r.vec_b): r.dot
+        for r in simsearch.block_pairs_above(emb, threshold=40_000_000).collect()
+    }
+    assert blocked == broadcast and len(blocked) > 0

@@ -145,3 +145,54 @@ def test_offset_based_extraction_is_range_read(spark, tmp_path):
     for name, payload in zip(names, payloads):
         r = by_member[name]
         assert raw[r.offset : r.offset + r.size] == payload
+
+
+def test_mixed_mime_expansion_roundtrip(spark, tmp_path):
+    """ZIP/TGZ/TAR.GZ shards expand identically to TAR — the
+    reference's uniform archive read path (cmn/archive/mime.go:25-29,
+    cmn/archive/read.go:137-165). Round-trips our own writers."""
+    from aistore_spark.operators.archive import build_tgz, build_zip
+    from aistore_spark.sources.binary import expand_archive_members
+
+    names = [f"rec-{i:04d}.jpg" for i in range(15)]
+    payloads = [f"{n}:payload".encode() for n in names]
+    (tmp_path / "s0.tar").write_bytes(build_tar(names, payloads))
+    (tmp_path / "s1.tgz").write_bytes(build_tgz(names, payloads))
+    (tmp_path / "s2.tar.gz").write_bytes(build_tgz(names, payloads))
+    (tmp_path / "s3.zip").write_bytes(build_zip(names, payloads))
+    rows = expand_archive_members(
+        read_binary_objects(spark, str(tmp_path / "s*"))
+    ).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard.rsplit("/", 1)[-1], {})[r.member] = bytes(
+            r.bytes
+        )
+    assert set(by_shard) == {"s0.tar", "s1.tgz", "s2.tar.gz", "s3.zip"}
+    want = dict(zip(names, payloads))
+    for shard, got in by_shard.items():
+        assert got == want, shard
+    # offsets: monotonically increasing seek points within each shard
+    for shard in by_shard:
+        offs = [r.offset for r in rows if r.shard.endswith(shard)]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+
+def test_mime_detection_by_magic(spark, tmp_path):
+    """Extensionless objects resolve by file signature, the reference's
+    fallback detection (mime.go:54-60: ustar@257, gzip 1f8b, zip PK)."""
+    import pytest
+
+    from aistore_spark.sources.binary import detect_mime
+
+    names, payloads = ["m.bin"], [b"zz"]
+    tar = build_tar(names, payloads)
+    from aistore_spark.operators.archive import build_tgz, build_zip
+
+    assert detect_mime("noext", tar) == ".tar"
+    assert detect_mime("noext", build_tgz(names, payloads)) == ".tar.gz"
+    assert detect_mime("noext", build_zip(names, payloads)) == ".zip"
+    assert detect_mime("x.tgz", b"") == ".tar.gz"
+    assert detect_mime("x.tar.lz4", b"") == ".tar.lz4"
+    with pytest.raises(ValueError):
+        detect_mime("noext", b"\x00" * 600)
