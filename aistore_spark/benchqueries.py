@@ -167,6 +167,58 @@ def s5_virtual_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return listing.list_virtual_dirs(_objects(spark, sf_dir), "zh/")
 
 
+@register(
+    "s5b_dirs_first_page",
+    """
+    WITH names AS (
+      SELECT CASE WHEN doc_id % 10 = 0
+                  THEN lang || '/' || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                       || '.txt'
+                  ELSE lang || '/' || source || '/'
+                       || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt'
+             END AS name
+      FROM documents
+    ),
+    ents AS (
+      SELECT DISTINCT
+        'zh/' || CASE WHEN instr(rest, '/') > 0
+                      THEN substr(rest, 1, instr(rest, '/'))
+                      ELSE rest END AS entry,
+        instr(rest, '/') > 0 AS is_dir
+      FROM (
+        SELECT substr(name, length('zh/') + 1) AS rest
+        FROM names WHERE name LIKE 'zh/%'
+      )
+    )
+    SELECT entry, is_dir FROM ents
+    WHERE (is_dir AND entry > 'zh/src15/') OR NOT is_dir
+    ORDER BY is_dir DESC, entry
+    LIMIT 25
+    """,
+)
+def s5b_dirs_first_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S1: dirs-first paged listing — virtual dirs group before
+    objects (LsoEnt.less, cmn/objlist_utils.go:47-61) with a composite
+    (entry, was_dir) continuation cursor. Fixture flattens every 10th
+    doc one level so the prefix holds dirs AND objects."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    padded = F.lpad(d.cast("string"), 6, "0")
+    name = F.when(
+        d % 10 == 0,
+        F.concat(F.col("lang"), F.lit("/"), padded, F.lit(".txt")),
+    ).otherwise(
+        F.concat(
+            F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+            padded, F.lit(".txt"),
+        )
+    )
+    objs = docs.select(name.alias("name"))
+    return listing.list_dirs_first_page(
+        objs, "zh/", page_size=25, token="zh/src15/", token_is_dir=True
+    )
+
+
 # ---- A: aggregations --------------------------------------------------------
 
 
@@ -753,6 +805,46 @@ def t1_inline_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs_with_data(spark, sf_dir), [char_info], etl_args="x=1"
     )
     return df.select("name", F.col("out").cast("string").alias("out"))
+
+
+@register(
+    "t1b_inline_etl_args",
+    oracles.with_catalogs(
+        """
+        SELECT name,
+               name || '|q=' || CAST(doc_id % 5 AS VARCHAR) || '|'
+                    || CAST(length(text) AS VARCHAR) AS out
+        FROM (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 text, doc_id
+          FROM documents
+        )
+        """,
+        "objects",
+    ),
+)
+def t1b_inline_etl_args(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 per-request etl_args: args is a row-varying COLUMN (the
+    reference's per-GET args, api/apc/query.go QparamETLArgs), not a
+    job-level constant — each object sees its own args string."""
+
+    def char_info(data: bytes, path: str, args: str) -> bytes:
+        return f"{path}|{args}|{len(data.decode('utf-8'))}".encode("utf-8")
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        F.concat(
+            F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"), F.lit(".txt"),
+        ).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+        F.concat(F.lit("q="), (F.col("doc_id") % 5).cast("string")).alias(
+            "etl_args"
+        ),
+    )
+    out = etl.etl_inline_args(df, [char_info])
+    return out.select("name", F.col("out").cast("string").alias("out"))
 
 
 @register(
@@ -1445,6 +1537,80 @@ def ds2_download_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = downloader.execute_download(plan, fetch=downloader.fake_fetch)
     return out.select("url", "size", "checksum")
+
+
+_DS4_LINKS = [
+    "http://data.example.com/seed/weights.bin",
+    "http://data.example.com/seed/tokenizer.json",
+    "http://mirror.example.org/seed/vocab.txt",
+]
+
+
+@register(
+    "ds4_single_plan",
+    """
+    SELECT 'http://data.example.com/seed/weights.bin' AS url,
+           'models/weights.bin' AS objname
+    """,
+)
+def ds4_single_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 single job: one named object from one link
+    (ext/dload/api.go:25-30,88-92)."""
+    return downloader.single_job_plan(
+        spark,
+        "models/weights.bin",
+        "http://data.example.com/seed/weights.bin",
+    )
+
+
+@register(
+    "ds4_multi_plan",
+    """
+    SELECT url, 'seed/' || regexp_extract(url, '([^/]+)$', 1) AS objname
+    FROM (VALUES ('http://data.example.com/seed/weights.bin'),
+                 ('http://data.example.com/seed/tokenizer.json'),
+                 ('http://mirror.example.org/seed/vocab.txt')) t(url)
+    """,
+)
+def ds4_multi_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 multi job: explicit objects payload, objname = last URL
+    segment (ext/dload/api.go:134-137)."""
+    return downloader.multi_job_plan(spark, _DS4_LINKS, dest_prefix="seed/")
+
+
+@register(
+    "ds4_backend_plan",
+    oracles.with_catalogs(
+        """
+        SELECT COALESCE(r.name, l.name) AS objname,
+               CASE WHEN l.name IS NULL THEN 'download'
+                    WHEN r.name IS NOT NULL AND l.version <> r.version
+                      THEN 'download'
+                    WHEN r.name IS NULL THEN 'delete'
+               END AS action
+        FROM (SELECT name, version FROM objects
+              WHERE doc_id % 7 <> 0
+                AND name LIKE 'en/%' AND name LIKE '%.txt') l
+        FULL OUTER JOIN (SELECT name, version FROM remote_objects
+                         WHERE name LIKE 'en/%' AND name LIKE '%.txt') r
+          ON l.name = r.name
+        WHERE l.name IS NULL
+           OR (r.name IS NOT NULL AND l.version <> r.version)
+           OR r.name IS NULL
+        """,
+        "objects",
+        "remote_objects",
+    ),
+)
+def ds4_backend_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 backend job: remote-bucket subset sync — missing/changed
+    objects download, sync deletes local-only (ext/dload/api.go:
+    115-119; prefix+suffix filters, Sync flag)."""
+    local = _objects(spark, sf_dir).filter(F.col("doc_id") % 7 != 0)
+    remote = _remote(spark, sf_dir)
+    return downloader.backend_job_plan(
+        local, remote, prefix="en/", suffix=".txt", sync=True
+    )
 
 
 @register(

@@ -227,6 +227,19 @@ class DsortSpec:
     seed: str = "0"
     descending: bool = False
     compression_ratio: float = 1.0
+    #: reaction to records duplicated across input shards —
+    #: ignore | warn | abort (``DuplicatedRecords``,
+    #: ``ext/dsort/request_spec.go:196-198``; reactions
+    #: ``ext/dsort/manager.go:702-714``). ignore/warn keep the
+    #: deterministic min-key winner.
+    duplicated_records: str = "ignore"
+
+
+REACTIONS = ("ignore", "warn", "abort")
+
+
+class DuplicatedRecordsError(RuntimeError):
+    """DuplicatedRecords=abort tripped (``ext/dsort/manager.go:478``)."""
 
 
 def run_dsort(members: DataFrame, spec: DsortSpec) -> DataFrame:
@@ -236,6 +249,31 @@ def run_dsort(members: DataFrame, spec: DsortSpec) -> DataFrame:
     ``shard_manifest`` or a tar-building ``applyInPandas`` for the
     creation phase (see tests/test_dsort_e2e.py).
     """
+    if spec.duplicated_records not in REACTIONS:
+        raise ValueError(
+            f"duplicated_records={spec.duplicated_records!r}; "
+            f"expected one of {REACTIONS}"
+        )
+    if spec.duplicated_records != "ignore":
+        # one count-agg pass over (base, ext); abort mirrors the
+        # reference's job-fail reaction, warn its log-and-continue
+        # (manager.react, ext/dsort/manager.go:702-714). The winner
+        # under warn stays the deterministic min-key record.
+        dups = (
+            members.groupBy("base", "ext")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        sample = dups.limit(5).collect()
+        if sample:
+            msg = "duplicated records: " + ", ".join(
+                f"{r['base']}.{r['ext']} x{r['n']}" for r in sample
+            )
+            if spec.duplicated_records == "abort":
+                raise DuplicatedRecordsError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     recs = members.groupBy("base").agg(F.sum("size").alias("rec_bytes"))
     if spec.algorithm == "content":
         key_col = {"int": "key_int", "float": "key_float", "string": "key_str"}[

@@ -269,6 +269,34 @@ def etl_inline(
     return df.withColumn(out_col, udf(F.col(data_col), F.col(path_col)))
 
 
+def etl_inline_args(
+    df: DataFrame,
+    pipeline: Sequence[str | TransformFn],
+    data_col: str = "data",
+    path_col: str = "name",
+    args_col: str = "etl_args",
+    out_col: str = "out",
+) -> DataFrame:
+    """T1 with *per-request* etl_args: the reference passes args per
+    GET (``QparamETLArgs``, ``api/apc/query.go:24`` area; per-request
+    args on the transform contract,
+    ``python/.../base_etl_server.py:196-235``) — so args is a COLUMN,
+    not a job constant. Same Arrow-batched UDF, one extra input
+    series; no change in plan shape.
+    """
+    fn = resolve(pipeline)
+
+    @F.pandas_udf("binary")
+    def udf(data: pd.Series, path: pd.Series, args: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fn(d, p, a) for d, p, a in zip(data, path, args)], dtype=object
+        )
+
+    return df.withColumn(
+        out_col, udf(F.col(data_col), F.col(path_col), F.col(args_col))
+    )
+
+
 def etl_offline(
     objects_with_data: DataFrame,
     pipeline: Sequence[str | TransformFn],

@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 MISSING_SENTINEL = "__404__/"
 
 
+class MissingKeysError(RuntimeError):
+    """EKMMissingKey=abort tripped (``ext/dsort/manager.go:711``)."""
+
+
 def get_batch_join(
     requests: DataFrame,
     members: DataFrame,
@@ -146,14 +150,22 @@ def get_batch_join_mixed(
     return result
 
 
-def ekm_route(records: DataFrame, ekm: DataFrame, fanout: int = 10) -> DataFrame:
+def ekm_route(
+    records: DataFrame,
+    ekm: DataFrame,
+    fanout: int = 10,
+    missing_key: str = "ignore",
+) -> DataFrame:
     """J2: external-key-map routing (``ext/dsort/shard/key.go:55-60``).
 
     Each record's base name joins its *first* matching regex pattern
     (priority order — parse/apply ``ext/dsort/dsort.go:646-814``); the
     ``%d`` slot in the matched template is filled from the record id so
-    routing is deterministic. Records matching nothing get the
-    missing-key policy sentinel.
+    routing is deterministic. Records matching nothing follow the
+    ``EKMMissingKey`` reaction (``ext/dsort/request_spec.go:190-194``,
+    reactions ``ext/dsort/manager.go:702-714``): ``ignore``/``warn``
+    route them to the ``__missing__`` sentinel shard (warn logs a
+    sample first), ``abort`` raises.
 
     Spark shape: broadcast non-equi (rlike) join of the tiny EKM against
     the record set, then a per-record ``row_number`` keeps the first
@@ -161,9 +173,20 @@ def ekm_route(records: DataFrame, ekm: DataFrame, fanout: int = 10) -> DataFrame
     artifact) so no shuffle of the records happens before the window;
     the window partitions by record (no skew).
     """
+    if missing_key not in ("ignore", "warn", "abort"):
+        raise ValueError(f"missing_key={missing_key!r}")
     matched = records.join(
         F.broadcast(ekm), F.expr("base rlike pattern"), "left"
     )
+    if missing_key != "ignore":
+        unmatched = matched.filter(F.col("priority").isNull()).limit(5).collect()
+        if unmatched:
+            msg = "EKM missing keys: " + ", ".join(r["base"] for r in unmatched)
+            if missing_key == "abort":
+                raise MissingKeysError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
     w = Window.partitionBy("base").orderBy(F.col("priority").asc_nulls_last())
     rec_id = F.substring(F.col("base"), 5, 100).cast("bigint")
     return (

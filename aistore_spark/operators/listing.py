@@ -85,3 +85,38 @@ def list_virtual_dirs(objects: DataFrame, prefix: str) -> DataFrame:
         .select(F.concat(F.lit(prefix), seg).alias("entry"), (slash > 0).alias("is_dir"))
         .distinct()
     )
+
+
+def list_dirs_first_page(
+    objects: DataFrame,
+    prefix: str,
+    page_size: int | None = None,
+    token: str | None = None,
+    token_is_dir: bool = False,
+) -> DataFrame:
+    """S5 + S1: dirs-first ordered page over a non-recursive listing.
+
+    The reference's default listing sort groups virtual directories
+    before objects (``LsoEnt.less``, ``cmn/objlist_utils.go:47-61``),
+    which breaks plain lexicographic tokens — so the cursor here is the
+    composite ``(entry, was_dir)``: a token naming a directory resumes
+    after that directory (remaining dirs, then all objects); a token
+    naming an object resumes after it among objects only.
+
+    Plan shape: the prefix filter pushes to the scan, the distinct is
+    one shuffle of the pruned subset, and ``orderBy(is_dir desc,
+    entry).limit(n)`` compiles to TakeOrderedAndProject — per-partition
+    top-n heaps, no global sort materialization.
+    """
+    ents = list_virtual_dirs(objects, prefix)
+    if token:
+        if token_is_dir:
+            ents = ents.filter(
+                (F.col("is_dir") & (F.col("entry") > token)) | ~F.col("is_dir")
+            )
+        else:
+            ents = ents.filter((~F.col("is_dir")) & (F.col("entry") > token))
+    df = ents.orderBy(F.col("is_dir").desc(), F.col("entry"))
+    if page_size is not None:
+        df = df.limit(page_size)
+    return df

@@ -70,21 +70,154 @@ def range_job_plan(
     return urls.select("url", objname.alias("objname"))
 
 
+def single_job_plan(spark: SparkSession, objname: str, link: str) -> DataFrame:
+    """S10 ``single`` job: one named object from one link
+    (``SingleBody``/``SingleObj``, ``ext/dload/api.go:88-92,120-123``).
+    """
+    return spark.createDataFrame(
+        [(link, objname)], schema="url string, objname string"
+    )
+
+
+def multi_job_plan(
+    spark: SparkSession,
+    objects: dict[str, str] | list[str],
+    dest_prefix: str = "",
+) -> DataFrame:
+    """S10 ``multi`` job: an explicit objects payload — either a
+    ``{objname: link}`` map or a list of links whose object names are
+    the last URL path segment (``MultiBody.ObjectsPayload``,
+    ``ext/dload/api.go:134-137``; payload normalization
+    ``ext/dload/utils.go``).
+    """
+    if isinstance(objects, dict):
+        rows = [(link, dest_prefix + name) for name, link in sorted(objects.items())]
+    else:
+        rows = [
+            (link, dest_prefix + link.rsplit("/", 1)[-1]) for link in objects
+        ]
+    return spark.createDataFrame(rows, schema="url string, objname string")
+
+
+def backend_job_plan(
+    local: DataFrame,
+    remote: DataFrame,
+    prefix: str = "",
+    suffix: str = "",
+    sync: bool = False,
+) -> DataFrame:
+    """S10 ``backend`` job: sync a remote-bucket subset into the
+    cluster (``BackendBody{Prefix, Suffix, Sync}``,
+    ``ext/dload/api.go:115-119``).
+
+    Work items: every remote object in the prefix/suffix subset that is
+    absent locally or carries a newer version → ``download``; with
+    *sync*, local objects in the subset that no longer exist remotely →
+    ``delete`` (the F5/M10 semantics on the ingest path). Present and
+    current objects are skipped (not emitted), like the dispatcher's
+    skipped-count.
+
+    One full-outer hash join on name, prefix/suffix filters pushed to
+    both scans.
+    """
+
+    def subset(df: DataFrame) -> DataFrame:
+        out = df
+        if prefix:
+            out = out.filter(F.col("name").startswith(prefix))
+        if suffix:
+            out = out.filter(F.col("name").endswith(suffix))
+        return out
+
+    loc = subset(local).select(
+        F.col("name").alias("l_name"), F.col("version").alias("l_version")
+    )
+    rem = subset(remote).select(
+        F.col("name").alias("r_name"), F.col("version").alias("r_version")
+    )
+    j = loc.join(rem, loc["l_name"] == rem["r_name"], "full_outer")
+    action = (
+        F.when(F.col("l_name").isNull(), F.lit("download"))
+        .when(
+            F.col("r_name").isNotNull() & (F.col("l_version") != F.col("r_version")),
+            F.lit("download"),
+        )
+        .when(F.col("r_name").isNull(), F.lit("delete") if sync else F.lit("skip"))
+        .otherwise(F.lit("skip"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("r_name"), F.col("l_name")).alias("objname"),
+            action.alias("action"),
+        )
+        .filter(F.col("action") != "skip")
+    )
+
+
+class TokenBucket:
+    """``BytesPerHour`` token bucket (``Limits``, ``ext/dload/api.go:
+    70-73``): refills at ``bytes_per_hour/3600`` per second with a one-
+    second burst; each fetch consumes its size and sleeps out any
+    deficit. Clock/sleep injectable so tests run on virtual time.
+    """
+
+    def __init__(self, bytes_per_hour: int, clock=None, sleep=None):
+        import time
+
+        self.rate = bytes_per_hour / 3600.0  # bytes per second
+        self.burst = self.rate
+        self.clock = clock or time.monotonic
+        self.sleep = sleep or time.sleep
+        self.tokens = self.burst
+        self.last = self.clock()
+
+    def throttle(self, nbytes: int) -> float:
+        now = self.clock()
+        self.tokens = min(self.burst, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        self.tokens -= nbytes
+        if self.tokens < 0:
+            wait = -self.tokens / self.rate
+            self.sleep(wait)
+            self.last += wait
+            self.tokens = 0.0
+            return wait
+        return 0.0
+
+
 def execute_download(
     plan: DataFrame,
     fetch: FetchFn = fake_fetch,
     connections: int = 8,
+    bytes_per_hour: int = 0,
+    bucket_factory: Callable[[float], "TokenBucket"] | None = None,
 ) -> DataFrame:
     """Run a download plan: ``mapInPandas`` fetch per work item.
 
     ``connections`` bounds parallel fetch streams via partition count
-    (the reference's per-job ``Connections`` limit).
+    (the reference's per-job ``Connections`` limit); ``bytes_per_hour``
+    > 0 rate-limits each stream with a token bucket at its
+    ``bytes_per_hour / connections`` share (``Limits``,
+    ``ext/dload/api.go:70-73``).
     """
     plan = plan.repartition(connections)
+    per_stream = bytes_per_hour / max(connections, 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bucket = None
+        if bytes_per_hour > 0:
+            bucket = (
+                bucket_factory(per_stream)
+                if bucket_factory
+                else TokenBucket(int(per_stream))
+            )
         for pdf in batches:
-            data = [fetch(u) for u in pdf["url"]]
+            data = []
+            for u in pdf["url"]:
+                body = fetch(u)
+                if bucket is not None:
+                    bucket.throttle(len(body))
+                data.append(body)
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],

@@ -91,3 +91,60 @@ def test_run_dsort_spec_api(spark, sf_dir):
     first_asc = asc.filter(F.col("shard_id") == 0).agg(F.min("base")).first()[0]
     first_desc = desc.filter(F.col("shard_id") == 0).agg(F.max("base")).first()[0]
     assert first_asc < first_desc
+
+
+def test_duplicated_records_policies(spark, sf_dir):
+    """DuplicatedRecords reactions (request_spec.go:196-198 +
+    manager.go:702-714): abort raises on the duplicate fixture (the a5
+    members catalog has (base, ext) collisions), warn emits a warning
+    and produces the exact ignore-policy output."""
+    import warnings
+
+    import pytest
+
+    from aistore_spark.catalog import members_catalog
+    from aistore_spark.operators.dsort import (
+        DsortSpec,
+        DuplicatedRecordsError,
+        run_dsort,
+    )
+    from aistore_spark.sources.tables import load_table
+
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    with pytest.raises(DuplicatedRecordsError):
+        run_dsort(members, DsortSpec(duplicated_records="abort"))
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        warned = run_dsort(members, DsortSpec(duplicated_records="warn")).collect()
+    assert any("duplicated records" in str(w.message) for w in rec)
+    base = run_dsort(members, DsortSpec()).collect()
+    assert sorted(map(tuple, warned)) == sorted(map(tuple, base))
+    with pytest.raises(ValueError):
+        run_dsort(members, DsortSpec(duplicated_records="explode"))
+
+
+def test_ekm_missing_key_policies(spark, sf_dir):
+    """EKMMissingKey reactions: abort raises when a record matches no
+    pattern; warn routes them to __missing__ like ignore."""
+    import pytest
+
+    from aistore_spark.catalog import ekm_table, members_catalog
+    from aistore_spark.operators.joins import MissingKeysError, ekm_route
+    from aistore_spark.sources.tables import load_table
+
+    recs = spark.createDataFrame(
+        [("rec-00000001",), ("rec-00001234",), ("zzz-99999999",)],
+        schema="base string",
+    )
+    ekm = ekm_table(spark)
+    with pytest.raises(MissingKeysError):
+        ekm_route(recs, ekm, missing_key="abort")
+    warned = ekm_route(recs, ekm, missing_key="warn")
+    missing = warned.filter(warned["dst_shard"] == "__missing__").count()
+    assert missing == 1
+    # matched-everything input must NOT trip abort
+    low = recs.filter(recs["base"].startswith("rec-"))
+    ok = ekm_route(low, ekm, missing_key="abort")
+    assert ok.filter(ok["dst_shard"] == "__missing__").count() == 0
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    assert members is not None

@@ -196,3 +196,64 @@ def test_mime_detection_by_magic(spark, tmp_path):
     assert detect_mime("x.tar.lz4", b"") == ".tar.lz4"
     with pytest.raises(ValueError):
         detect_mime("noext", b"\x00" * 600)
+
+
+def test_token_bucket_rate_limits_on_virtual_time():
+    """BytesPerHour token bucket (ext/dload/api.go:70-73): after the
+    1-second burst, total virtual sleep must equal the byte deficit
+    over the refill rate (bytes/3600 per sec)."""
+    from aistore_spark.sources.downloader import TokenBucket
+
+    clock_now = [0.0]
+    slept = []
+
+    def clock():
+        return clock_now[0]
+
+    def sleep(s):
+        slept.append(s)
+        clock_now[0] += s
+
+    bph = 3600 * 1000  # 1000 B/s, burst 1000 B
+    tb = TokenBucket(bph, clock=clock, sleep=sleep)
+    for _ in range(10):
+        tb.throttle(500)  # 5000 B total
+    # 1000 B burst free; remaining 4000 B at 1000 B/s -> 4 s of sleep
+    assert abs(sum(slept) - 4.0) < 1e-9
+    # steady-state: each further 500 B costs 0.5 s
+    slept.clear()
+    tb.throttle(500)
+    assert abs(sum(slept) - 0.5) < 1e-9
+
+
+def test_download_exec_with_throttle(spark):
+    """execute_download wires the bucket into the fetch stage: per-
+    stream share = bytes_per_hour/connections; with a virtual-time
+    bucket the results are unchanged (throttle affects timing only)."""
+    from aistore_spark.sources.downloader import (
+        TokenBucket,
+        execute_download,
+        fake_fetch,
+        range_job_plan,
+    )
+
+    plan = range_job_plan(
+        spark, "http://data.example.com/c/p-{00..19}.bin"
+    )
+
+    def factory(per_stream):
+        return TokenBucket(
+            int(per_stream),
+            clock=lambda: 0.0,
+            sleep=lambda s: None,
+        )
+
+    out = execute_download(
+        plan,
+        fetch=fake_fetch,
+        connections=4,
+        bytes_per_hour=3600 * 64,
+        bucket_factory=factory,
+    ).collect()
+    assert len(out) == 20
+    assert all(r.size == 32 for r in out)
