@@ -26,37 +26,82 @@ class BatchLoader:
     def __init__(self, spark: SparkSession, members: DataFrame):
         self._spark = spark
         self._members = members
-        self._names: list[str] = []
+        #: (objname, archpath, start, length) per MossIn, api/apc/ml.go:88-98
+        self._entries: list[tuple[str, str, int, int]] = []
 
     def add(self, *objnames: str) -> "BatchLoader":
-        self._names.extend(objnames)
+        """Plain-object entries (ArchPath empty, whole object)."""
+        self._entries.extend((n, "", 0, 0) for n in objnames)
+        return self
+
+    def add_entry(
+        self,
+        objname: str,
+        archpath: str = "",
+        start: int = 0,
+        length: int = 0,
+    ) -> "BatchLoader":
+        """Full ``MossIn`` entry: archived-file extraction when
+        *archpath* is set, optional byte range ``(start, length)`` with
+        ``length=-1`` open-ended (``api/apc/ml.go:53-68``)."""
+        self._entries.append((objname, archpath, start, length))
         return self
 
     def get(
         self, continue_on_err: bool = True
     ) -> Iterator[tuple[str, bytes | None]]:
         req = self._spark.createDataFrame(
-            [(i, "ais://shards", n) for i, n in enumerate(self._names)],
-            schema="req_idx long, bucket string, objname string",
+            [
+                (i, "ais://shards", n, ap, st, ln)
+                for i, (n, ap, st, ln) in enumerate(self._entries)
+            ],
+            schema=(
+                "req_idx long, bucket string, objname string, "
+                "archpath string, rstart long, rlength long"
+            ),
         )
-        joined = joins.get_batch_join(
+        joined = joins.get_batch_join_mixed(
             req, self._members, continue_on_err=continue_on_err
         )
         # re-attach payloads for found rows (testdata members carry
-        # synthesized payloads; binaryFile-backed members carry real bytes)
-        key = self._members.groupBy("member").agg(
-            F.min("key_str").alias("key_str")
+        # synthesized payloads; binaryFile-backed members carry real
+        # bytes): plain entries key on member name, archpath entries on
+        # (shard, member)
+        pkey = self._members.groupBy("member").agg(
+            F.min("key_str").alias("pkey")
         )
-        rows = (
-            joined.join(key, joined["objname"] == key["member"], "left")
-            .orderBy("req_idx")
-            .select("req_idx", "out_name", "status", "objname", "key_str")
+        akey = self._members.groupBy("shard", "member").agg(
+            F.min("key_str").alias("akey")
         )
+        j = joined.join(pkey, joined["objname"] == pkey["member"], "left").drop(
+            "member"
+        )
+        j = j.join(
+            akey,
+            (j["objname"] == akey["shard"]) & (j["archpath"] == akey["member"]),
+            "left",
+        ).drop("member", "shard")
+        rows = j.orderBy("req_idx").select(
+            "req_idx", "out_name", "status", "objname", "archpath",
+            "pkey", "akey",
+        )
+        reqmap = {i: e for i, e in enumerate(self._entries)}
         for r in rows.toLocalIterator():
-            if r.status == "missing":
+            if r.status != "ok":
                 yield r.out_name, None
+                continue
+            if r.archpath:
+                payload = synth_payload(r.archpath, r.akey)
             else:
-                yield r.out_name, synth_payload(r.objname, r.key_str)
+                payload = synth_payload(r.objname, r.pkey)
+            _, _, start, length = reqmap[r.req_idx]
+            if (start, length) != (0, 0):
+                payload = (
+                    payload[start:]
+                    if length == -1
+                    else payload[start : start + length]
+                )
+            yield r.out_name, payload
 
 
 def list_bucket(

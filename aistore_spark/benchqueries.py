@@ -168,6 +168,36 @@ def s5_virtual_dirs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s7_inventory_page",
+    oracles.with_catalogs(
+        """
+        WITH inv AS (
+          SELECT name, size, version,
+                 row_number() OVER (ORDER BY name) - 1 AS rn
+          FROM remote_objects WHERE name LIKE 'en/%'
+        ),
+        tok AS (
+          SELECT COALESCE(min(rn), 0) AS trn FROM inv WHERE name > 'en/src3'
+        )
+        SELECT i.name, i.size, i.version
+        FROM inv i, tok
+        WHERE i.rn >= CAST(floor(trn / 100.0) AS BIGINT) * 100
+          AND i.rn <  CAST(floor(trn / 100.0) AS BIGINT) * 100 + 200
+        """,
+        "remote_objects",
+    ),
+)
+def s7_inventory_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: native bucket inventory page — served from the stored
+    snapshot (the remote catalog) with approximate chunk-boundary
+    pagination (LsInventory, api/apc/lsmsg.go:94-99)."""
+    return listing.list_inventory_page(
+        _remote(spark, sf_dir), prefix="en/", token="en/src3",
+        page_size=200, chunk=100,
+    )
+
+
+@register(
     "s5b_dirs_first_page",
     """
     WITH names AS (

@@ -127,6 +127,7 @@ def extract_matching(
 def assemble_batches(
     joined: DataFrame,
     batch_col: str = "batch_id",
+    output_format: str = "tar",
 ) -> DataFrame:
     """G1/S13: get-batch TAR assembly in exact request order.
 
@@ -137,10 +138,16 @@ def assemble_batches(
     ``entries_md5`` fingerprint is over the ordered entry names, so any
     order violation changes the output.
 
+    ``output_format`` selects the response archive mime — tar | tgz |
+    zip | tar.lz4 (``MossReq.OutputFormat``, api/apc/ml.go:101 +
+    cmn/archive/mime.go:25-29); ``tar_bytes`` is the built archive's
+    size in that format (only tar has the closed-form size oracle).
+
     Scale: one task per batch; a batch is bounded by the loader's
     request size, so payload materialization per task is bounded. The
     shuffle is on ``batch_col`` only.
     """
+    builder = ARCHIVE_BUILDERS[output_format]
     schema = (
         f"{batch_col} bigint, n_entries bigint, n_missing bigint, "
         "payload_bytes bigint, tar_bytes bigint, entries_md5 string"
@@ -149,7 +156,7 @@ def assemble_batches(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("req_idx", kind="mergesort")
         payloads = [b"\0" * int(s) for s in pdf["size"]]
-        tar = build_tar(list(pdf["out_name"]), payloads)
+        tar = builder(list(pdf["out_name"]), payloads)
         fp = hashlib.md5(",".join(pdf["out_name"]).encode()).hexdigest()
         return pd.DataFrame(
             {

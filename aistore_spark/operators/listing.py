@@ -64,6 +64,49 @@ def list_objects(
     return df
 
 
+def list_inventory_page(
+    inventory: DataFrame,
+    prefix: str | None = None,
+    token: str | None = None,
+    page_size: int = 200,
+    chunk: int = 100,
+) -> DataFrame:
+    """S7: native-bucket-inventory listing — a page served from a
+    *stored inventory snapshot* instead of a live walk, with the
+    reference's **approximate pagination** (``LsInventory``,
+    ``api/apc/lsmsg.go:94-99``; ``xact/xs/ls_nbi.go``): inventories are
+    chunked files, so a continuation token resumes at the nearest chunk
+    boundary at-or-below the token — the page may re-include a few
+    entries before the cursor (that is the documented approximation).
+
+    Fixture shape: the ordinal is derived with a row_number window
+    here; a real inventory (S3 Inventory manifest et al.) stores the
+    ordinal/chunk id per row, so at 100 TB this is a filter on a stored
+    column — no global window. The scalar "token chunk" is a 1-row
+    aggregate cross-joined in (broadcast, no collect).
+    """
+    from pyspark.sql import Window
+
+    inv = inventory
+    if prefix:
+        inv = inv.filter(F.col("name").startswith(prefix))
+    inv = inv.withColumn(
+        "rn", F.row_number().over(Window.orderBy("name")).cast("bigint") - 1
+    )
+    if token:
+        tok = inv.filter(F.col("name") > token).agg(
+            F.coalesce(F.min("rn"), F.lit(0)).alias("trn")
+        )
+    else:
+        tok = inv.sparkSession.range(1).select(F.lit(0).cast("bigint").alias("trn"))
+    start = F.floor(F.col("trn") / chunk) * chunk
+    return (
+        inv.crossJoin(F.broadcast(tok))
+        .filter((F.col("rn") >= start) & (F.col("rn") < start + page_size))
+        .select("name", "size", "version")
+    )
+
+
 def list_virtual_dirs(objects: DataFrame, prefix: str) -> DataFrame:
     """S5: non-recursive one-level listing with virtual directories.
 

@@ -49,3 +49,40 @@ def test_lsh_hot_bucket_split_bounds_work(spark, sf_dir):
     # sub-splitting only removes candidates, never invents them
     assert split_pairs <= full_pairs
     assert split_pairs, "split run must still find candidates"
+
+
+def test_mixed_join_naming_and_inner_mode(spark, sf_dir):
+    """MossIn naming (NameInRespArch, api/apc/ml.go:122-136):
+    OnlyObjName drops the bucket prefix; archpath appends /<archpath>;
+    continue_on_err=False keeps only ok rows."""
+    from pyspark.sql import functions as F
+
+    from aistore_spark.catalog import members_catalog, mixed_batch_requests
+    from aistore_spark.operators.joins import get_batch_join_mixed
+    from aistore_spark.sources.tables import load_table
+
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    reqs = mixed_batch_requests(load_table(spark, sf_dir, "events")).limit(600)
+    full = get_batch_join_mixed(reqs, members)
+    only = get_batch_join_mixed(reqs, members, only_obj_name=True)
+    f = {r.req_idx: r for r in full.collect()}
+    o = {r.req_idx: r for r in only.collect()}
+    assert set(f) == set(o)
+    ok_seen = arch_seen = False
+    for i, r in f.items():
+        expect_full = f"ais://shards/{r.objname}"
+        if r.archpath:
+            expect_full += f"/{r.archpath}"
+            arch_seen = True
+        expect_only = expect_full.removeprefix("ais://shards/")
+        if r.status != "ok":
+            expect_full = "__404__/" + expect_full
+            expect_only = "__404__/" + expect_only
+        else:
+            ok_seen = True
+        assert r.out_name == expect_full
+        assert o[i].out_name == expect_only
+    assert ok_seen and arch_seen
+    inner = get_batch_join_mixed(reqs, members, continue_on_err=False)
+    assert inner.filter(F.col("status") != "ok").count() == 0
+    assert inner.count() == full.filter(F.col("status") == "ok").count()

@@ -257,3 +257,50 @@ def test_download_exec_with_throttle(spark):
     ).collect()
     assert len(out) == 20
     assert all(r.size == 32 for r in out)
+
+
+def test_batch_loader_mixed_entries(spark, sf_dir):
+    """G4 over the full MossIn surface: archpath extraction and byte
+    ranges in the same batch, sentinel for an unsatisfiable range."""
+    from aistore_spark.operators.archive import synth_payload
+
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    plain = members.filter(F.col("ext") == "jpg").limit(1).collect()[0]
+    arch = members.filter(F.col("ext") == "cls").limit(1).collect()[0]
+    full = synth_payload(plain.member, plain.key_str)  # noqa: F841
+    loader = (
+        BatchLoader(spark, members)
+        .add(plain.member)
+        .add_entry(arch.shard, archpath=arch.member)
+        .add_entry(plain.member, start=2, length=5)
+        .add_entry(plain.member, start=10**9, length=5)  # out of bounds
+    )
+    got = list(loader.get())
+    assert len(got) == 4
+    assert got[0][1] is not None
+    assert got[1][0].endswith(f"{arch.shard}/{arch.member}")
+    assert got[1][1] is not None
+    assert got[2][1] == got[0][1][2:7]
+    assert got[3][0].startswith("__404__/") and got[3][1] is None
+
+
+def test_assemble_batches_zip_format(spark, sf_dir):
+    """S13 output formats: the same batch assembled as zip produces the
+    same entry fingerprint/payloads, different archive bytes
+    (MossReq.OutputFormat, api/apc/ml.go:101)."""
+    from aistore_spark.catalog import batch_requests
+    from aistore_spark.operators import joins
+    from aistore_spark.operators.archive import assemble_batches
+
+    req = batch_requests(load_table(spark, sf_dir, "events")).limit(200)
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    j = joins.get_batch_join(req, members).withColumn(
+        "batch_id", (F.col("req_idx") % 4).cast("bigint")
+    )
+    tar = {r.batch_id: r for r in assemble_batches(j).collect()}
+    zf = {r.batch_id: r for r in assemble_batches(j, output_format="zip").collect()}
+    assert set(tar) == set(zf)
+    for b in tar:
+        assert tar[b].entries_md5 == zf[b].entries_md5
+        assert tar[b].payload_bytes == zf[b].payload_bytes
+        assert tar[b].tar_bytes != zf[b].tar_bytes
