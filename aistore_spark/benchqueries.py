@@ -1520,6 +1520,111 @@ def mm1_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media, fake=True)
 
 
+def _media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(
+            F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"), F.lit(".txt"),
+        ).alias("name"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+
+
+@register(
+    "mm2_resize",
+    oracles.with_catalogs(
+        f"""
+        SELECT name, width, height,
+               CAST(224 AS BIGINT) AS rs_width,
+               height * 224 // width AS rs_height,
+               md5(checksum || ':224x' || CAST(height * 224 // width AS VARCHAR))
+                 AS rs_checksum
+        FROM (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 CAST(64 + {_HEXB.format(p1=1, p2=2)} * 4 AS BIGINT) AS width,
+                 CAST(64 + {_HEXB.format(p1=3, p2=4)} * 4 AS BIGINT) AS height,
+                 md5(text) AS checksum
+          FROM documents
+        )
+        """,
+        "objects",
+    ),
+)
+def mm2_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: decode → aspect-preserving 224-wide
+    resize through a second mapInPandas stage; the fake codec's output
+    checksum is recomputed by the oracle so the two-stage Arrow
+    pipeline is value-checked."""
+    decoded = multimodal.decode_media(_media_frame(spark, sf_dir), fake=True)
+    return multimodal.resize_media(decoded, target_width=224)
+
+
+@register(
+    "mm3_feature_extract",
+    oracles.with_catalogs(
+        """
+        SELECT name,
+               substr(md5(text), 1, 8) || ',' || substr(md5(text), 9, 8)
+                 || ',' || substr(md5(text), 17, 8) || ','
+                 || substr(md5(text), 25, 8) AS features,
+               CAST(4 AS BIGINT) AS feature_dim
+        FROM (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 text
+          FROM documents
+        )
+        """,
+        "objects",
+    ),
+)
+def mm3_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extract stage: content → fixed-dim feature
+    vector via mapInPandas (embedding-model slot; digest-derived fake,
+    value-checked end to end)."""
+    return multimodal.extract_features(_media_frame(spark, sf_dir))
+
+
+@register(
+    "mm4_frame_sample",
+    oracles.with_catalogs(
+        f"""
+        SELECT name, n_frames,
+               CAST(least(8, (n_frames + 29) // 30) AS BIGINT) AS n_sampled,
+               CAST((least(8, (n_frames + 29) // 30) - 1) * 30 AS BIGINT)
+                 AS last_frame
+        FROM (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                      ELSE 1 + {_HEXB.format(p1=5, p2=6)} % 240 END AS BIGINT)
+                   AS n_frames
+          FROM documents
+        )
+        """,
+        "objects",
+    ),
+)
+def mm4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan: every-30th frame capped at 8,
+    pure column expressions (sequence+slice) — the extract list a
+    downstream stage pulls."""
+    decoded = multimodal.decode_media(_media_frame(spark, sf_dir), fake=True)
+    plan = multimodal.frame_sample_plan(decoded, every_n=30, max_frames=8)
+    return plan.select(
+        "name",
+        "n_frames",
+        "n_sampled",
+        F.element_at("sample_frames", -1).cast("bigint").alias("last_frame"),
+    )
+
+
 # ---- DS/S4/D5/A3/T6: downloader, archive listing, reshard, stats --------------
 
 
@@ -1979,6 +2084,90 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.blocked_pairs_above(emb, threshold=40_000_000)
 
 
+_PQ_COMMON_SQL = """
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
+  FROM embeddings
+),
+cb AS (SELECT vec_id AS code, vq AS cw FROM qz WHERE vec_id < 16),
+encdist AS (
+  SELECT v.vec_id, s.m, c.code,
+         CAST(sum( (v.vq[CAST(s.m * 16 + i AS INT)]
+                    - c.cw[CAST(s.m * 16 + i AS INT)])
+                 * (v.vq[CAST(s.m * 16 + i AS INT)]
+                    - c.cw[CAST(s.m * 16 + i AS INT)]) ) AS BIGINT) AS dist
+  FROM qz v, cb c, range(0, 4) s(m), range(1, 17) t(i)
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, m, code, dist FROM (
+    SELECT vec_id, m, code, dist,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, code) AS rn
+    FROM encdist
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "ann7_pq_encode",
+    f"""
+    WITH {_PQ_COMMON_SQL}
+    SELECT vec_id, CAST(m AS INT) AS m, code, dist FROM codes
+    """,
+)
+def ann7_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: 64-dim vectors -> 4 codes from a 16-codeword book
+    per subspace (nearest by exact integer L2, ties -> lower code).
+    The compressed ANN representation; codebook broadcast, argmin is a
+    partial-aggregated min(struct) — corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 16)
+    return simsearch.pq_encode(emb, codebook, m=4, dim=64)
+
+
+@register(
+    "ann8_pq_adc_topk",
+    f"""
+    WITH {_PQ_COMMON_SQL},
+    tbl AS (
+      SELECT q.vec_id AS query_id, s.m, c.code,
+             CAST(sum( (q.vq[CAST(s.m * 16 + i AS INT)]
+                        - c.cw[CAST(s.m * 16 + i AS INT)])
+                     * (q.vq[CAST(s.m * 16 + i AS INT)]
+                        - c.cw[CAST(s.m * 16 + i AS INT)]) ) AS BIGINT) AS d
+      FROM qz q, cb c, range(0, 4) s(m), range(1, 17) t(i)
+      WHERE q.vec_id % 100 = 0
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT t.query_id, k.vec_id AS neighbor_id,
+             CAST(sum(t.d) AS BIGINT) AS adc
+      FROM codes k JOIN tbl t ON t.m = k.m AND t.code = k.code
+      WHERE k.vec_id <> t.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, adc
+    FROM adc
+    WINDOW w AS (PARTITION BY query_id ORDER BY adc, neighbor_id)
+    QUALIFY row_number() OVER w <= 10
+    """,
+)
+def ann8_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: per-query lookup table over the
+    codebook (queries x m x 16 entries, broadcast), summed over the
+    encoded corpus — the memory-bound ANN scan that never re-reads raw
+    vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.pq_adc_topk(emb, codebook, queries, k=10, m=4, dim=64)
+
+
 @register(
     "tx5_bpe_tokens",
     oracles.with_catalogs(
@@ -2093,6 +2282,64 @@ def j4_hrw_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .groupBy("target")
         .agg(F.count("*").alias("n_objects"))
+    )
+
+
+@register(
+    "j4b_hrw_md5",
+    oracles.with_catalogs(
+        """
+        WITH scored AS (
+          SELECT o.name, t.target,
+                 md5(o.name || '#' || CAST(t.target AS VARCHAR)) AS h
+          FROM (SELECT name FROM objects) o
+          CROSS JOIN (SELECT r AS target FROM range(0, 8) t(r)) t
+        ),
+        owner AS (
+          SELECT name, target,
+                 row_number() OVER (PARTITION BY name
+                                    ORDER BY h DESC, target) AS rn
+          FROM scored
+        )
+        SELECT target, count(*) AS n_objects,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM owner WHERE rn = 1 GROUP BY target
+        """,
+        "objects",
+    ),
+)
+def j4b_hrw_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 hash-exact variant: rendezvous placement with an md5 weight
+    (engine-portable), argmax over targets of md5(name#target) — same
+    HRW semantics as core/meta/hrw.go:23-57, per-object assignment
+    fingerprinted so the oracle checks the full placement map, not
+    just the balance."""
+    objects = _objects(spark, sf_dir)
+    scored = (
+        objects.select("name")
+        .crossJoin(F.broadcast(spark.range(8).select(F.col("id").alias("target"))))
+        .select(
+            "name",
+            "target",
+            F.md5(F.concat(F.col("name"), F.lit("#"), F.col("target").cast("string"))).alias("h"),
+        )
+    )
+    # owner via max(struct(h, target)) — partial/final agg (map-side
+    # combine, one row per name into the shuffle) instead of a window
+    # over the name×target product; md5 ties cannot occur on distinct
+    # (name, target) inputs, so the tie order is moot.
+    owner = scored.groupBy("name").agg(
+        F.max(F.struct(F.col("h"), F.col("target"))).alias("m")
+    )
+    return (
+        owner.select("name", F.col("m.target").alias("target"))
+        .groupBy("target")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.md5(F.array_join(F.sort_array(F.collect_list("name")), ",")).alias(
+                "names_md5"
+            ),
+        )
     )
 
 

@@ -91,6 +91,84 @@ def decode_media(
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "name string, width bigint, height bigint, rs_width bigint, "
+    "rs_height bigint, rs_checksum string"
+)
+
+
+def resize_media(
+    decoded: DataFrame,
+    target_width: int = 224,
+) -> DataFrame:
+    """Resize stage: aspect-preserving scale to *target_width* via
+    ``mapInPandas`` (the Arrow-batched stage a Pillow/torchvision
+    resize plugs into; the pixel op itself is the stubbed codec —
+    the fake emits a deterministic output checksum so the stage is
+    value-checkable end-to-end).
+
+    ``rs_height = height * target // width`` — integer floor-division,
+    exact in both engines.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rs_w = [target_width] * len(pdf)
+            rs_h = [
+                int(h) * target_width // int(w)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            rs_ck = [
+                hashlib.md5(f"{c}:{w}x{h}".encode()).hexdigest()
+                for c, w, h in zip(pdf["checksum"], rs_w, rs_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "name": pdf["name"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "rs_width": rs_w,
+                    "rs_height": rs_h,
+                    "rs_checksum": rs_ck,
+                }
+            )
+
+    return decoded.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    data_col: str = "data",
+    name_col: str = "name",
+    dim: int = 4,
+) -> DataFrame:
+    """Feature-extract stage: binary content → fixed-dim feature
+    vector via ``mapInPandas`` (where a real embedding model runs; the
+    fake derives features from the content digest so the batch shape,
+    schema and determinism are tested). Features are emitted as a
+    comma-joined string of *dim* 8-hex-char words — engine-portable
+    for the oracle's value hash.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for data in pdf[data_col]:
+                h = hashlib.md5(data).hexdigest()
+                feats.append(",".join(h[i * 8 : i * 8 + 8] for i in range(dim)))
+            yield pd.DataFrame(
+                {
+                    "name": pdf[name_col],
+                    "features": feats,
+                    "feature_dim": [dim] * len(pdf),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="name string, features string, feature_dim bigint"
+    )
+
+
 def frame_sample_plan(
     decoded: DataFrame, every_n: int = 30, max_frames: int = 8
 ) -> DataFrame:

@@ -449,3 +449,114 @@ def kmeans_step(
             "n_vecs",
         )
     )
+
+
+# ---- Product quantization (PQ) — the ANN compression path -------------------
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: split each *dim*-vector into *m* subspaces and map
+    every subvector to its nearest codeword (exact integer L2, ties →
+    lower code id). Returns ``(vec_id, m, code, dist)`` — the
+    compressed representation is ``m`` small ints per vector
+    (codebook size × m lookup bytes instead of dim floats).
+
+    Scale shape: the codebook (k codewords) broadcasts; argmin is a
+    partial-aggregable ``min(struct(dist, code))`` — one combiner row
+    per (vector, subspace), no window over the vector×code product.
+    The corpus never shuffles.
+    """
+    sub = dim // m
+    cb = F.broadcast(
+        codebook.select(
+            F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
+        ).crossJoin(
+            corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
+        ).select(
+            "code", "m", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw")
+        )
+    )
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), quantized(vec_col).alias("vq")
+    ).crossJoin(
+        corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
+    ).select("vec_id", "m", F.slice("vq", F.col("m") * sub + 1, sub).alias("sv"))
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(cb, "m").select("vec_id", "m", "code", l2.alias("dist"))
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("best"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.code").alias("code"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries score the
+    *compressed* corpus — distance(query, vector) ≈ sum over subspaces
+    of L2(query_sub, codeword[code_sub]) from a per-query lookup
+    table. Smallest ADC wins (ties → lower neighbor id); self-matches
+    excluded.
+
+    Scale shape: the distance table is queries × m × k codewords —
+    tiny, broadcast; the join keys on (m, code) against the encoded
+    corpus (m ints per vector), then one partial-aggregated sum per
+    (query, vector). Raw corpus vectors are read once at encode time
+    and never again — this is the memory-bound regime PQ exists for.
+    """
+    sub = dim // m
+    codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    cb = codebook.select(
+        F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
+    ).crossJoin(
+        corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
+    ).select("code", "m", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qq")
+    ).crossJoin(
+        corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
+    ).select("query_id", "m", F.slice("qq", F.col("m") * sub + 1, sub).alias("qs"))
+    l2 = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    table = q.join(cb, "m").select("query_id", "m", "code", l2.alias("d"))
+    scored = (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    )

@@ -136,3 +136,35 @@ def test_blocked_pairs_equals_broadcast_pairs(spark):
         for r in simsearch.block_pairs_above(emb, threshold=40_000_000).collect()
     }
     assert blocked == broadcast and len(blocked) > 0
+
+
+def test_pq_codeword_self_encoding_and_adc(spark):
+    """PQ invariants: a codebook seed vector encodes to its own code in
+    every subspace with dist 0, and its ADC distance to any query
+    equals the exact subspace-table sum (the approximation is exact for
+    codewords). Also: ADC self-lookup table row count = m * k."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    codebook = emb.filter(F.col("vec_id") < 16)
+    codes = simsearch.pq_encode(emb, codebook, m=4, dim=64)
+    seed_codes = codes.filter(F.col("vec_id") < 16).collect()
+    assert len(seed_codes) == 16 * 4
+    for r in seed_codes:
+        assert r.code == r.vec_id and r.dist == 0
+    # every vector gets exactly m codes
+    n = emb.count()
+    assert codes.count() == n * 4
+    # ADC: for a neighbor that IS a codeword, adc == exact L2 distance
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    adc = simsearch.pq_adc_topk(emb, codebook, queries, k=10**9, m=4, dim=64)
+    got = {
+        (r.query_id, r.neighbor_id): r.adc
+        for r in adc.filter(F.col("neighbor_id") < 16).collect()
+    }
+    qrows = {r.vec_id: r.embedding for r in queries.collect()}
+    crows = {r.vec_id: r.embedding for r in codebook.collect()}
+    qz = lambda v: [round(float(x) * 10000) for x in v]  # noqa: E731
+    for (qid, nid), adc_d in got.items():
+        exact = sum(
+            (a - b) * (a - b) for a, b in zip(qz(qrows[qid]), qz(crows[nid]))
+        )
+        assert adc_d == exact, (qid, nid)
