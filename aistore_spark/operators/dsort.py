@@ -242,6 +242,44 @@ class DuplicatedRecordsError(RuntimeError):
     """DuplicatedRecords=abort tripped (``ext/dsort/manager.go:478``)."""
 
 
+class MissingShardsError(RuntimeError):
+    """MissingShards=abort tripped (``ext/dsort/dsort.go:1011``)."""
+
+
+def check_missing_shards(
+    members: DataFrame,
+    input_template: str,
+    reaction: str = "ignore",
+) -> DataFrame:
+    """MissingShards reaction (``ext/dsort/request_spec.go:187-189``,
+    react ``ext/dsort/dsort.go:1011``): the job's input shards are
+    named by a template; shards the template names but the catalog
+    lacks are *missing*. ``abort`` raises, ``warn`` logs a sample,
+    ``ignore`` just returns the missing set (callers may count it).
+
+    Plan: template expansion (generated frame) left-anti-joined against
+    the distinct present shards — the template side is generated
+    executor-side, the shard list is the small side.
+    """
+    if reaction not in REACTIONS:
+        raise ValueError(f"missing_shards={reaction!r}; expected {REACTIONS}")
+    from aistore_spark.functions.templates import expand_template
+
+    expected = expand_template(members.sparkSession, input_template)
+    present = members.select(F.col("shard").alias("name")).distinct()
+    missing = expected.join(present, "name", "left_anti")
+    if reaction != "ignore":
+        sample = missing.limit(5).collect()
+        if sample:
+            msg = "missing input shards: " + ", ".join(r["name"] for r in sample)
+            if reaction == "abort":
+                raise MissingShardsError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
+    return missing
+
+
 def run_dsort(members: DataFrame, spec: DsortSpec) -> DataFrame:
     """Run the full dsort plan for *spec*: record grouping →
     key derivation → global order → size packing. Returns the packed

@@ -93,6 +93,50 @@ def incremental_sync(
     )
 
 
+def streaming_get_batch(
+    request_stream: DataFrame,
+    members: DataFrame,
+    checkpoint: str,
+    batch_rows: int = 250,
+    sink: str = "memory",
+    query_name: str = "moss_stream",
+):
+    """G3/StreamingGet: get-batch as an incremental job
+    (``MossReq.StreamingGet``, ``api/apc/ml.go:104``) — each
+    micro-batch of arriving requests is joined + assembled into
+    response TARs and emitted *before* the next batch is read, the
+    reference's stream-prior-to-finalizing behavior. ``foreachBatch``
+    reuses the batch join/assembler; exactly-once per micro-batch via
+    the checkpoint.
+
+    ``maxFilesPerTrigger`` on the source bounds in-flight requests (the
+    reference's streaming window); assembly memory per task stays
+    bounded by ``batch_rows``.
+    """
+    from aistore_spark.operators.archive import assemble_batches
+    from aistore_spark.operators.joins import get_batch_join
+
+    def run_batch(df: DataFrame, epoch_id: int) -> None:
+        j = get_batch_join(df, members).withColumn(
+            "batch_id", F.floor(F.col("req_idx") / batch_rows).cast("bigint")
+        )
+        out = assemble_batches(j)
+        if sink == "memory":
+            # test sink: append into a global temp view per epoch
+            out.withColumn("epoch", F.lit(epoch_id)).write.mode(
+                "append"
+            ).saveAsTable(query_name)
+        else:
+            out.write.format(sink).mode("append").save()
+
+    return (
+        request_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(run_batch)
+        .trigger(availableNow=True)
+    )
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -60,10 +60,19 @@ def main() -> None:
         "name", "new_name", F.col("out").cast("string")
     ).show(3, truncate=False)
 
-    # SDK BatchLoader: batch.add(...).get() -> (name, bytes) iterator
-    print("== get-batch ==")
+    # SDK BatchLoader: batch.add(...).get() -> (name, bytes) iterator,
+    # mixing plain objects, archived files (archpath) and byte ranges
+    # in one request (MossIn, api/apc/ml.go:87-120)
+    print("== get-batch (mixed entries) ==")
     some = [r.member for r in members.limit(2).collect()]
-    for name, data in BatchLoader(spark, members).add(*some, "missing.jpg").get():
+    arch = members.limit(1).collect()[0]
+    loader = (
+        BatchLoader(spark, members)
+        .add(*some, "missing.jpg")
+        .add_entry(arch.shard, archpath=arch.member)
+        .add_entry(some[0], start=0, length=8)
+    )
+    for name, data in loader.get():
         print(f"  {name}: {None if data is None else len(data)} bytes")
 
     # ais prefetch / sync (plans)

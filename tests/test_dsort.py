@@ -148,3 +148,27 @@ def test_ekm_missing_key_policies(spark, sf_dir):
     assert ok.filter(ok["dst_shard"] == "__missing__").count() == 0
     members = members_catalog(load_table(spark, sf_dir, "lineitem"))
     assert members is not None
+
+
+def test_missing_shards_policies(spark, sf_dir):
+    """MissingShards reactions (request_spec.go:187-189, react
+    dsort.go:1011): a template naming absent shards aborts/warns; a
+    fully-present template yields an empty missing set."""
+    import pytest
+
+    from aistore_spark.catalog import members_catalog
+    from aistore_spark.operators.dsort import (
+        MissingShardsError,
+        check_missing_shards,
+    )
+    from aistore_spark.sources.tables import load_table
+
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    # shards 00000..00127 exist; the template names up to 00199
+    bad = "shard-{00000..00199}.tar"
+    with pytest.raises(MissingShardsError):
+        check_missing_shards(members, bad, reaction="abort")
+    miss = check_missing_shards(members, bad, reaction="ignore")
+    assert miss.count() == 72  # 128..199
+    good = "shard-{00000..00127}.tar"
+    assert check_missing_shards(members, good, reaction="abort").count() == 0

@@ -304,3 +304,47 @@ def test_assemble_batches_zip_format(spark, sf_dir):
         assert tar[b].entries_md5 == zf[b].entries_md5
         assert tar[b].payload_bytes == zf[b].payload_bytes
         assert tar[b].tar_bytes != zf[b].tar_bytes
+
+
+def test_streaming_get_batch_matches_batch(spark, sf_dir, tmp_path):
+    """G3 StreamingGet: per-micro-batch assembly over a request stream
+    equals the one-shot batch assembly — same batches, same order
+    fingerprints (the incremental path adds orchestration, not
+    semantics)."""
+    from aistore_spark.catalog import batch_requests, members_catalog
+    from aistore_spark.operators.archive import assemble_batches
+    from aistore_spark.operators.joins import get_batch_join
+    from aistore_spark.streaming.ingest import (
+        EVENTS_SCHEMA,
+        streaming_get_batch,
+    )
+
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    ev_stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    req_stream = batch_requests(ev_stream)
+    spark.sql("DROP TABLE IF EXISTS moss_stream_t")
+    q = streaming_get_batch(
+        req_stream,
+        members,
+        checkpoint=str(tmp_path / "ckpt"),
+        query_name="moss_stream_t",
+    ).start()
+    q.awaitTermination(180)
+    got = {
+        r.batch_id: (r.n_entries, r.n_missing, r.entries_md5)
+        for r in spark.sql("SELECT * FROM moss_stream_t").collect()
+    }
+    j = get_batch_join(
+        batch_requests(load_table(spark, sf_dir, "events")), members
+    ).withColumn("batch_id", F.floor(F.col("req_idx") / 250).cast("bigint"))
+    want = {
+        r.batch_id: (r.n_entries, r.n_missing, r.entries_md5)
+        for r in assemble_batches(j).collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS moss_stream_t")
+    assert got == want and len(got) > 0
