@@ -92,9 +92,15 @@ def get_batch_join_mixed(
     ``member``, the arch side on ``(shard, member)`` — two hash joins
     (or broadcast when the request batch is small), no window.
     """
-    plain_content = members.groupBy("member").agg(F.min("size").alias("psize"))
+    # one members pass: the (shard, member) agg feeds the join's arch
+    # side AND re-aggregates (tiny input now) into the plain side —
+    # min over per-shard mins == min over all rows, one full-table
+    # shuffle instead of two
     arch_content = members.groupBy("shard", "member").agg(
         F.min("size").alias("asize")
+    )
+    plain_content = arch_content.groupBy("member").agg(
+        F.min("asize").alias("psize")
     )
     is_arch = F.col("archpath") != ""
     j = requests.join(
