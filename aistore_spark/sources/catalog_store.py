@@ -33,3 +33,35 @@ def materialize_objects(objects: DataFrame, path: str, buckets: int = 8) -> None
 
 def load_objects(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def materialize_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str = "name",
+    buckets: int = 32,
+) -> None:
+    """Write a catalog as a Spark-native bucketed table on ``key``.
+
+    This is the co-location contract for the catalog-vs-catalog
+    operators (J3 LsDiff, F5 latest-ver sync, M10 prune): two catalogs
+    bucketed on ``name`` with the same bucket count join with ZERO
+    Exchange on either side — at a billion objects per bucket listing
+    (`cmn/objlist_utils.go` scale), the diff becomes a per-bucket merge
+    instead of a full 2-sided shuffle.  ``sortBy(key)`` additionally
+    drops the SortMergeJoin's per-side Sort.  Asserted by
+    tests/test_catalog_store.py::test_bucketed_catalog_diff_no_exchange.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def load_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
