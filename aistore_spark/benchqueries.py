@@ -34,6 +34,7 @@ from aistore_spark.operators import (
     joins,
     listing,
     movement,
+    placement,
     summary,
 )
 from aistore_spark.sources import downloader
@@ -3014,4 +3015,173 @@ def s2b_atime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dd MMM yyyy HH:mm:ss",
             ).alias("atime_str"),
         )
+    )
+
+
+# ───────────────────────── placement plans (M5/M7/M8) ─────────────────────────
+
+
+@register(
+    "m5_lru_evict",
+    oracles.with_catalogs(
+        """
+        WITH placed AS (
+          SELECT 'mp-' || CAST(('0x' || substr(md5(name), 1, 8))::BIGINT % 4
+                               AS VARCHAR) AS mountpath,
+                 name, size, atime_ns
+          FROM objects WHERE cached
+        ),
+        cap AS (SELECT sum(size) // 4 AS capacity FROM placed),
+        scored AS (
+          SELECT mountpath, name, size, capacity,
+                 sum(size) OVER (PARTITION BY mountpath) AS used,
+                 sum(size) OVER (PARTITION BY mountpath
+                                 ORDER BY atime_ns, name
+                                 ROWS UNBOUNDED PRECEDING) AS cum_freed
+          FROM placed, cap
+        ),
+        evict AS (
+          SELECT * FROM scored
+          WHERE used * 100 > capacity * 90
+            AND (cum_freed - size) * 100 < used * 100 - capacity * 75
+        )
+        SELECT mountpath,
+               count(*) AS n_evicted,
+               CAST(sum(size) AS BIGINT) AS bytes_freed,
+               CAST(min(used) AS BIGINT) AS used_before,
+               CAST(min(used) - sum(size) AS BIGINT) AS used_after,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM evict GROUP BY mountpath
+        """,
+        "objects",
+    ),
+)
+def m5_lru_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: LRU eviction plan — per-mountpath oldest-atime-first until
+    used capacity is back under the low watermark (space/lru.go:33-46,
+    watermarks cmn/config.go:464-471). Eviction-set fingerprint checked
+    per mountpath."""
+    return placement.lru_evict_plan(
+        _objects(spark, sf_dir), n_mpaths=4, high_wm=90, low_wm=75
+    )
+
+
+@register(
+    "m7_rebalance",
+    oracles.with_catalogs(
+        """
+        WITH scored AS (
+          SELECT o.name, o.size, t.target,
+                 md5(o.name || '#' || CAST(t.target AS VARCHAR)) AS h
+          FROM objects o
+          CROSS JOIN (SELECT r AS target FROM range(0, 9) t(r)) t
+        ),
+        owner AS (
+          SELECT name, min(size) AS size,
+                 arg_max(target, h) FILTER (WHERE target <= 7) AS src_target,
+                 arg_max(target, h) AS dst_target
+          FROM scored GROUP BY name
+        ),
+        moved AS (
+          SELECT * FROM owner WHERE src_target <> dst_target
+        )
+        SELECT src_target, dst_target,
+               count(*) AS n_objects,
+               CAST(sum(size) AS BIGINT) AS bytes_moved,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM moved GROUP BY 1, 2
+        """,
+        "objects",
+    ),
+)
+def m7_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: rebalance plan on target-set change 8 -> 9 (reb/globrun.go;
+    placement recompute per core/meta/hrw.go:23-57). The rendezvous
+    minimal-movement property means every move lands on the new target;
+    the moved-set fingerprint is checked per (src, dst) pair."""
+    return placement.rebalance_plan(
+        _objects(spark, sf_dir),
+        old_targets=list(range(8)),
+        new_targets=list(range(9)),
+    )
+
+
+@register(
+    "m8_mirror_copies",
+    oracles.with_catalogs(
+        """
+        WITH ranked AS (
+          SELECT o.name, o.size, o.copies, t.target,
+                 row_number() OVER (
+                   PARTITION BY o.name
+                   ORDER BY md5(o.name || '#' || CAST(t.target AS VARCHAR))
+                            DESC, t.target) AS rank
+          FROM objects o
+          CROSS JOIN (SELECT r AS target FROM range(0, 8) t(r)) t
+        )
+        SELECT target,
+               count(*) AS n_copies,
+               CAST(sum(size) AS BIGINT) AS bytes_mirrored,
+               md5(string_agg(name || '@' || CAST(rank AS VARCHAR), ','
+                              ORDER BY name || '@' || CAST(rank AS VARCHAR)))
+                 AS placement_md5
+        FROM ranked
+        WHERE rank > 1 AND rank <= copies
+        GROUP BY target
+        """,
+        "objects",
+    ),
+)
+def m8_mirror_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (mirror): make-n-copies plan — each object's configured
+    copies count satisfied on its top-copies HRW targets
+    (mirror/makencopies.go; HrwTargetList core/meta/hrw.go:157-181).
+    Full (name, rank) placement map fingerprinted per target."""
+    return placement.mirror_plan(_objects(spark, sf_dir), n_targets=8)
+
+
+@register(
+    "m8b_ec_plan",
+    oracles.with_catalogs(
+        """
+        WITH ranked AS (
+          SELECT o.name, o.size, t.target,
+                 row_number() OVER (
+                   PARTITION BY o.name
+                   ORDER BY md5(o.name || '#' || CAST(t.target AS VARCHAR))
+                            DESC, t.target) AS rank
+          FROM objects o
+          CROSS JOIN (SELECT r AS target FROM range(0, 8) t(r)) t
+        ),
+        pieces AS (
+          SELECT name, target,
+                 CASE WHEN size < 256 THEN 'replica'
+                      WHEN rank <= 5 THEN 'data'
+                      ELSE 'parity' END AS kind,
+                 CASE WHEN size >= 256 THEN (size + 3) // 4
+                      ELSE size END AS piece_bytes
+          FROM ranked
+          WHERE rank > 1
+            AND rank <= CASE WHEN size >= 256 THEN 7 ELSE 3 END
+        )
+        SELECT target, kind,
+               count(*) AS n_pieces,
+               CAST(sum(piece_bytes) AS BIGINT) AS bytes,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM pieces GROUP BY 1, 2
+        """,
+        "objects",
+    ),
+)
+def m8b_ec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (EC): erasure-coding placement — objects >= ObjSizeLimit get
+    D=4 data + P=2 parity slices of ceil(size/D) bytes (ec/ec.go:308-311)
+    on the next-ranked HRW targets; smaller objects get P full replicas
+    (cmn/config.go:217-240). Slice map fingerprinted per (target, kind)."""
+    return placement.ec_plan(
+        _objects(spark, sf_dir),
+        data_slices=4,
+        parity_slices=2,
+        obj_size_limit=256,
+        n_targets=8,
     )
