@@ -3185,3 +3185,193 @@ def m8b_ec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         obj_size_limit=256,
         n_targets=8,
     )
+
+
+@register(
+    "dd7_dup_groups",
+    f"""
+    WITH RECURSIVE wp AS ({_WP_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE common * 20 >= (sa.n_sh + sb.n_sh - common) * 1
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src)
+    SELECT group_id,
+           count(*) AS n_docs,
+           md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), ','
+                          ORDER BY doc_id)) AS docs_md5
+    FROM comp GROUP BY group_id
+    """,
+)
+def dd7_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group assembly: connected components over the
+    Jaccard-verified near-dup pairs (transitive closure via iterative
+    min-label propagation), one canonical doc (min id) per group —
+    the keep/drop decision stage of corpus dedup. Membership
+    fingerprinted per group."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold_num=1,
+        threshold_den=20,
+    )
+    groups = dedup.dup_groups(pairs)
+    return groups.groupBy("group_id").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+                ),
+                ",",
+            )
+        ).alias("docs_md5"),
+    )
+
+
+@register(
+    "s9_promote",
+    oracles.with_catalogs(
+        """
+        WITH dest AS (SELECT rel_path AS name, size FROM fshare_files),
+        classified AS (
+          SELECT d.name, d.size,
+                 CASE WHEN o.name IS NOT NULL
+                      THEN 'skip_exists' ELSE 'put' END AS action
+          FROM dest d
+          LEFT JOIN (SELECT DISTINCT name FROM objects) o ON d.name = o.name
+        ),
+        scored AS (
+          SELECT c.name, c.size, c.action, t.target,
+                 md5(c.name || '#' || CAST(t.target AS VARCHAR)) AS h
+          FROM classified c
+          CROSS JOIN (SELECT r AS target FROM range(0, 8) t(r)) t
+        ),
+        owner AS (
+          SELECT name, min(size) AS size, min(action) AS action,
+                 arg_max(target, h) AS owner_target
+          FROM scored GROUP BY name
+        )
+        SELECT owner_target, action,
+               count(*) AS n_files,
+               CAST(sum(size) AS BIGINT) AS bytes,
+               min(action <> 'skip_exists') AS delete_after,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM owner GROUP BY 1, 2
+        """,
+        "objects",
+        "fshare_files",
+    ),
+)
+def s9_promote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: promote a file share into a bucket (apc.PromoteArgs,
+    api/apc/promote.go:10-22; xaction xact/xs/wi_lso.go area): walked
+    files classified put/skip against the catalog, DeleteSrc marking,
+    per-HRW-owner work lists (fshare promotion runs on every target)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = movement.promote_plan(
+        catalog.fshare_files(docs),
+        _objects(spark, sf_dir),
+        overwrite_dst=False,
+        delete_src=True,
+        recursive=True,
+        n_targets=8,
+    )
+    return plan.groupBy("owner_target", "action").agg(
+        F.count("*").alias("n_files"),
+        F.sum("size").alias("bytes"),
+        F.min("delete_after").alias("delete_after"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("name")), ",")
+        ).alias("names_md5"),
+    )
+
+
+@register(
+    "ann9_ivfpq_topk",
+    f"""
+    WITH {_PQ_COMMON_SQL},
+    c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+          WHERE vec_id < 16),
+    cscored AS (
+      SELECT v.vec_id, c.centroid_id,
+             sum({_QELEM.format(side='v')} * {_QELEM.format(side='c')}) AS cdot
+      FROM embeddings v, c, range(1, 65) t(i)
+      GROUP BY 1, 2
+    ),
+    vassign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM cscored
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM cscored WHERE vec_id % 100 = 0
+      ) WHERE rn <= 2
+    ),
+    tbl AS (
+      SELECT q.vec_id AS query_id, s.m, cc.code,
+             CAST(sum( (q.vq[CAST(s.m * 16 + i AS INT)]
+                        - cc.cw[CAST(s.m * 16 + i AS INT)])
+                     * (q.vq[CAST(s.m * 16 + i AS INT)]
+                        - cc.cw[CAST(s.m * 16 + i AS INT)]) ) AS BIGINT) AS d
+      FROM qz q, cb cc, range(0, 4) s(m), range(1, 17) t(i)
+      WHERE q.vec_id % 100 = 0
+      GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT p.query_id, k.vec_id AS neighbor_id, k.m, k.code
+      FROM qprobe p
+      JOIN vassign a ON a.centroid_id = p.centroid_id
+                    AND a.vec_id <> p.query_id
+      JOIN codes k ON k.vec_id = a.vec_id
+    ),
+    adc AS (
+      SELECT cd.query_id, cd.neighbor_id, CAST(sum(t.d) AS BIGINT) AS adc
+      FROM cand cd
+      JOIN tbl t ON t.query_id = cd.query_id
+                AND t.m = cd.m AND t.code = cd.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, adc
+    FROM adc
+    WINDOW w AS (PARTITION BY query_id ORDER BY adc, neighbor_id)
+    QUALIFY row_number() OVER w <= 10
+    """,
+)
+def ann9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: coarse cells prune candidates (nprobe=2 of 16),
+    PQ ADC ranks the survivors from the compressed index — the
+    billion-scale production read path. Corpus bytes move zero times
+    after encode; probes and distance tables broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.ivfpq_topk(
+        emb, centroids, centroids, queries, k=10, nprobe=2, m=4, dim=64
+    )

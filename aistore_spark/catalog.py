@@ -141,6 +141,35 @@ def members_catalog(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def fshare_files(documents: DataFrame) -> DataFrame:
+    """File-share listing for promote (S9): the walked source tree of
+    ``apc.PromoteArgs{SrcFQN}`` (``api/apc/promote.go:10-22``).
+
+    One ``.txt`` per document at the object-naming rel-path (these
+    collide with existing objects — the OverwriteDst branch) plus a
+    ``.json`` sidecar for every 4th doc (not in any bucket — the
+    plain-PUT branch).  Sidecar size is a deterministic function of the
+    doc so byte accounting is cross-engine exact.
+    """
+    d = F.col("doc_id")
+    rel = F.concat(
+        F.col("lang"),
+        F.lit("/"),
+        F.col("source"),
+        F.lit("/"),
+        F.lpad(d.cast("string"), 6, "0"),
+    )
+    txt = documents.select(
+        F.concat(rel, F.lit(".txt")).alias("rel_path"),
+        F.col("n_chars").cast("bigint").alias("size"),
+    )
+    sidecar = documents.filter(d % 4 == 0).select(
+        F.concat(rel, F.lit(".json")).alias("rel_path"),
+        F.expr("n_chars div 10 + 2").cast("bigint").alias("size"),
+    )
+    return txt.unionByName(sidecar)
+
+
 def batch_requests(events: DataFrame) -> DataFrame:
     """Get-batch request list (``MossReq.In[]``, ``api/apc/ml.go:88-98``).
 

@@ -292,3 +292,60 @@ def simhash_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs — the grouping
+    step of a dedup pipeline: verified pairs (from :func:`simhash_pairs`
+    / :func:`ngram_jaccard_pairs` on LSH candidates) are merged into
+    transitive duplicate groups, so one canonical document (the min
+    doc_id) can be kept per group.
+
+    Iterative min-label propagation: every node repeatedly takes the
+    minimum label over itself and its neighbors until fixpoint.  Each
+    round is one edge join + one min-aggregation — O(E) shuffled rows
+    of two ints; rounds needed = component diameter, which for near-dup
+    clusters (dense, star-like) is small.  Lineage is truncated every
+    round (``localCheckpoint``) so the plan does not grow with
+    iterations; on a cluster, use a checkpoint dir instead.
+
+    Returns ``(doc_id, group_id)`` for every document that appears in
+    at least one pair (singletons are their own group by definition and
+    are omitted — at corpus scale they are the overwhelming majority).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select(
+                    "doc_id", F.col("label").alias("old_label")
+                ),
+                "doc_id",
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("group_id"))

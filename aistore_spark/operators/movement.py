@@ -102,3 +102,50 @@ def latest_version_plan(local: DataFrame, remote: DataFrame) -> DataFrame:
         )
         .select("name", "version", "remote_version")
     )
+
+
+def promote_plan(
+    files: DataFrame,
+    objects: DataFrame,
+    overwrite_dst: bool = False,
+    delete_src: bool = False,
+    recursive: bool = True,
+    n_targets: int = 8,
+) -> DataFrame:
+    """S9: promote — ingest file-share files as objects
+    (``apc.PromoteArgs``, ``api/apc/promote.go:10-22``).
+
+    *files* is the walked source tree ``(rel_path, size)``; the dest
+    object name is the rel path.  Classification against the existing
+    catalog: ``put`` (new), ``overwrite`` (exists, ``OverwriteDst``),
+    ``skip_exists`` (exists otherwise).  ``Recursive=false`` keeps only
+    top-level files; ``DeleteSrc`` marks sources for removal after a
+    successful promote.  Since the source is a file share equally
+    visible to all targets (``SrcIsNotFshare=false``), each file is
+    promoted by its HRW owner — computed here so the plan is already
+    per-target work lists.
+
+    Scale shape: one name-keyed left join against the catalog (anti-join
+    semantics; shuffle-free with bucketed catalogs) + the broadcast HRW
+    owner aggregation. No window, no collect.
+    """
+    from aistore_spark.operators.placement import hrw_owner
+
+    f = files if recursive else files.filter(~F.col("rel_path").contains("/"))
+    dest = f.select(F.col("rel_path").alias("name"), "size")
+    exists = objects.select("name").distinct().withColumn("_ex", F.lit(True))
+    j = dest.join(exists, "name", "left")
+    action = (
+        F.when(F.col("_ex").isNotNull() & F.lit(overwrite_dst), "overwrite")
+        .when(F.col("_ex").isNotNull(), "skip_exists")
+        .otherwise("put")
+    )
+    classified = j.select(
+        "name",
+        "size",
+        action.alias("action"),
+        (F.lit(delete_src) & (action != F.lit("skip_exists"))).alias(
+            "delete_after"
+        ),
+    )
+    return hrw_owner(classified, list(range(n_targets)))

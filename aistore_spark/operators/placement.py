@@ -40,6 +40,30 @@ def _hrw_scored(
     )
 
 
+def hrw_owner(
+    df: DataFrame, targets: list[int], name_col: str = "name"
+) -> DataFrame:
+    """Append ``owner_target`` — the HRW owner of ``name_col`` over
+    *targets* (argmax of the md5 rendezvous weight; one max(struct)
+    aggregation keyed by name, map-side combined)."""
+    spark = df.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in targets], "target bigint")
+    scored = df.crossJoin(F.broadcast(tdf)).withColumn(
+        "_h",
+        F.md5(
+            F.concat(F.col(name_col), F.lit("#"), F.col("target").cast("string"))
+        ),
+    )
+    others = [c for c in df.columns if c != name_col]
+    owner = scored.groupBy(name_col).agg(
+        F.max(F.struct("_h", "target")).alias("_m"),
+        *[F.min(c).alias(c) for c in others],
+    )
+    return owner.select(
+        name_col, *others, F.col("_m.target").alias("owner_target")
+    )
+
+
 def lru_evict_plan(
     objects: DataFrame,
     n_mpaths: int = 4,

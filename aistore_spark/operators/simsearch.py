@@ -528,27 +528,106 @@ def pq_adc_topk(
     (query, vector). Raw corpus vectors are read once at encode time
     and never again — this is the memory-bound regime PQ exists for.
     """
-    sub = dim // m
     codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    cb = codebook.select(
-        F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
-    ).crossJoin(
-        corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
-    ).select("code", "m", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qq")
-    ).crossJoin(
-        corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
-    ).select("query_id", "m", F.slice("qq", F.col("m") * sub + 1, sub).alias("qs"))
+    table = _adc_table(queries, codebook, m, dim, id_col, vec_col)
+    scored = (
+        codes.join(F.broadcast(table), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    )
+
+
+def _adc_table(
+    queries: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, m, code, d)`` — exact
+    integer L2 between each query subvector and every codeword.
+    queries x m x |codebook| rows: tiny, meant to broadcast."""
+    sub = dim // m
+    spark = queries.sparkSession
+    cb = (
+        codebook.select(
+            F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
+        )
+        .crossJoin(spark.range(m).select(F.col("id").cast("int").alias("m")))
+        .select("code", "m", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw"))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantized(vec_col).alias("qq")
+        )
+        .crossJoin(spark.range(m).select(F.col("id").cast("int").alias("m")))
+        .select("query_id", "m", F.slice("qq", F.col("m") * sub + 1, sub).alias("qs"))
+    )
     l2 = F.aggregate(
         F.zip_with(F.col("qs"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    table = q.join(cb, "m").select("query_id", "m", "code", l2.alias("d"))
+    return q.join(cb, "m").select("query_id", "m", "code", l2.alias("d"))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production billion-scale ANN read path — coarse
+    quantizer prunes the candidate set to *nprobe* cells, PQ codes
+    stand in for raw vectors when ranking the survivors by ADC.
+
+    Composition of :func:`ivf_assign`-style cell assignment (rn=1 via
+    partial-agg, no window) + :func:`pq_encode` + the broadcast ADC
+    table of :func:`pq_adc_topk`, with the cell filter applied BEFORE
+    the distance join, so per query only its probed cells' codes are
+    scored.
+
+    Scale shape: corpus bytes move zero times after encode — the
+    encoded index (m small ints + a cell id per vector) is the only
+    corpus-derived frame, it joins broadcast probes then the broadcast
+    ADC table, and the final agg is one combiner row per (query,
+    candidate). Recall = IVF recall within probed cells (PQ ADC ranks
+    approximately but deterministically).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
+        )
+    )
+    assign = _cells(corpus, c, "vec_id", 1, id_col, vec_col).select(
+        "vec_id", "centroid_id"
+    )
+    codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    indexed = codes.join(assign, "vec_id")
+    probe = _cells(queries, c, "query_id", nprobe, id_col, vec_col).select(
+        "query_id", "centroid_id"
+    )
+    table = _adc_table(queries, codebook, m, dim, id_col, vec_col)
     scored = (
-        codes.join(F.broadcast(table), ["m", "code"])
+        indexed.join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(table), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("d").alias("adc"))
     )

@@ -108,8 +108,21 @@ EKM_SQL = "SELECT * FROM (VALUES {rows}) AS t(pattern, template, priority)".form
     rows=", ".join(f"('{p}', '{t}', {pr})" for p, t, pr in EKM_RULES)
 )
 
+FSHARE_FILES_SQL = """
+SELECT lang || '/' || source || '/'
+         || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS rel_path,
+       CAST(n_chars AS BIGINT)                              AS size
+FROM documents
+UNION ALL
+SELECT lang || '/' || source || '/'
+         || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.json' AS rel_path,
+       CAST(n_chars // 10 + 2 AS BIGINT)                     AS size
+FROM documents WHERE doc_id % 4 = 0
+"""
+
 _CATALOGS = {
     "objects": OBJECTS_SQL,
+    "fshare_files": FSHARE_FILES_SQL,
     "remote_objects": REMOTE_OBJECTS_SQL,
     "members": MEMBERS_SQL,
     "batch_requests": BATCH_REQUESTS_SQL,

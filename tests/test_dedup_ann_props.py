@@ -168,3 +168,18 @@ def test_pq_codeword_self_encoding_and_adc(spark):
             (a - b) * (a - b) for a, b in zip(qz(qrows[qid]), qz(crows[nid]))
         )
         assert adc_d == exact, (qid, nid)
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark):
+    """With nprobe = #centroids the IVF stage prunes nothing, so
+    IVF-PQ must reproduce flat PQ ADC search bit-for-bit."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cb = emb.filter(F.col("vec_id") < 16)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivfpq = simsearch.ivfpq_topk(
+        emb, cb, cb, queries, k=10, nprobe=16, m=4, dim=64
+    )
+    flat = simsearch.pq_adc_topk(emb, cb, queries, k=10, m=4, dim=64)
+    assert sorted(map(tuple, ivfpq.collect())) == sorted(
+        map(tuple, flat.collect())
+    )

@@ -70,3 +70,29 @@ def test_catalog_upsert_scd1(spark, sf_dir):
 
     after_delete = delete_from_catalog(merged, fresh.select("name"))
     assert after_delete.count() == n0
+
+
+def test_promote_plan_flags(spark, sf_dir):
+    from aistore_spark.catalog import fshare_files
+
+    docs = load_table(spark, sf_dir, "documents")
+    objects = objects_catalog(docs)
+    files = fshare_files(docs)
+
+    # every share file is nested under lang/source/ -> non-recursive
+    # promotes nothing (apc.PromoteArgs.Recursive)
+    assert movement.promote_plan(files, objects, recursive=False).count() == 0
+
+    # OverwriteDst flips skip_exists -> overwrite; sidecars still put
+    ow = movement.promote_plan(files, objects, overwrite_dst=True)
+    assert {r["action"] for r in ow.select("action").distinct().collect()} == {
+        "overwrite",
+        "put",
+    }
+
+    # DeleteSrc marks only the files actually promoted
+    pl = movement.promote_plan(files, objects, delete_src=True)
+    assert {
+        (r["action"], r["delete_after"])
+        for r in pl.select("action", "delete_after").distinct().collect()
+    } == {("skip_exists", False), ("put", True)}

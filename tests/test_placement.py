@@ -83,3 +83,14 @@ def test_ec_slice_accounting(spark, sf_dir):
     assert by_kind["data"] == (4 * n_big, 4 * slice_bytes)
     assert by_kind["parity"] == (2 * n_big, 2 * slice_bytes)
     assert by_kind["replica"] == (2 * n_small, 2 * small_bytes)
+
+
+def test_dup_groups_transitive_chain(spark):
+    from aistore_spark.operators.dedup import dup_groups
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["doc_id"]: r["group_id"] for r in dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
