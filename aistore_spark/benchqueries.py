@@ -35,6 +35,7 @@ from aistore_spark.operators import (
     listing,
     movement,
     placement,
+    sampling,
     summary,
 )
 from aistore_spark.sources import downloader
@@ -3374,4 +3375,78 @@ def ann9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return simsearch.ivfpq_topk(
         emb, centroids, centroids, queries, k=10, nprobe=2, m=4, dim=64
+    )
+
+
+@register(
+    "samp1_hash_split",
+    oracles.with_catalogs(
+        """
+        WITH assigned AS (
+          SELECT lang, name, size,
+                 CASE WHEN ('0x' || substr(md5(name), 1, 8))::BIGINT % 100 < 98
+                        THEN 'train'
+                      WHEN ('0x' || substr(md5(name), 1, 8))::BIGINT % 100 < 99
+                        THEN 'val'
+                      ELSE 'test' END AS split
+          FROM objects
+        )
+        SELECT lang, split,
+               count(*) AS n_docs,
+               CAST(sum(size) AS BIGINT) AS bytes,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM assigned GROUP BY 1, 2
+        """,
+        "objects",
+    ),
+)
+def samp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 98/1/1 train/val/test split by content-hash bucket
+    (never rand() — membership must survive reruns, engines, cluster
+    resizes). Pure column expression; the only shuffle is the rollup."""
+    assigned = sampling.hash_split(
+        _objects(spark, sf_dir), {"train": 98, "val": 1, "test": 1}
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("size").alias("bytes"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("name")), ",")
+        ).alias("names_md5"),
+    )
+
+
+@register(
+    "samp2_stratified",
+    oracles.with_catalogs(
+        """
+        WITH ranked AS (
+          SELECT lang, name, size,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY md5(name), name) AS rn
+          FROM objects
+        )
+        SELECT lang,
+               count(*) AS n_kept,
+               CAST(sum(size) AS BIGINT) AS bytes,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM ranked WHERE rn <= 50 GROUP BY 1
+        """,
+        "objects",
+    ),
+)
+def samp2_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota (50 docs) in deterministic hash order —
+    the training-mix balancer. Ranking is the dsort two-pass
+    range-partitioned global rank, NOT a per-stratum window: a stratum
+    of any size never funnels through one task."""
+    kept = sampling.stratified_sample(
+        _objects(spark, sf_dir), "lang", quota=50
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("size").alias("bytes"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("name")), ",")
+        ).alias("names_md5"),
     )

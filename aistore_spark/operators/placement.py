@@ -185,16 +185,32 @@ def mirror_plan(objects: DataFrame, n_targets: int = 8) -> DataFrame:
     is satisfied on the top-``copies`` HRW targets
     (``HrwTargetList``, ``core/meta/hrw.go:157-181``); rank 1 is the
     main replica, ranks 2..copies are the additional copies this plan
-    creates.  Window partitions by object name (high cardinality —
-    embarrassingly parallel); the per-name row count is the small
-    constant ``n_targets``.
+    creates.  Ranking is one partial-aggregable collect per name (the
+    per-name group is the small constant ``n_targets``) + an in-array
+    sort/slice — no window sort exchange over the name x target
+    product.
     """
     scored = _hrw_scored(objects, list(range(n_targets)), cols=("size", "copies"))
-    rn = F.row_number().over(
-        Window.partitionBy("name").orderBy(F.col("h").desc(), "target")
+    tops = scored.groupBy("name").agg(
+        F.min("size").alias("size"),
+        F.min("copies").alias("copies"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("h"), F.col("target"))), asc=False
+            ),
+            2,
+            n_targets - 1,
+        ).alias("tops"),
     )
-    ranked = scored.withColumn("rank", rn).filter(
-        (F.col("rank") > 1) & (F.col("rank") <= F.col("copies"))
+    ranked = tops.select(
+        "name",
+        "size",
+        F.posexplode(F.slice("tops", 1, F.col("copies") - 1)).alias("_p", "_t"),
+    ).select(
+        "name",
+        "size",
+        (F.col("_p") + 2).alias("rank"),
+        F.col("_t.target").alias("target"),
     )
     return ranked.groupBy("target").agg(
         F.count("*").alias("n_copies"),
@@ -227,24 +243,41 @@ def ec_plan(
     2..D+P+1); smaller objects get P full replicas instead (the
     mirroring branch of ``cmn/config.go:217-240`` ``ObjSizeLimit``).
 
-    Scale shape: every piece is one row of the name x targets score
-    table kept by the rank filter — no explode, no shuffle before the
-    final per-(target, kind) rollup; the HRW ranking window partitions
-    by name (high cardinality).
+    Scale shape: ranking is one partial-aggregable collect per name
+    (group size = the small constant ``n_targets``) + in-array
+    sort/slice — no window sort exchange; pieces explode straight out
+    of the slice, so nothing shuffles before the final per-(target,
+    kind) rollup.
     """
     k = data_slices + parity_slices
     scored = _hrw_scored(objects, list(range(n_targets)))
-    rn = F.row_number().over(
-        Window.partitionBy("name").orderBy(F.col("h").desc(), "target")
-    )
     is_ec = F.col("size") >= obj_size_limit
     n_pieces = F.when(is_ec, F.lit(k)).otherwise(F.lit(parity_slices))
     piece_bytes = F.when(
         is_ec, F.expr(f"(size + {data_slices} - 1) div {data_slices}")
     ).otherwise(F.col("size"))
+    tops = scored.groupBy("name").agg(
+        F.min("size").alias("size"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("h"), F.col("target"))), asc=False
+            ),
+            2,
+            k,
+        ).alias("tops"),
+    )
     ranked = (
-        scored.withColumn("rank", rn)
-        .filter((F.col("rank") > 1) & (F.col("rank") <= n_pieces + 1))
+        tops.select(
+            "name",
+            "size",
+            F.posexplode(F.slice("tops", 1, n_pieces)).alias("_p", "_t"),
+        )
+        .select(
+            "name",
+            "size",
+            (F.col("_p") + 2).alias("rank"),
+            F.col("_t.target").alias("target"),
+        )
         .select(
             "name",
             "target",

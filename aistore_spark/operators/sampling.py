@@ -1,0 +1,73 @@
+"""Deterministic sampling for training-data curation (beyond-reference,
+SURVEY.md §7.8 family).
+
+A 100 TB corpus pipeline needs reproducible dataset assembly:
+
+- :func:`hash_split` — train/val/test assignment by content hash, so
+  the split is stable across runs, engines, and cluster sizes (never
+  ``rand()``, which is neither reproducible nor engine-portable);
+- :func:`stratified_sample` — an exact per-stratum quota (e.g. N docs
+  per language) in deterministic hash order, WITHOUT a per-stratum
+  window: ranking reuses the dsort two-pass range-partitioned
+  :func:`~aistore_spark.operators.dsort.global_rank`, so a stratum
+  with billions of rows never funnels through one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aistore_spark.operators.dsort import global_rank
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, int],
+    key_col: str = "name",
+) -> DataFrame:
+    """Assign each row to a named split with ``weights`` proportions
+    (integer percages summing to 100) by md5-bucketing ``key_col``.
+
+    The bucket is the first 8 hex digits of md5(key) mod 100 — fully
+    determined by the key, so membership survives reshuffles, appends
+    and engine changes.  Pure column expression: no shuffle at all.
+    """
+    total = sum(weights.values())
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("bigint") % 100
+    )
+    expr = None
+    acc = 0
+    for split, w in weights.items():
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, split) if expr is None else expr.when(cond, split)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    key_col: str = "name",
+) -> DataFrame:
+    """Keep at most *quota* rows per ``group_col`` value, chosen in
+    deterministic md5(key) order.
+
+    Scale shape: one global two-pass rank over (group, hash, key) —
+    range-partitioned, no per-group window task — then the per-group
+    offset (its first global rank) comes from a tiny groupBy that
+    broadcasts back.  A stratum of any size costs the same as sorting
+    its rows across the whole cluster.
+    """
+    keyed = df.withColumn("_h", F.md5(key_col))
+    ranked = global_rank(keyed, [group_col, "_h", key_col], rank_col="_r")
+    offsets = ranked.groupBy(group_col).agg(F.min("_r").alias("_off"))
+    return (
+        ranked.join(F.broadcast(offsets), group_col)
+        .filter(F.col("_r") - F.col("_off") < quota)
+        .drop("_h", "_r", "_off")
+    )
