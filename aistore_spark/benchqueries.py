@@ -3450,3 +3450,121 @@ def samp2_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.collect_list("name")), ",")
         ).alias("names_md5"),
     )
+
+
+@register(
+    "tx6_gopher_quality",
+    oracles.with_catalogs(
+        """
+        WITH q AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+                 CAST(length(text) - len(string_split(text,' ')) + 1
+                   AS BIGINT) AS sum_wl,
+                 CAST(len(list_filter(string_split(text,' '),
+                      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                   AS n_alpha,
+                 CAST(len(list_intersect(list_distinct(string_split(text,' ')),
+                      ['the','a','of','and','is','to','in'])) AS BIGINT)
+                   AS n_stop,
+                 CAST(length(text) - length(replace(text, '#', ''))
+                   AS BIGINT) AS n_hash
+          FROM documents
+        )
+        SELECT doc_id, lang, n_words,
+               round(CAST(sum_wl AS DOUBLE) / n_words, 6) AS mean_word_len,
+               n_alpha AS n_alpha_words,
+               n_stop AS n_stop_hits,
+               (n_words >= 20 AND n_words <= 100000) AS ok_words,
+               (sum_wl >= 3*n_words AND sum_wl <= 10*n_words) AS ok_word_len,
+               (n_alpha*10 >= n_words*8) AS ok_alpha,
+               (n_stop >= 2) AS ok_stopwords,
+               (n_hash*10 <= n_words*1) AS ok_symbols,
+               ((n_words >= 20 AND n_words <= 100000)
+                AND (sum_wl >= 3*n_words AND sum_wl <= 10*n_words)
+                AND (n_alpha*10 >= n_words*8)
+                AND (n_stop >= 2)
+                AND (n_hash*10 <= n_words*1)) AS keep
+        FROM q
+        """,
+        "objects",
+    ),
+)
+def tx6_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (word count / word length / alpha
+    fraction / stopword presence / symbol ratio) as pure JVM column
+    expressions — runs at scan speed; verdicts are integer-exact."""
+    return text.gopher_quality(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "tok1_pack_sequences",
+    oracles.with_catalogs(
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM t
+        )
+        SELECT doc_id, n_tokens,
+               CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+               CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset,
+               CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+                 AS BIGINT) AS n_seqs_spanned
+        FROM c
+        """,
+        "objects",
+    ),
+)
+def tok1_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token budget): global
+    token offsets via the dsort two-pass range-partitioned cumsum —
+    no single-partition window at any corpus size."""
+    return sampling.pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=512
+    )
+
+
+@register(
+    "dd8_decontaminate",
+    oracles.with_catalogs(
+        """
+        WITH s AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(
+            [md5(array_to_string(ws[i:i+3], ' '))
+             FOR i IN generate_series(1, len(ws)-3)])) AS sh
+          FROM s WHERE len(ws) >= 4
+        ),
+        tr AS (SELECT * FROM sh WHERE doc_id % 25 <> 0),
+        te AS (SELECT doc_id AS test_id, sh FROM sh WHERE doc_id % 25 = 0)
+        SELECT tr.doc_id AS doc_id,
+               CAST(count(DISTINCT te.test_id) AS BIGINT) AS n_test_docs,
+               CAST(count(DISTINCT tr.sh) AS BIGINT) AS n_shingles,
+               min(te.test_id) AS first_test_id
+        FROM tr JOIN te ON tr.sh = te.sh
+        GROUP BY 1
+        """,
+        "objects",
+    ),
+)
+def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    4-gram with the held-out set (doc_id % 25 == 0 plays the test
+    set). Test-side shingles broadcast — the train corpus is never
+    shuffled by the probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0),
+        n=4,
+    )

@@ -74,6 +74,40 @@ def shingles(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with a held-out test set (the standard
+    pre-training hygiene pass — e.g. 13-gram overlap in GPT-3's
+    published methodology; ``n`` is a knob because the synthetic docs
+    are short).
+
+    Returns one row per contaminated training doc: how many distinct
+    test docs and shingles it collides with, and the smallest
+    colliding test doc id.
+
+    Scale shape: the test side is small (benchmarks are thousands of
+    docs, not billions) — its hashed shingle set is **broadcast**, so
+    the 100 TB train side is never shuffled by the probe; the only
+    shuffle is the final per-train-doc rollup, map-side combinable.
+    """
+    tr = shingles(train, n=n).select(
+        "doc_id", F.md5("shingle").alias("sh")
+    )
+    te = shingles(test, n=n).select(
+        F.col("doc_id").alias("test_id"), F.md5("shingle").alias("sh")
+    )
+    hits = tr.join(F.broadcast(te), "sh")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("test_id").alias("n_test_docs"),
+        F.countDistinct("sh").alias("n_shingles"),
+        F.min("test_id").alias("first_test_id"),
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     n: int = 3,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aistore_spark.operators.dsort import global_rank
+from aistore_spark.operators.dsort import global_cumsum, global_rank
 
 
 def hash_split(
@@ -46,6 +46,41 @@ def hash_split(
         cond = bucket < acc
         expr = F.when(cond, split) if expr is None else expr.when(cond, split)
     return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LLM pretraining: documents
+    are laid end-to-end in deterministic ``doc_id`` order and cut into
+    fixed ``budget``-token sequences (the standard pretraining packer —
+    every sequence is exactly full; a document may straddle a cut).
+
+    Returns per doc: its token count, the sequence it starts in
+    (``seq_id``), its offset within that sequence, and how many
+    sequences it spans.
+
+    Scale shape: token counting is a JVM column expression; the global
+    offset is the dsort two-pass range-partitioned
+    :func:`~aistore_spark.operators.dsort.global_cumsum` — no
+    single-partition window, so the packer costs one range shuffle at
+    any corpus size.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    cum = global_cumsum(toks, ["doc_id"], "n_tokens", "cum")
+    start = F.col("cum") - F.col("n_tokens")
+    seq_id = F.expr(f"(cum - n_tokens) div {budget}")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        seq_id.alias("seq_id"),
+        (start % budget).alias("seq_offset"),
+        (F.expr(f"(cum - 1) div {budget}") - seq_id + 1).alias("n_seqs_spanned"),
+    )
 
 
 def stratified_sample(

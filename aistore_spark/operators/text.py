@@ -96,6 +96,77 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+#: distinct-stopword presence list for the Gopher-style naturalness
+#: rule (Rae et al. 2021, "Scaling Language Models", table A1 — public
+#: paper, re-implemented fresh). Gopher uses English function words;
+#: same list as :data:`STOPWORDS` so the presence rule discriminates
+#: on this corpus too.
+GOPHER_STOP = STOPWORDS
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_hash_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style per-document quality rules, as pure JVM column
+    expressions (scan-speed at 100 TB — no Python, no shuffle):
+
+    - word-count bounds,
+    - mean word length bounds,
+    - fraction of words containing a letter,
+    - >= ``min_stop_hits`` distinct stopwords present,
+    - '#' symbol-to-word ratio cap.
+
+    Returns one row per doc with each rule's pass bit and the overall
+    ``keep`` verdict; thresholds compare exact integer counts scaled by
+    the denominator (no float ratios in the predicate), so the verdict
+    is engine-portable.
+    """
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("bigint")
+    sum_wl = (F.length("text") - n_words + 1).cast("bigint")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOP])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(words), stop_arr)
+    ).cast("bigint")
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ).cast("bigint")
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    # mean_wl in [3, 10]  <=>  3*n <= sum_wl <= 10*n (integer-exact)
+    ok_wl = (sum_wl >= F.lit(int(min_mean_wl)) * n_words) & (
+        sum_wl <= F.lit(int(max_mean_wl)) * n_words
+    )
+    # alpha_frac >= 0.8  <=>  10*n_alpha >= 8*n_words
+    ok_alpha = n_alpha * 10 >= n_words * F.lit(int(min_alpha_frac * 10))
+    ok_stop = n_stop >= min_stop_hits
+    # hash_ratio <= max  <=>  10*n_hash <= 10*max*n_words (integer-exact)
+    ok_sym = n_hash * 10 <= n_words * F.lit(int(max_hash_ratio * 10))
+    return documents.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(sum_wl.cast("double") / n_words, 6).alias("mean_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        ok_sym.alias("ok_symbols"),
+        (ok_words & ok_wl & ok_alpha & ok_stop & ok_sym).alias("keep"),
+    )
+
+
 def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
     """Document fingerprints: full-content md5 (exact dedup key) and a
     1-permutation MinHash over word n-gram shingles (robust to small

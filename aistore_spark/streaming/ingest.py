@@ -137,6 +137,56 @@ def streaming_get_batch(
     )
 
 
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the documents table; ``ingest_time`` is
+    a deterministic per-doc timestamp (doc_id as micros) standing in
+    for arrival time so tests replay identically."""
+    raw = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # +1 day so no row sits exactly at the epoch: the initial watermark
+    # is epoch-0 and an event_time equal to it is dropped as late
+    return raw.withColumn(
+        "ingest_time", F.timestamp_micros(F.col("doc_id") + 86_400_000_000)
+    )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    time_col: str = "ingest_time",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-ingested duplicate content inside
+    the watermark horizon via ``dropDuplicatesWithinWatermark`` on the
+    content hash (dd1's checksum key as a stream). The watermark bounds
+    the dedup state store — an unbounded ``dropDuplicates`` would grow
+    state forever on a continuous 100 TB ingest; horizon-scoped state
+    is the standard streaming-dedup contract (re-ingests farther apart
+    than the horizon fall through to the batch dd1 pass).
+    """
+    return (
+        docs.withColumn("checksum", F.md5("text"))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["checksum"])
+    )
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

@@ -1,0 +1,79 @@
+"""Gopher quality rules, sequence packing, decontamination: invariants
+that the oracle can't see — layout independence, plan shape, verdict
+consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aistore_spark.operators import dedup, sampling, text
+from aistore_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_gopher_keep_is_conjunction(spark, sf_dir):
+    q = text.gopher_quality(_docs(spark, sf_dir))
+    bad = q.filter(
+        F.col("keep")
+        != (
+            F.col("ok_words")
+            & F.col("ok_word_len")
+            & F.col("ok_alpha")
+            & F.col("ok_stopwords")
+            & F.col("ok_symbols")
+        )
+    )
+    assert bad.count() == 0
+    # the rules discriminate on this corpus (no vacuous all-pass/all-fail)
+    kept = q.filter("keep").count()
+    assert 0 < kept < q.count()
+
+
+def test_pack_sequences_chunk_arithmetic(spark, sf_dir):
+    budget = 128
+    packed = sampling.pack_sequences(_docs(spark, sf_dir), budget=budget)
+    rows = packed.collect()
+    # replay the packer serially: every field is exactly the
+    # concat-and-chunk arithmetic in doc_id order
+    cum = 0
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        assert r.seq_id == cum // budget
+        assert r.seq_offset == cum % budget
+        assert r.n_seqs_spanned == (r.seq_offset + r.n_tokens - 1) // budget + 1
+        cum += r.n_tokens
+    # layout independence
+    again = sampling.pack_sequences(
+        _docs(spark, sf_dir).repartition(7), budget=budget
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_decontaminate_broadcasts_test_side(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 25 != 0),
+        docs.filter(F.col("doc_id") % 25 == 0),
+        n=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.doc_id % 25 != 0  # only train docs flagged
+        assert r.first_test_id % 25 == 0
+        assert r.n_shingles >= 1 and r.n_test_docs >= 1
+
+
+def test_decontaminate_self_is_total(spark, sf_dir):
+    # decontaminating a corpus against itself flags every doc with >= 1
+    # shingle (each collides with itself)
+    docs = _docs(spark, sf_dir).limit(40)
+    n_elig = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= 4
+    ).count()
+    out = dedup.decontaminate(docs, docs, n=4)
+    assert out.count() == n_elig

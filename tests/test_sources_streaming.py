@@ -348,3 +348,29 @@ def test_streaming_get_batch_matches_batch(spark, sf_dir, tmp_path):
     }
     spark.sql("DROP TABLE IF EXISTS moss_stream_t")
     assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
+    from aistore_spark.streaming.ingest import dedup_stream, stream_documents
+
+    stream = dedup_stream(stream_documents(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("SELECT checksum FROM dedup_out").collect()
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("checksum"))
+        .distinct()
+        .collect()
+    )
+    # exactly one survivor per distinct content hash
+    assert sorted(r.checksum for r in kept) == sorted(
+        r.checksum for r in batch
+    )
