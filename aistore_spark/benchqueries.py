@@ -3568,3 +3568,92 @@ def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 25 == 0),
         n=4,
     )
+
+
+@register(
+    "s11_blob_chunks",
+    oracles.with_catalogs(
+        """
+        WITH eligible AS (
+          SELECT bucket, name, size,
+                 CAST((size + 63) // 64 AS BIGINT) AS n_chunks,
+                 least(8, greatest(1, size // 512)) AS n_workers
+          FROM objects WHERE size >= 256
+        )
+        SELECT bucket, name,
+               CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id,
+               CAST(unnest(range(0, n_chunks)) * 64 AS BIGINT) AS chunk_start,
+               CAST(least(64, size - unnest(range(0, n_chunks)) * 64)
+                    AS BIGINT) AS chunk_len,
+               CAST(unnest(range(0, n_chunks)) % n_workers AS BIGINT) AS worker
+        FROM eligible
+        """,
+        "objects",
+    ),
+)
+def s11_blob_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: blob-download chunk plan (xact/xs/blob_download.go:44-55) —
+    large objects (>= BlobThreshold, here 256 B at test SF) fetched as
+    parallel range reads: 64 B chunks, >= 512 B of object data per
+    worker, <= 8 workers, round-robin chunk handout mirroring the
+    coordinator's roff-ordered stream. Generate-and-explode in the
+    scan's partitions — zero shuffles."""
+    return movement.blob_chunk_plan(
+        _objects(spark, sf_dir),
+        chunk_size=64,
+        min_bytes_per_worker=512,
+        max_workers=8,
+        size_threshold=256,
+    )
+
+
+@register(
+    "s12_mpu_plan",
+    oracles.with_catalogs(
+        """
+        WITH c AS (
+          SELECT lang || '/' || source || '/'
+                   || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS name,
+                 text,
+                 CAST(length(text) AS BIGINT) AS size,
+                 CAST((length(text) + 99) // 100 AS BIGINT) AS np
+          FROM documents
+        ),
+        parts AS (
+          SELECT name, size,
+                 CAST(unnest(range(0, np)) + 1 AS BIGINT) AS part_number,
+                 md5(substr(text,
+                     CAST(unnest(range(0, np)) * 100 + 1 AS BIGINT),
+                     100)) AS part_md5
+          FROM c
+        )
+        SELECT name, size,
+               md5('mpu:' || name) AS upload_id,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               md5(string_agg(part_md5, '' ORDER BY part_number))
+                 || '-' || count(*) AS etag
+        FROM parts GROUP BY 1, 2
+        """,
+        "objects",
+    ),
+)
+def s12_mpu_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: multipart-upload completion plan (api/mpt.go:163-203,
+    ais/prxs3.go:235-268) — 100 B parts per object, completion record
+    carries the S3 composite ETag (md5 of concatenated part md5s +
+    '-<n_parts>'), so the oracle match transitively verifies every
+    part boundary and part checksum. Parts explode map-side; the only
+    shuffle is the per-object rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    content = docs.select(
+        F.concat(
+            F.col("lang"),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/"),
+            F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+            F.lit(".txt"),
+        ).alias("name"),
+        F.col("text").alias("content"),
+    )
+    return movement.mpu_plan(content, part_size=100)

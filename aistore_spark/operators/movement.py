@@ -149,3 +149,122 @@ def promote_plan(
         ),
     )
     return hrw_owner(classified, list(range(n_targets)))
+
+
+def blob_chunk_plan(
+    objects: DataFrame,
+    chunk_size: int = 4 * 1024 * 1024,
+    min_bytes_per_worker: int = 256 * 1024 * 1024,
+    max_workers: int = 32,
+    size_threshold: int = 0,
+) -> DataFrame:
+    """S11: blob-download chunk plan — one large object fetched as
+    parallel range-read chunks with ordered reassembly
+    (``xact/xs/blob_download.go:44-55``: default chunk 4 MiB, >= 256
+    MiB of object data per worker, hard cap 32 workers/job).
+
+    Per eligible object (``size >= size_threshold``, mirroring the
+    prefetch ``BlobThreshold`` dispatch, F6): one row per chunk with
+    byte offsets (last chunk short) and the worker that reads it —
+    round-robin over the ordered chunk stream, exactly the
+    coordinator's ``roff``-ordered handout.
+
+    Scale shape: generate-and-explode inside the scan's partitions —
+    zero shuffles; the plan is embarrassingly parallel at any corpus
+    size.
+    """
+    n_workers = F.least(
+        F.lit(max_workers),
+        F.greatest(F.lit(1), F.expr(f"size div {min_bytes_per_worker}")),
+    ).cast("bigint")
+    return (
+        objects.filter(F.col("size") >= size_threshold)
+        .select(
+            "bucket",
+            "name",
+            "size",
+            n_workers.alias("n_workers"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.expr(f"(size + {chunk_size - 1}) div {chunk_size}") - 1,
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            "bucket",
+            "name",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            (F.col("chunk_id") * chunk_size).cast("bigint").alias("chunk_start"),
+            F.least(
+                F.lit(chunk_size), F.col("size") - F.col("chunk_id") * chunk_size
+            )
+            .cast("bigint")
+            .alias("chunk_len"),
+            (F.col("chunk_id") % F.col("n_workers")).cast("bigint").alias("worker"),
+        )
+    )
+
+
+def mpu_plan(
+    content: DataFrame,
+    part_size: int,
+    name_col: str = "name",
+    content_col: str = "content",
+) -> DataFrame:
+    """S12: multipart-upload completion plan (``api/mpt.go:163-203``:
+    upload parts by number, complete with the ordered part list).
+
+    Splits each object's *content* into ``part_size``-byte parts and
+    produces the completion record: deterministic ``upload_id``,
+    ``n_parts``, per-part-checksummed composite ``etag`` — md5 of the
+    concatenated part-md5 hex digests suffixed with ``-<n_parts>``,
+    the S3 multipart ETag convention — so the oracle match transitively
+    verifies every part boundary and every part checksum.
+
+    Scale shape: parts explode inside the scan's partitions; the only
+    shuffle is the per-object rollup (keyed by object name — the same
+    key the scan is laid out on, map-side combinable). At real scale
+    parts stream via the S3A committer; this plan is the bookkeeping
+    the committer would do.
+    """
+    parts = content.select(
+        F.col(name_col).alias("name"),
+        F.length(content_col).cast("bigint").alias("size"),
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.expr(f"(length({content_col}) + {part_size - 1}) div {part_size}")
+                - 1,
+            )
+        ).alias("part_idx"),
+        F.col(content_col).alias("_c"),
+    ).select(
+        "name",
+        "size",
+        (F.col("part_idx") + 1).cast("bigint").alias("part_number"),
+        F.md5(
+            F.substring(
+                F.col("_c"), (F.col("part_idx") * part_size + 1).cast("int"), part_size
+            )
+        ).alias("part_md5"),
+    )
+    return parts.groupBy("name", "size").agg(
+        F.md5(F.concat(F.lit("mpu:"), F.col("name"))).alias("upload_id"),
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.concat(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("part_number", "part_md5"))
+                        ),
+                        lambda s: s["part_md5"],
+                    ),
+                    "",
+                )
+            ),
+            F.lit("-"),
+            F.count("*").cast("string"),
+        ).alias("etag"),
+    )

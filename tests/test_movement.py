@@ -96,3 +96,57 @@ def test_promote_plan_flags(spark, sf_dir):
         (r["action"], r["delete_after"])
         for r in pl.select("action", "delete_after").distinct().collect()
     } == {("skip_exists", False), ("put", True)}
+
+
+def test_blob_chunk_plan_covers_every_byte(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    objects = objects_catalog(docs)
+    plan = movement.blob_chunk_plan(
+        objects, chunk_size=64, min_bytes_per_worker=512,
+        max_workers=8, size_threshold=256,
+    )
+    per_obj = (
+        plan.groupBy("name")
+        .agg(
+            F.sum("chunk_len").alias("covered"),
+            F.min("chunk_start").alias("first"),
+            F.max(F.col("chunk_start") + F.col("chunk_len")).alias("end"),
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("worker").alias("n_workers_used"),
+            F.max("worker").alias("max_worker"),
+        )
+        .join(objects.select("name", "size"), "name")
+    )
+    bad = per_obj.filter(
+        (F.col("covered") != F.col("size"))
+        | (F.col("first") != 0)
+        | (F.col("end") != F.col("size"))
+        | (F.col("max_worker") >= 8)
+        | (F.col("n_chunks") != F.expr("(size + 63) div 64"))
+    )
+    assert bad.count() == 0
+    # chunks within an object are disjoint: n_chunks distinct starts
+    dup = plan.groupBy("name", "chunk_start").count().filter("count > 1")
+    assert dup.count() == 0
+    # no shuffle in the plan (generate-and-explode only)
+    assert "Exchange" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mpu_plan_etag_matches_serial(spark, sf_dir):
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    content = docs.select(
+        F.col("doc_id").cast("string").alias("name"),
+        F.col("text").alias("content"),
+    )
+    got = {
+        r["name"]: (r["n_parts"], r["etag"], r["size"])
+        for r in movement.mpu_plan(content, part_size=100).collect()
+    }
+    for r in content.collect():
+        b = r["content"].encode()
+        parts = [b[i : i + 100] for i in range(0, len(b), 100)]
+        cat = "".join(hashlib.md5(p).hexdigest() for p in parts)
+        etag = hashlib.md5(cat.encode()).hexdigest() + f"-{len(parts)}"
+        assert got[r["name"]] == (len(parts), etag, len(b))
