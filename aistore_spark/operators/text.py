@@ -185,3 +185,158 @@ def fingerprint(documents: DataFrame, n: int = 3) -> DataFrame:
         F.md5(F.lower(F.col("text"))).alias("content_md5"),
         F.array_min(F.transform(grams, F.md5)).alias("shingle_minhash"),
     )
+
+
+def repetition_stats(
+    documents: DataFrame,
+    max_top_word_pct: int = 10,
+    max_dup_bigram_pct: int = 5,
+    max_dup_trigram_occ: int = 0,
+) -> DataFrame:
+    """Gopher-style repetition-removal rules (Rae et al. 2021 §A1.1,
+    re-implemented fresh): per document, the most-frequent word's share,
+    the most-frequent bigram's share, and the number of n-gram
+    occurrences belonging to within-doc duplicated bigrams/trigrams —
+    the standard "looping text" filters in pretraining curation.
+
+    Rule bits compare integer counts scaled by the denominator (no
+    float ratios in the predicate), so verdicts are engine-portable:
+
+    - ``ok_top_word``:    top word occurrences <= max_top_word_pct% of words
+    - ``ok_dup_bigram``:  occurrences in duplicated bigrams <= max_dup_bigram_pct%
+    - ``ok_dup_trigram``: occurrences in duplicated trigrams <= max_dup_trigram_occ
+
+    Scale shape: grams explode map-side; both aggregations are keyed by
+    ``(doc_id, gram)`` then ``doc_id`` — map-side-combinable shuffles
+    proportional to corpus token count, the same cost class as tx1.
+    No window, no collect, no Python.
+    """
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # zip_with pads the shorter side with null; concat_ws skips nulls, so
+    # guard trigram tails explicitly by length instead
+    base = documents.select("doc_id", ws.alias("ws"), bigrams.alias("g2"))
+
+    w1 = (
+        base.select("doc_id", F.explode("ws").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("bigint").alias("top_word_n"),
+            F.sum("count").cast("bigint").alias("n_words"),
+        )
+    )
+    g2 = (
+        base.select("doc_id", F.explode("g2").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").cast("bigint").alias("top_bigram_n"),
+            F.coalesce(
+                F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dup_bigram_occ"),
+            F.sum("count").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    trigrams = F.filter(
+        F.zip_with(
+            F.zip_with(
+                ws,
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
+                lambda a, b: F.when(
+                    a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+                ),
+            ),
+            F.slice(ws, 3, F.greatest(F.size(ws) - 2, F.lit(1))),
+            lambda ab, c: F.when(
+                ab.isNotNull() & c.isNotNull(), F.concat(ab, F.lit(" "), c)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    g3 = (
+        documents.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dup_trigram_occ"),
+        )
+    )
+    joined = w1.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
+    ok_w = F.col("top_word_n") * 100 <= F.col("n_words") * max_top_word_pct
+    ok_b = F.col("dup_bigram_occ") * 100 <= F.col("n_bigrams") * max_dup_bigram_pct
+    ok_t = F.coalesce(F.col("dup_trigram_occ"), F.lit(0)) <= max_dup_trigram_occ
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "top_word_n",
+        F.coalesce("top_bigram_n", F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        F.coalesce("dup_bigram_occ", F.lit(0)).cast("bigint").alias("dup_bigram_occ"),
+        F.coalesce("dup_trigram_occ", F.lit(0))
+        .cast("bigint")
+        .alias("dup_trigram_occ"),
+        ok_w.alias("ok_top_word"),
+        ok_b.alias("ok_dup_bigram"),
+        ok_t.alias("ok_dup_trigram"),
+        (ok_w & ok_b & ok_t).alias("keep"),
+    )
+
+
+#: redaction patterns shared by the Spark and oracle sides — RE2-safe
+#: subset (no backreferences / lookaround) so Java regex and DuckDB's
+#: RE2 agree match-for-match.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"555-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training-data hygiene: emails, phone numbers
+    and IPv4 addresses are replaced with typed placeholder tokens and
+    counted. Patterns are deliberately in the RE2-compatible subset so
+    any engine pair agrees on match boundaries.
+
+    Order matters: emails first (an email contains no phone/IP match
+    sites after replacement), then IPs, then phones — same fixed order
+    on the oracle side.
+
+    Scale shape: pure JVM ``regexp_replace`` / ``regexp_extract_all``
+    column expressions — scan-speed, zero shuffles.
+    """
+    c = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["email"]), F.lit(0)))
+    after_email = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    n_ip = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PATTERNS["ipv4"]), F.lit(0))
+    )
+    after_ip = F.regexp_replace(after_email, PII_PATTERNS["ipv4"], "<IP>")
+    n_phone = F.size(
+        F.regexp_extract_all(after_ip, F.lit(PII_PATTERNS["phone"]), F.lit(0))
+    )
+    redacted = F.regexp_replace(after_ip, PII_PATTERNS["phone"], "<PHONE>")
+    return df.withColumns(
+        {
+            "n_emails": n_email.cast("bigint"),
+            "n_ips": n_ip.cast("bigint"),
+            "n_phones": n_phone.cast("bigint"),
+            "redacted_md5": F.md5(redacted),
+        }
+    )
