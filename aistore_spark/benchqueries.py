@@ -39,7 +39,7 @@ from aistore_spark.operators import (
     summary,
 )
 from aistore_spark.sources import downloader
-from aistore_spark.util import ensure_shipped
+from aistore_spark.util import ensure_shipped, ntz_micros_sql
 from aistore_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -261,11 +261,13 @@ def s5b_dirs_first_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           bucket,
           count(*) AS obj_count,
-          sum(CASE WHEN cached THEN 1 ELSE 0 END) AS present_count,
-          sum(CASE WHEN cached THEN 0 ELSE 1 END) AS remote_count,
+          CAST(sum(CASE WHEN cached THEN 1 ELSE 0 END) AS BIGINT)
+            AS present_count,
+          CAST(sum(CASE WHEN cached THEN 0 ELSE 1 END) AS BIGINT)
+            AS remote_count,
           min(size) AS min_size,
           max(size) AS max_size,
-          sum(size) AS total_size,
+          CAST(sum(size) AS BIGINT) AS total_size,
           round(CAST(sum(size) AS DOUBLE) / count(*), 6) AS avg_size
         FROM objects GROUP BY bucket
         """,
@@ -284,14 +286,16 @@ def a1_bucket_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           bucket,
           count(*) AS tar_objs,
-          sum(shard_bytes) AS tar_size,
-          sum(CASE WHEN health = 'valid' THEN 1 ELSE 0 END) AS shards,
-          sum(CASE WHEN health = 'valid' THEN shard_bytes ELSE 0 END)
-            AS shard_size,
-          sum(CASE WHEN health = 'valid' THEN archived_objs ELSE 0 END)
-            AS archived_objs,
-          sum(CASE WHEN health = 'stale' THEN 1 ELSE 0 END) AS stale_indexes,
-          sum(CASE WHEN health = 'invalid' THEN 1 ELSE 0 END)
+          CAST(sum(shard_bytes) AS BIGINT) AS tar_size,
+          CAST(sum(CASE WHEN health = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+            AS shards,
+          CAST(sum(CASE WHEN health = 'valid' THEN shard_bytes ELSE 0 END)
+            AS BIGINT) AS shard_size,
+          CAST(sum(CASE WHEN health = 'valid' THEN archived_objs ELSE 0 END)
+            AS BIGINT) AS archived_objs,
+          CAST(sum(CASE WHEN health = 'stale' THEN 1 ELSE 0 END) AS BIGINT)
+            AS stale_indexes,
+          CAST(sum(CASE WHEN health = 'invalid' THEN 1 ELSE 0 END) AS BIGINT)
             AS invalid_indexes
         FROM (
           SELECT bucket, shard, archived_objs, shard_bytes,
@@ -338,7 +342,7 @@ def a5_duplicate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f1_prefix_ext_breakdown",
     oracles.with_catalogs(
         """
-        SELECT ext, count(*) AS n, sum(size) AS bytes
+        SELECT ext, count(*) AS n, CAST(sum(size) AS BIGINT) AS bytes
         FROM members WHERE member LIKE 'rec-0000%' GROUP BY ext
         """,
         "members",
@@ -437,7 +441,7 @@ def f4_regex_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.with_catalogs(
         """
         SELECT CASE WHEN size >= 30720 THEN 'blob' ELSE 'regular' END AS path,
-               count(*) AS n, sum(size) AS bytes
+               count(*) AS n, CAST(sum(size) AS BIGINT) AS bytes
         FROM members GROUP BY 1
         """,
         "members",
@@ -534,9 +538,9 @@ def j3_catalog_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j5_group_records",
     oracles.with_catalogs(
         """
-        SELECT base, sum(n) AS n_files, count(*) AS n_exts,
+        SELECT base, CAST(sum(n) AS BIGINT) AS n_files, count(*) AS n_exts,
                string_agg(ext, ',' ORDER BY ext) AS exts,
-               sum(bytes) AS total_bytes
+               CAST(sum(bytes) AS BIGINT) AS total_bytes
         FROM (
           SELECT base, ext, count(*) AS n, sum(size) AS bytes
           FROM members GROUP BY base, ext
@@ -602,7 +606,7 @@ def m2_prefetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "m3_evict_delete",
     oracles.with_catalogs(
         """
-        SELECT cached, count(*) AS n_objects, sum(size) AS bytes
+        SELECT cached, count(*) AS n_objects, CAST(sum(size) AS BIGINT) AS bytes
         FROM objects WHERE name LIKE 'de/%' GROUP BY cached
         """,
         "objects",
@@ -733,7 +737,7 @@ def d4_md5_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.with_catalogs(
         """
         SELECT CAST(floor((cum - size) / 1048576.0) AS BIGINT) AS shard_id,
-               count(*) AS n_items, sum(size) AS bytes,
+               count(*) AS n_items, CAST(sum(size) AS BIGINT) AS bytes,
                min(member) AS first_item, max(member) AS last_item
         FROM (
           SELECT member, size,
@@ -772,7 +776,7 @@ def d6_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM keys k JOIN recs ON k.base = recs.base
         )
         SELECT CAST(floor((cum - bytes) / 4194304.0) AS BIGINT) AS shard_id,
-               count(*) AS n_items, sum(bytes) AS bytes,
+               count(*) AS n_items, CAST(sum(bytes) AS BIGINT) AS bytes,
                min(base) AS first_item, max(base) AS last_item
         FROM r GROUP BY 1
         """,
@@ -923,7 +927,8 @@ _TAR_SIZE_SQL = """
     "p1_pack_archive",
     oracles.with_catalogs(
         f"""
-        SELECT shard, count(*) AS n_members, sum(psz) AS payload_bytes,
+        SELECT shard, count(*) AS n_members,
+               CAST(sum(psz) AS BIGINT) AS payload_bytes,
                {_TAR_SIZE_SQL} AS tar_bytes,
                md5(string_agg(member, ',' ORDER BY member, size)) AS entries_md5
         FROM (
@@ -975,7 +980,8 @@ def p2_extract_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p3_extract_regex_pack",
     oracles.with_catalogs(
         f"""
-        SELECT response, count(*) AS n_members, sum(psz) AS payload_bytes,
+        SELECT response, count(*) AS n_members,
+               CAST(sum(psz) AS BIGINT) AS payload_bytes,
                {_TAR_SIZE_SQL} AS tar_bytes,
                md5(string_agg(member, ',' ORDER BY member, size)) AS entries_md5
         FROM (
@@ -1017,8 +1023,9 @@ def p3_extract_regex_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(floor(req_idx / 250.0) AS BIGINT) AS batch_id,
                count(*) AS n_entries,
-               sum(CASE WHEN status = 'missing' THEN 1 ELSE 0 END) AS n_missing,
-               sum(size) AS payload_bytes,
+               CAST(sum(CASE WHEN status = 'missing' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_missing,
+               CAST(sum(size) AS BIGINT) AS payload_bytes,
                CAST(ceil((sum(512 + CAST(ceil(size / 512.0) AS BIGINT) * 512)
                           + 1024) / 10240.0) AS BIGINT) * 10240 AS tar_bytes,
                md5(string_agg(out_name, ',' ORDER BY req_idx)) AS entries_md5
@@ -1109,8 +1116,9 @@ def j1b_mixed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH {_MIXED_JOIN_SQL}
         SELECT CAST(floor(req_idx / 250.0) AS BIGINT) AS batch_id,
                count(*) AS n_entries,
-               sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END) AS n_missing,
-               sum(size) AS payload_bytes,
+               CAST(sum(CASE WHEN status <> 'ok' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_missing,
+               CAST(sum(size) AS BIGINT) AS payload_bytes,
                CAST(ceil((sum(512 + CAST(ceil(size / 512.0) AS BIGINT) * 512)
                           + 1024) / 10240.0) AS BIGINT) * 10240 AS tar_bytes,
                md5(string_agg(out_name, ',' ORDER BY req_idx)) AS entries_md5
@@ -1263,7 +1271,8 @@ _QELEM = (
 
 _DOTS_SQL = f"""
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         sum({_QELEM.format(side='q')} * {_QELEM.format(side='c')}) AS dot
+         CAST(sum({_QELEM.format(side='q')} * {_QELEM.format(side='c')})
+           AS BIGINT) AS dot
   FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q,
        embeddings c, range(1, 65) t(i)
   WHERE c.vec_id <> q.vec_id
@@ -1333,7 +1342,8 @@ def ann2_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dots AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum({_QELEM.format(side='q')} * {_QELEM.format(side='c')}) AS dot
+                 CAST(sum({_QELEM.format(side='q')} * {_QELEM.format(side='c')})
+                   AS BIGINT) AS dot
           FROM bq q JOIN bc c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id,
                range(1, 65) t(i)
           GROUP BY 1, 2
@@ -1797,10 +1807,10 @@ def s4_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.with_catalogs(
         """
         SELECT member,
-               COALESCE(sum(30 + length(member) + psz)
-                        OVER (ORDER BY member
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND 1 PRECEDING), 0) AS zoffset,
+               CAST(COALESCE(sum(30 + length(member) + psz)
+                             OVER (ORDER BY member
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS zoffset,
                psz AS size
         FROM (
           SELECT member,
@@ -1830,7 +1840,7 @@ def s4b_zip_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.with_catalogs(
         """
         SELECT CAST(floor((cum - size) / 2097152.0) AS BIGINT) AS shard_id,
-               count(*) AS n_items, sum(size) AS bytes,
+               count(*) AS n_items, CAST(sum(size) AS BIGINT) AS bytes,
                min(member) AS first_item, max(member) AS last_item
         FROM (
           SELECT member, size,
@@ -1874,8 +1884,8 @@ def a3_job_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.col("event_type").alias("job_kind")).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_workers"),
-        F.expr("min(ts) div 1000").alias("first_us"),
-        F.expr("max(ts) div 1000").alias("last_us"),
+        F.min(F.expr(ntz_micros_sql("ts"))).alias("first_us"),
+        F.max(F.expr(ntz_micros_sql("ts"))).alias("last_us"),
     )
 
 
@@ -1950,7 +1960,8 @@ def s6_remote_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p4_archive_append",
     oracles.with_catalogs(
         f"""
-        SELECT shard, count(*) AS n_members, sum(psz) AS payload_bytes,
+        SELECT shard, count(*) AS n_members,
+               CAST(sum(psz) AS BIGINT) AS payload_bytes,
                {_TAR_SIZE_SQL} AS tar_bytes,
                md5(string_agg(member, ',' ORDER BY member, size)) AS entries_md5
         FROM (
@@ -2064,10 +2075,10 @@ def d2s_sort_content_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH dots AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             sum(CAST(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
-                            * 10000, 0) AS BIGINT)
-               * CAST(round(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
-                            * 10000, 0) AS BIGINT)) AS dot
+             CAST(sum(CAST(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                                 * 10000, 0) AS BIGINT)
+                    * CAST(round(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                                 * 10000, 0) AS BIGINT)) AS BIGINT) AS dot
       FROM embeddings a, embeddings b, range(1, 65) t(i)
       WHERE a.vec_id < b.vec_id
       GROUP BY 1, 2
@@ -2361,7 +2372,7 @@ def ev1_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can't run a stream; the window math is identical)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        F.expr("ts div 3600000000000").alias("hour_bucket"),
+        F.expr(f"{ntz_micros_sql('ts')} div 3600000000").alias("hour_bucket"),
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
@@ -2390,7 +2401,8 @@ def ev1_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT centroid_id, count(*) AS n_vecs,
-           min(dot) AS min_dot, max(dot) AS max_dot
+           CAST(min(dot) AS BIGINT) AS min_dot,
+           CAST(max(dot) AS BIGINT) AS max_dot
     FROM assigned WHERE rn = 1 GROUP BY centroid_id
     """,
 )
@@ -2584,7 +2596,8 @@ def dd6_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dots AS (
       SELECT cd.query_id, cd.neighbor_id,
-             sum({_QELEM.format(side='q')} * {_QELEM.format(side='n')}) AS dot
+             CAST(sum({_QELEM.format(side='q')} * {_QELEM.format(side='n')})
+               AS BIGINT) AS dot
       FROM cand cd
       JOIN embeddings q ON q.vec_id = cd.query_id
       JOIN embeddings n ON n.vec_id = cd.neighbor_id, range(1, 65) t(i)
@@ -2644,7 +2657,7 @@ def ev2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same session boundaries the applyInPandasWithState operator
     emits once the stream drains)."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("t_us")
+        "user_id", "event_id", F.expr(ntz_micros_sql("ts")).alias("t_us")
     )
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     lag = F.lag("t_us").over(w)
@@ -2685,7 +2698,7 @@ def ev2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         per_mount AS (
           SELECT mountpath, count(*) AS n_objects,
-                 sum(size) AS used_bytes
+                 CAST(sum(size) AS BIGINT) AS used_bytes
           FROM placed GROUP BY 1
         )
         SELECT mountpath, n_objects, used_bytes,
@@ -2730,8 +2743,10 @@ def a4_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT bucket,
                count(*) AS n_meta_kept,
-               sum(CASE WHEN cached THEN 1 ELSE 0 END) AS n_evicted,
-               sum(CASE WHEN cached THEN size ELSE 0 END) AS bytes_freed
+               CAST(sum(CASE WHEN cached THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_evicted,
+               CAST(sum(CASE WHEN cached THEN size ELSE 0 END) AS BIGINT)
+                 AS bytes_freed
         FROM objects GROUP BY bucket
         """,
         "objects",
@@ -2906,8 +2921,8 @@ def g2_coloc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon AS (SELECT cks, min(doc_id) AS canonical FROM q GROUP BY 1)
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM q JOIN canon ON q.cks = canon.cks AND q.doc_id = canon.canonical
     WHERE n_tokens >= 20 AND n_stop * 100 >= n_tokens
     GROUP BY 1, 2

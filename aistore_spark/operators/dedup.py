@@ -382,4 +382,15 @@ def dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Returning non-fixpoint labels would silently split one
+        # duplicate group into several (documents kept that should
+        # have been deduped). A >max_iter diameter means the pair
+        # graph has long chains — not the star-shaped clusters near-dup
+        # verification produces — so surface it instead of guessing.
+        raise RuntimeError(
+            f"dup_groups did not converge within {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter or "
+            "checkpoint intermediate labels"
+        )
     return labels.select("doc_id", F.col("label").alias("group_id"))

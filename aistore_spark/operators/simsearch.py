@@ -250,11 +250,21 @@ def blocked_pairs_above(
     ).select("bi", "bj", F.lit("b").alias("_role"), "_id", "_q")
 
     def cell_mm(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Diagonality comes from the CELL KEY, never from which roles
+        # showed up: a sparse id distribution can leave a cross cell
+        # with only a-rows (empty bj block), and treating that as a
+        # diagonal cell would re-emit the (bi, bi) pairs — duplicates.
+        diagonal = bool(pdf["bi"].iat[0] == pdf["bj"].iat[0])
         a = pdf[pdf["_role"] == "a"]
-        b = pdf[pdf["_role"] == "b"]
-        diagonal = not len(b)
-        if diagonal:
-            b = a
+        b = a if diagonal else pdf[pdf["_role"] == "b"]
+        if not len(a) or not len(b):
+            return pd.DataFrame(
+                {
+                    "vec_a": np.array([], dtype=np.int64),
+                    "vec_b": np.array([], dtype=np.int64),
+                    "dot": np.array([], dtype=np.int64),
+                }
+            )
         A = np.array(list(a["_q"]), dtype=np.int64)
         ai = a["_id"].to_numpy(dtype=np.int64)
         B = np.array(list(b["_q"]), dtype=np.int64)

@@ -212,16 +212,19 @@ def repetition_stats(
     No window, no collect, no Python.
     """
     ws = F.split(F.col("text"), " ")
+    # zip_with pads the shorter side with null; concat_ws would SKIP the
+    # null and emit the bare last word as a phantom bigram (n_bigrams ==
+    # n_words), so build the gram with a null-propagating when+concat
     bigrams = F.filter(
         F.zip_with(
             ws,
             F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
-            lambda a, b: F.concat_ws(" ", a, b),
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
         ),
         lambda x: x.isNotNull(),
     )
-    # zip_with pads the shorter side with null; concat_ws skips nulls, so
-    # guard trigram tails explicitly by length instead
     base = documents.select("doc_id", ws.alias("ws"), bigrams.alias("g2"))
 
     w1 = (
@@ -280,12 +283,18 @@ def repetition_stats(
     )
     joined = w1.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
     ok_w = F.col("top_word_n") * 100 <= F.col("n_words") * max_top_word_pct
-    ok_b = F.col("dup_bigram_occ") * 100 <= F.col("n_bigrams") * max_dup_bigram_pct
+    # single-word docs have no bigrams at all (null after the left
+    # join): vacuously ok, not null-propagated into `keep`
+    ok_b = (
+        F.coalesce("dup_bigram_occ", F.lit(0)) * 100
+        <= F.coalesce("n_bigrams", F.lit(0)) * max_dup_bigram_pct
+    )
     ok_t = F.coalesce(F.col("dup_trigram_occ"), F.lit(0)) <= max_dup_trigram_occ
     return joined.select(
         "doc_id",
         "n_words",
         "top_word_n",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.coalesce("top_bigram_n", F.lit(0)).cast("bigint").alias("top_bigram_n"),
         F.coalesce("dup_bigram_occ", F.lit(0)).cast("bigint").alias("dup_bigram_occ"),
         F.coalesce("dup_trigram_occ", F.lit(0))

@@ -161,9 +161,11 @@ class TokenBucket:
     deficit. Clock/sleep injectable so tests run on virtual time.
     """
 
-    def __init__(self, bytes_per_hour: int, clock=None, sleep=None):
+    def __init__(self, bytes_per_hour: float, clock=None, sleep=None):
         import time
 
+        if bytes_per_hour <= 0:
+            raise ValueError("bytes_per_hour must be > 0 for a throttled bucket")
         self.rate = bytes_per_hour / 3600.0  # bytes per second
         self.burst = self.rate
         self.clock = clock or time.monotonic
@@ -201,7 +203,10 @@ def execute_download(
     ``ext/dload/api.go:70-73``).
     """
     plan = plan.repartition(connections)
-    per_stream = bytes_per_hour / max(connections, 1)
+    # clamp to >= 1 byte/hour per stream: a job limit below the stream
+    # count would otherwise int-truncate to a zero-rate bucket and the
+    # first throttle() divides by zero
+    per_stream = max(bytes_per_hour / max(connections, 1), 1.0)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bucket = None
@@ -209,7 +214,7 @@ def execute_download(
             bucket = (
                 bucket_factory(per_stream)
                 if bucket_factory
-                else TokenBucket(int(per_stream))
+                else TokenBucket(per_stream)
             )
         for pdf in batches:
             data = []

@@ -25,10 +25,11 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark refuses it unless
-        # nanos are read as int64. Runtime-settable SQL conf — set it
-        # here too (not only in session.py) so queries also work on a
-        # caller-provided SparkSession (the driver's harness).
+        # events.ts is parquet TIMESTAMP(MICROS) today (reads as
+        # TIMESTAMP_NTZ); earlier driver testdata used TIMESTAMP(NANOS),
+        # which Spark refuses unless nanos are read as int64. Keep the
+        # no-op-on-micros conf so a nanos-era regeneration still loads
+        # (tests/test_fixture_schemas.py pins the expected dtypes).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

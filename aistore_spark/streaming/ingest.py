@@ -25,10 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from aistore_spark.util import ntz_micros_sql
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 unix-nanos (see session.py)
+        T.StructField("ts", T.TimestampNTZType()),  # timestamp[us] parquet
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -38,7 +40,14 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_events(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over the events table (nanos → timestamp)."""
+    """File-source stream over the events table.
+
+    The NTZ ``ts`` is normalized at the boundary: ``ts`` becomes int64
+    unix-nanos (what the stateful sessionizer's gap math consumes) and
+    ``event_time`` a real TIMESTAMP for watermarks/windows — both via
+    the TZ-free micros conversion so a non-UTC session TZ can't shift
+    window boundaries vs the batch mirrors.
+    """
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", files_per_trigger)
@@ -47,11 +56,10 @@ def stream_events(spark: SparkSession, sf_dir: str, files_per_trigger: int = 1) 
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # `ts div 1000` (exact integer division) — float division loses
-    # precision above 2^53 ns (~1984-era int64 nanos already exceed it),
-    # which could drift event_time by ~1µs across window boundaries and
-    # break parity with the batch mirror (benchqueries uses `div` too).
-    return raw.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    us = ntz_micros_sql("ts")
+    return raw.withColumn("event_time", F.timestamp_micros(F.expr(us))).withColumn(
+        "ts", F.expr(f"({us}) * 1000")
+    )
 
 
 def windowed_event_counts(

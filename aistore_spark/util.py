@@ -4,6 +4,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+
+def ntz_micros_sql(col: str = "ts") -> str:
+    """SQL expression: epoch-microseconds of a TIMESTAMP_NTZ column,
+    timezone-free.
+
+    ``unix_micros(cast(ntz as timestamp))`` silently applies the Spark
+    *session* timezone during the cast, so the same data would hash
+    differently against the DuckDB oracle's naive ``epoch_us(ts)``
+    whenever the session TZ isn't UTC. ``timestampdiff`` between two
+    NTZ values never consults the session TZ.
+    """
+    return (
+        "timestampdiff(MICROSECOND, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
 #: frames pinned by operators whose plans re-reference an expensive
 #: subtree (two-pass rank/cumsum, shingle self-joins). Callers run
 #: :func:`release_cached` after materializing downstream results.

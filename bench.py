@@ -46,15 +46,25 @@ def main() -> None:
     # min of 2 runs per query: wall-clock on a shared host is noisy
     # (first-run JIT, page cache, neighbor load); the min is the
     # reproducible cost of the plan itself.
+    # One failing query must not erase the whole perf artifact (a
+    # testdata schema drift did exactly that in BENCH_r03: rc=1, no
+    # numbers). Record the error per-query and keep going.
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+            finally:
+                release_cached()
             best = min(best, time.time() - t0)
-            release_cached()
-        per_query[name] = round(best, 3)
+        if name not in errors:
+            per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
 
@@ -63,10 +73,14 @@ def main() -> None:
     # dsort records/sec, listing rows/sec, archive members packed/sec
     from aistore_spark.sources.tables import load_table
 
-    n_requests = load_table(spark, sf_dir, "events").count()
-    n_members = load_table(spark, sf_dir, "lineitem").count()
-    n_docs = load_table(spark, sf_dir, "documents").count()
-    derived = {}
+    derived: dict[str, float] = {}
+    try:
+        n_requests = load_table(spark, sf_dir, "events").count()
+        n_members = load_table(spark, sf_dir, "lineitem").count()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+    except Exception as exc:  # noqa: BLE001
+        errors["_derived"] = f"{type(exc).__name__}: {exc}"[:200]
+        n_requests = n_members = n_docs = 0
     if per_query.get("g1_assemble_batches"):
         derived["get_batch_entries_per_sec"] = round(
             n_requests / per_query["g1_assemble_batches"], 1
@@ -94,6 +108,8 @@ def main() -> None:
         "derived": derived,
         "sf": sf,
     }
+    if errors:
+        full["errors"] = errors
     # Full artifact (all queries) goes to a file; the stdout line must
     # stay under the driver's 2000-char tail capture or it records
     # `parsed: null` (seen in BENCH_r01.json). Print compact JSON and,

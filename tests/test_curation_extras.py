@@ -77,3 +77,19 @@ def test_decontaminate_self_is_total(spark, sf_dir):
     ).count()
     out = dedup.decontaminate(docs, docs, n=4)
     assert out.count() == n_elig
+
+
+def test_repetition_stats_bigram_count_is_words_minus_one(spark):
+    """Regression: zip_with pads the shorter slice with null and
+    concat_ws SKIPS nulls, so the old bigram builder emitted the bare
+    last word as a phantom n-th bigram (n_bigrams == n_words)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x"), (3, "p q p q")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert out[1].n_words == 4 and out[1].n_bigrams == 3
+    assert out[2].n_words == 1 and out[2].n_bigrams == 0
+    # "p q p q": bigrams [p q, q p, p q] -> 'p q' twice = 2 dup occurrences
+    assert out[3].n_bigrams == 3
+    assert out[3].dup_bigram_occ == 2

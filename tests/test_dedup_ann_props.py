@@ -183,3 +183,42 @@ def test_ivfpq_full_probe_equals_pq_adc(spark):
     assert sorted(map(tuple, ivfpq.collect())) == sorted(
         map(tuple, flat.collect())
     )
+
+
+def test_blocked_pairs_sparse_ids_no_duplicate_emission(spark):
+    """Regression: when every id hashes to the same block, the cross
+    cells (bi, bj>bi) receive a-rows but ZERO b-rows. Diagonality must
+    come from the cell key — inferring it from an empty b side re-runs
+    the diagonal matmul in every sparse cross cell and emits each pair
+    n_blocks times."""
+    n_blocks = 5
+    ids = [i * n_blocks for i in range(8)]  # all ≡ 0 (mod n_blocks)
+    rows = [(i, [float(i % 3 + 1)] * 4) for i in ids]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = simsearch.blocked_pairs_above(
+        emb, threshold=0, n_blocks=n_blocks
+    ).collect()
+    keys = [(r.vec_a, r.vec_b) for r in got]
+    assert len(keys) == len(set(keys)), "duplicate pair emission"
+    want = {
+        (r.vec_a, r.vec_b): r.dot
+        for r in simsearch.block_pairs_above(emb, threshold=0).collect()
+    }
+    assert {(r.vec_a, r.vec_b): r.dot for r in got} == want
+    assert len(want) == 8 * 7 // 2
+
+
+def test_dup_groups_raises_on_non_convergence(spark):
+    """A chain 0-1-2-...-n has diameter n; min-label propagation needs
+    ~n rounds. Under-budgeted max_iter must raise, not return labels
+    that silently split the single group."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_groups(chain, max_iter=3)
+    labels = dedup.dup_groups(chain, max_iter=25).collect()
+    assert {r.group_id for r in labels} == {0}
+    assert len(labels) == 13

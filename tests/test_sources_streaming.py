@@ -374,3 +374,35 @@ def test_streaming_dedup_bounded_state(spark, sf_dir, tmp_path):
     assert sorted(r.checksum for r in kept) == sorted(
         r.checksum for r in batch
     )
+
+
+def test_download_throttle_job_limit_below_stream_count(spark):
+    """Regression: 0 < bytes_per_hour < connections used to build a
+    zero-rate bucket (int truncation) and divide by zero on the first
+    throttle. The per-stream share clamps to >= 1 B/h instead."""
+    from aistore_spark.sources.downloader import (
+        TokenBucket,
+        execute_download,
+        fake_fetch,
+        range_job_plan,
+    )
+
+    plan = range_job_plan(spark, "http://data.example.com/c/p-{00..03}.bin")
+
+    def factory(per_stream):
+        assert per_stream > 0
+        return TokenBucket(per_stream, clock=lambda: 0.0, sleep=lambda s: None)
+
+    out = execute_download(
+        plan,
+        fetch=fake_fetch,
+        connections=8,
+        bytes_per_hour=3,  # < connections
+        bucket_factory=factory,
+    ).collect()
+    assert len(out) == 4
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        TokenBucket(0)

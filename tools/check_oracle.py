@@ -5,11 +5,17 @@ DuckDB over the same parquet tables, then compares row count, column
 set, and the full (order-insensitive) value multiset. Exact equality —
 the driver hashes values, so "close" is not good enough.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes a driver-ledger-shaped artifact (per-query
+rows/schema/hash flags) covering EVERY registered query — the driver's
+own ledger caps at the first 50, so this file is the hard correctness
+signal for the rest.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 from pathlib import Path
@@ -40,8 +46,13 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
 
@@ -54,31 +65,61 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    ledger: dict[str, dict] = {}
     failed = []
     for name, fn in sorted(qs.items()):
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        ledger[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            rec["err"] = f"spark: {exc}"[:300]
             failed.append(name)
             continue
+        rec["spark_rows"] = len(sdf)
         osql = oracles.get(name)
         if osql is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            rec["err"] = "no oracle (rows-only by design)"
             continue
         try:
             odf = con.sql(osql).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
+            rec["err"] = f"duckdb: {exc}"[:300]
             failed.append(name)
             continue
         dt = time.time() - t0
-        if sorted(sdf.columns) != sorted(odf.columns):
+        rec["oracle_rows"] = len(odf)
+        rec["rows_match"] = len(sdf) == len(odf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        if not rec["schema_match"]:
             print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             failed.append(name)
             continue
-        if len(sdf) != len(odf):
+        # The driver hashes raw values, so pandas dtype drift (DuckDB
+        # HUGEINT sums -> float64 vs Spark int64: 123.0 vs 123) is a
+        # hash mismatch even when values compare equal in Python.
+        dt_bad = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in sorted(sdf.columns)
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+        ]
+        if dt_bad:
+            print(f"FAIL  {name}: dtype mismatch (spark vs duckdb): {dt_bad}")
+            rec["err"] = f"dtype: {dt_bad}"[:300]
+            failed.append(name)
+            continue
+        if not rec["rows_match"]:
             print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
             failed.append(name)
             continue
@@ -88,10 +129,14 @@ def main() -> int:
             print(f"FAIL  {name}: values differ at sorted-row {bad}:")
             print(f"      spark : {a[bad]}")
             print(f"      duckdb: {b[bad]}")
+            rec["err"] = "value mismatch"
             failed.append(name)
             continue
+        rec["hash_match"] = True
         print(f"ok    {name}: {len(sdf)} rows  cols={list(sorted(sdf.columns))} ({dt:.1f}s)")
 
+    if json_out:
+        Path(json_out).write_text(json.dumps(ledger, indent=2) + "\n")
     print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
     return 1 if failed else 0
 
