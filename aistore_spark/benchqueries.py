@@ -1836,6 +1836,40 @@ def s4b_zip_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s4c_lz4_listing",
+    oracles.with_catalogs(
+        """
+        SELECT member,
+               CAST(512 + COALESCE(
+                 sum(512 + CAST(ceil(psz / 512.0) AS BIGINT) * 512)
+                   OVER (ORDER BY member
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS toffset,
+               psz AS size
+        FROM (
+          SELECT member,
+                 length(member || ':' || min(key_str)) AS psz
+          FROM members
+          WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-0000%'
+          GROUP BY member
+        )
+        """,
+        "members",
+    ),
+)
+def s4c_lz4_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 over a real TAR.LZ4 shard: pack into lz4-framed tar bytes
+    (pure-Python LZ4 frame codec), decompress, list back with payload
+    offsets in the decompressed stream, cross-checked against the
+    analytic USTAR layout (cmn/archive/mime.go:25-29)."""
+    sel = _members(spark, sf_dir).filter(
+        (F.col("shard") == "shard-00042.tar")
+        & F.col("member").startswith("rec-0000")
+    )
+    return archive.tar_lz4_round_trip_listing(sel)
+
+
+@register(
     "d5_reshard",
     oracles.with_catalogs(
         """

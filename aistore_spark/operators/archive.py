@@ -217,6 +217,45 @@ def zip_round_trip_listing(members: DataFrame) -> DataFrame:
     )
 
 
+def tar_lz4_round_trip_listing(members: DataFrame) -> DataFrame:
+    """S4-family over a real TAR.LZ4: pack the selected members into an
+    actual lz4-framed tar via :func:`build_tar_lz4` (pure-Python LZ4,
+    ``functions/lz4frame.py``), decompress, and list members back with
+    their payload offsets in the DECOMPRESSED tar stream — the seek
+    points a ranged extract uses after inflate
+    (``cmn/archive/mime.go:25-29`` / ``cmn/archive/read.go:137-165``).
+
+    The oracle re-derives the USTAR layout arithmetically:
+    ``toffset_i = 512 + sum_{j<i} (512 + ceil(size_j/512)*512)`` — any
+    drift in the tar writer (extended headers) or the lz4 round-trip
+    breaks the match.
+    """
+    sel = members.groupBy("member").agg(F.min("key_str").alias("key_str"))
+    schema = "member string, toffset bigint, size bigint"
+
+    def pack_expand(pdf: pd.DataFrame) -> pd.DataFrame:
+        from aistore_spark.functions import lz4frame
+
+        pdf = pdf.sort_values("member", kind="mergesort")
+        payloads = [
+            synth_payload(m, k) for m, k in zip(pdf["member"], pdf["key_str"])
+        ]
+        blob = build_tar_lz4(list(pdf["member"]), payloads)
+        rows: dict[str, list] = {"member": [], "toffset": [], "size": []}
+        with tarfile.open(fileobj=io.BytesIO(lz4frame.decompress(blob))) as tar:
+            for info in tar.getmembers():
+                rows["member"].append(info.name)
+                rows["toffset"].append(info.offset_data)
+                rows["size"].append(info.size)
+        return pd.DataFrame(rows)
+
+    return (
+        sel.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: pack_expand(pdf), schema=schema)
+    )
+
+
 def build_tgz(names: list[str], payloads: list[bytes]) -> bytes:
     """TAR.GZ shard: deterministic (zeroed gzip mtime, fixed level)."""
     import gzip
@@ -238,14 +277,12 @@ def build_zip(names: list[str], payloads: list[bytes]) -> bytes:
 
 
 def build_tar_lz4(names: list[str], payloads: list[bytes]) -> bytes:
-    """TAR.LZ4 shard — lz4 binding not in this runtime; gated."""
-    try:
-        import lz4.frame  # type: ignore[import-not-found]
-    except ImportError as exc:
-        raise NotImplementedError(
-            "lz4 is not installed in this runtime; use tar/tgz/zip"
-        ) from exc
-    return lz4.frame.compress(build_tar(names, payloads))
+    """TAR.LZ4 shard (``cmn/archive/mime.go:25-29`` lists it first-
+    class). Uses the in-repo pure-Python LZ4 frame codec — deterministic
+    output regardless of whether a native binding is installed."""
+    from aistore_spark.functions import lz4frame
+
+    return lz4frame.compress(build_tar(names, payloads))
 
 
 ARCHIVE_BUILDERS = {

@@ -71,13 +71,9 @@ def _iter_members(name: str, content: bytes, with_bytes: bool):
     """
     mime = detect_mime(name, content)
     if mime == ".tar.lz4":
-        try:
-            import lz4.frame  # type: ignore[import-not-found]
-        except ImportError as exc:  # pragma: no cover - lib-gated
-            raise NotImplementedError(
-                "lz4 is not installed in this runtime; tar/tgz/zip only"
-            ) from exc
-        content, mime = lz4.frame.decompress(content), ".tar"
+        from aistore_spark.functions import lz4frame
+
+        content, mime = lz4frame.decompress(content), ".tar"
     if mime == ".zip":
         with zipfile.ZipFile(io.BytesIO(content)) as zf:
             for info in zf.infolist():
@@ -107,9 +103,9 @@ def expand_archive_members(
     binary_df: DataFrame, with_bytes: bool = True
 ) -> DataFrame:
     """S4/P5: one row per file inside each archive object, uniformly
-    for TAR / TGZ / TAR.GZ / ZIP / TAR.LZ4 (lib-gated) — the
-    reference's listable-shard MIME set (``cmn/archive/mime.go:25-29``,
-    read modes ``cmn/archive/read.go:137-165``).
+    for TAR / TGZ / TAR.GZ / ZIP / TAR.LZ4 (pure-Python frame codec) —
+    the reference's listable-shard MIME set (``cmn/archive/mime.go:
+    25-29``, read modes ``cmn/archive/read.go:137-165``).
     """
     schema = MEMBER_SCHEMA if with_bytes else MEMBER_META_SCHEMA
 

@@ -71,13 +71,12 @@ def test_pack_members_builds_real_tars(spark, sf_dir):
 
 
 def test_all_archive_formats_roundtrip():
-    """Format parity with cmn/archive/mime.go:25-29 (TAR/TGZ/ZIP;
-    TAR.LZ4 gated on the lz4 binding)."""
+    """Format parity with cmn/archive/mime.go:25-29 — the full MIME set
+    TAR/TGZ/ZIP/TAR.LZ4 round-trips through real bytes."""
     import gzip
     import zipfile
 
-    import pytest
-
+    from aistore_spark.functions import lz4frame
     from aistore_spark.operators.archive import build_tar_lz4, build_tgz, build_zip
 
     names = [f"r/{i:03d}.bin" for i in range(10)]
@@ -94,5 +93,11 @@ def test_all_archive_formats_roundtrip():
         assert zf.namelist() == names
         assert all(zf.read(n) == p for n, p in zip(names, payloads))
 
-    with pytest.raises(NotImplementedError):
-        build_tar_lz4(names, payloads)
+    tl4 = build_tar_lz4(names, payloads)
+    assert tl4 == build_tar_lz4(names, payloads), "tar.lz4 must be deterministic"
+    with tarfile.open(fileobj=io.BytesIO(lz4frame.decompress(tl4))) as tar:
+        assert [m.name for m in tar.getmembers()] == names
+        assert all(
+            tar.extractfile(m).read() == p
+            for m, p in zip(tar.getmembers(), payloads)
+        )
