@@ -211,14 +211,38 @@ def test_blocked_pairs_sparse_ids_no_duplicate_emission(spark):
 def test_dup_groups_raises_on_non_convergence(spark):
     """A chain 0-1-2-...-n has diameter n; min-label propagation needs
     ~n rounds. Under-budgeted max_iter must raise, not return labels
-    that silently split the single group."""
+    that silently split the single group. (local_edges_threshold=0
+    forces the distributed path.)"""
     import pytest
 
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "doc_a bigint, doc_b bigint"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_groups(chain, max_iter=3)
-    labels = dedup.dup_groups(chain, max_iter=25).collect()
+        dedup.dup_groups(chain, max_iter=3, local_edges_threshold=0)
+    labels = dedup.dup_groups(
+        chain, max_iter=25, local_edges_threshold=0
+    ).collect()
     assert {r.group_id for r in labels} == {0}
     assert len(labels) == 13
+
+
+def test_dup_groups_local_and_distributed_paths_agree(spark):
+    """The driver union-find fast path and the iterative label
+    propagation must emit identical (doc_id, group_id) labels —
+    min doc id per component on both."""
+    edges = [(0, 5), (5, 9), (20, 21), (21, 22), (22, 20), (40, 41)]
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    local = {
+        (r.doc_id, r.group_id) for r in dedup.dup_groups(pairs).collect()
+    }
+    dist = {
+        (r.doc_id, r.group_id)
+        for r in dedup.dup_groups(pairs, local_edges_threshold=0).collect()
+    }
+    assert local == dist
+    assert local == {
+        (0, 0), (5, 0), (9, 0),
+        (20, 20), (21, 20), (22, 20),
+        (40, 40), (41, 40),
+    }
