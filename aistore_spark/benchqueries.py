@@ -335,6 +335,58 @@ def a5_duplicate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summary.duplicate_records(_members(spark, sf_dir))
 
 
+@register(
+    "a6_size_percentiles",
+    oracles.with_catalogs(
+        """
+        WITH ranked AS (
+          SELECT bucket, size,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY size, name) AS rn,
+                 count(*) OVER (PARTITION BY bucket) AS n
+          FROM objects
+        )
+        SELECT bucket,
+               CAST(max(n) AS BIGINT) AS n_objects,
+               max(CASE WHEN rn = (n * 50 + 99) // 100 THEN size END) AS p50,
+               max(CASE WHEN rn = (n * 90 + 99) // 100 THEN size END) AS p90,
+               max(CASE WHEN rn = (n * 99 + 99) // 100 THEN size END) AS p99
+        FROM ranked GROUP BY bucket
+        """,
+        "objects",
+    ),
+)
+def a6_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference A-family telemetry: exact discrete size
+    percentiles per bucket (p50/p90/p99 = the ceil(p*n/100)-th smallest
+    size, integer-exact rank arithmetic so both engines pick the same
+    element; ties broken by name for determinism).
+
+    Plan shape: one per-bucket window sort — the same partitioned
+    total-order cost class as dsort's phase; at 100 TB switch the
+    ranking to the two-pass range-partitioned global rank or to
+    approx_percentile when ±epsilon is acceptable."""
+    objects = _objects(spark, sf_dir)
+    w = Window.partitionBy("bucket").orderBy("size", "name")
+    ranked = objects.select(
+        "bucket",
+        "size",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("bucket")).alias("n"),
+    )
+
+    def pick(p: int):
+        at = F.expr(f"(n * {p} + 99) div 100")
+        return F.max(F.when(F.col("rn") == at, F.col("size"))).alias(f"p{p}")
+
+    return ranked.groupBy("bucket").agg(
+        F.max("n").cast("bigint").alias("n_objects"),
+        pick(50),
+        pick(90),
+        pick(99),
+    )
+
+
 # ---- F: selection predicates -------------------------------------------------
 
 
@@ -2717,6 +2769,39 @@ def ev2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("t_us").alias("session_end_us"),
             F.count("*").alias("n_events"),
         )
+    )
+
+
+@register(
+    "ev3_props_rollup",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                         AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                         AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                                    AS BIGINT)) AS BIGINT) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def ev3_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured telemetry extraction: parse the JSON ``props``
+    column with ``from_json`` (JVM-side, scan-speed — no Python, no
+    UDF) and roll up the extracted metric per event type. The oracle
+    re-extracts the field with a regex so it carries no JSON-extension
+    dependency."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k bigint").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
     )
 
 
