@@ -7,6 +7,8 @@ from __future__ import annotations
 import random
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from aistore_spark.functions import lz4frame
 
@@ -92,3 +94,22 @@ def test_tar_lz4_expand_path(spark):
     )
     assert [r.member for r in rows] == names
     assert [bytes(r.bytes) for r in rows] == payloads
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000))
+def test_block_round_trip_property(data):
+    assert lz4frame.decompress_block(lz4frame.compress_block(data)) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.binary(min_size=1, max_size=40), st.integers(1, 400)),
+        max_size=20,
+    )
+)
+def test_frame_round_trip_repetitive_property(chunks):
+    # repetitive inputs drive the match/offset/overlap paths hard
+    data = b"".join(piece * reps for piece, reps in chunks)
+    assert lz4frame.decompress(lz4frame.compress(data)) == data
