@@ -3137,8 +3137,11 @@ def ann6_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s2b_atime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/§2.11: render-time atime formatting — listings return times
     through a caller-chosen format string (api/apc/lsmsg.go:215-217,
-    default RFC822). date_format on a UTC session is codegen'd; the
-    formatted string is projection-only, never a filter/join key."""
+    default RFC822). Formatting goes through TIMESTAMP_NTZ built by
+    timestampadd from the NTZ epoch — timezone-free, so a driver
+    session with a non-UTC TZ renders the same string the naive DuckDB
+    make_timestamp does (timestamp_micros would render in session TZ).
+    Codegen'd projection-only column, never a filter/join key."""
     return (
         _objects(spark, sf_dir)
         .filter(F.col("bucket") == "ais://src7")
@@ -3146,7 +3149,10 @@ def s2b_atime_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name",
             "size",
             F.date_format(
-                F.timestamp_micros(F.expr("atime_ns div 1000")),
+                F.expr(
+                    "timestampadd(MICROSECOND, atime_ns div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
                 "dd MMM yyyy HH:mm:ss",
             ).alias("atime_str"),
         )
