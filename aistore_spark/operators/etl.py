@@ -61,6 +61,21 @@ def t_decompress(data: bytes, path: str, args: str) -> bytes:
     return gzip.decompress(data)
 
 
+def t_compress_lz4(data: bytes, path: str, args: str) -> bytes:
+    """LZ4-frame compression via the in-repo pure-Python codec
+    (functions/lz4frame.py) — deterministic output, reference compress
+    transformer's lz4 mode (ext/etl docs list compress algorithms)."""
+    from aistore_spark.functions import lz4frame
+
+    return lz4frame.compress(data)
+
+
+def t_decompress_lz4(data: bytes, path: str, args: str) -> bytes:
+    from aistore_spark.functions import lz4frame
+
+    return lz4frame.decompress(data)
+
+
 def t_prepend(data: bytes, path: str, args: str) -> bytes:
     """Prepend etl_args (demonstrates per-request args plumbing)."""
     return args.encode("utf-8") + data
@@ -205,6 +220,8 @@ CANNED: dict[str, TransformFn] = {
     "hash": t_xxhash,
     "compress": t_compress,
     "decompress": t_decompress,
+    "compress_lz4": t_compress_lz4,
+    "decompress_lz4": t_decompress_lz4,
     "prepend": t_prepend,
     "path_info": t_path_info,
     "tar2tf": t_tar2tf,

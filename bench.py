@@ -85,6 +85,11 @@ def main() -> None:
         derived["get_batch_entries_per_sec"] = round(
             n_requests / per_query["g1_assemble_batches"], 1
         )
+    if per_query.get("j1_get_batch"):
+        # plain-object band (no tar assembly): docs/get_batch.md:574
+        derived["get_batch_plain_objects_per_sec"] = round(
+            n_requests / per_query["j1_get_batch"], 1
+        )
     if per_query.get("dsort_pipeline"):
         derived["dsort_members_per_sec"] = round(
             n_members / per_query["dsort_pipeline"], 1

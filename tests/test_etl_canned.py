@@ -70,3 +70,18 @@ def test_lib_gated_stubs_raise():
                  "ffmpeg_audio", "face_detection"):
         with pytest.raises(NotImplementedError):
             CANNED[name](b"x", "p", "")
+
+
+def test_compress_lz4_round_trip_and_pipeline():
+    """compress_lz4/decompress_lz4 use the in-repo LZ4 frame codec;
+    composed as a pipeline they must be identity, and the compressed
+    form must be a valid LZ4 frame (magic 0x184D2204)."""
+    from aistore_spark.operators.etl import resolve
+
+    data = b"training-record " * 4096
+    comp = CANNED["compress_lz4"](data, "p", "")
+    assert comp[:4] == bytes.fromhex("04224d18")  # LE magic
+    assert len(comp) < len(data) // 10
+    assert CANNED["decompress_lz4"](comp, "p", "") == data
+    ident = resolve(["compress_lz4", "decompress_lz4"])
+    assert ident(data, "p", "") == data
