@@ -3084,6 +3084,75 @@ def pipe1_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe2_export_shards",
+    """
+    WITH q AS (
+      SELECT doc_id, md5(text) AS cks, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> list_contains(['the','a','of','and',
+                                                      'is','to','in'], w)))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    canon AS (SELECT cks, min(doc_id) AS canonical FROM q GROUP BY 1),
+    kept AS (
+      SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+             n_chars AS bytes
+      FROM q JOIN canon ON q.cks = canon.cks AND q.doc_id = canon.canonical
+      WHERE n_tokens >= 20 AND n_stop * 100 >= n_tokens
+    ),
+    r AS (
+      SELECT doc_key, bytes,
+             sum(bytes) OVER (ORDER BY doc_key
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM kept
+    )
+    SELECT CAST(floor((cum - bytes) / 65536.0) AS BIGINT) AS shard_id,
+           count(*) AS n_items, CAST(sum(bytes) AS BIGINT) AS bytes,
+           min(doc_key) AS first_item, max(doc_key) AS last_item
+    FROM r GROUP BY 1
+    """,
+)
+def pipe2_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data EXPORT — the reason this engine exists,
+    as ONE declarative plan: exact-dedup (keep canonical) → quality
+    gate (pipe1's integer rules) → pack survivors into 64 KiB output
+    shards in deterministic doc order (dsort's two-pass
+    range-partitioned cumsum, D6) → shard build manifest. The
+    reference needs dsort + ETL + archive xactions chained by an
+    operator; here Catalyst fuses the dedup semi-join, the quality
+    filter, and the packing into one pipeline with two shuffles
+    (dedup hash, range exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = dedup.exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    q = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("bytes"),
+        F.size(words).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    kept = (
+        q.join(d, "doc_id", "left_semi")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_stop") * 100 >= F.col("n_tokens"))
+        )
+        .select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("doc_key"),
+            "bytes",
+        )
+    )
+    packed = dsort.pack_shards(kept, ["doc_key"], "bytes", shard_size=1 << 16)
+    return dsort.shard_manifest(packed, item_col="doc_key", size_col="bytes")
+
+
+@register(
     "ann6_kmeans_step",
     f"""
     WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings

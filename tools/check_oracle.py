@@ -89,6 +89,9 @@ def main() -> int:
         osql = oracles.get(name)
         if osql is None:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
+            # rows-only by declared design (e.g. j4 xxhash64 placement):
+            # null flags = not-applicable, NOT a failed comparison
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
             rec["err"] = "no oracle (rows-only by design)"
             continue
         try:
