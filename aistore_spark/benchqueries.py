@@ -2297,6 +2297,69 @@ def tx5_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx7_repetition_stats",
+    f"""
+    WITH wp AS ({{wp}}),
+    w1 AS (SELECT doc_id, word, count(*) AS c FROM wp GROUP BY 1, 2),
+    wtop AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_n,
+             CAST(sum(c) AS BIGINT) AS n_words
+      FROM w1 GROUP BY 1
+    ),
+    bg AS (
+      SELECT a.doc_id AS doc_id, a.word || ' ' || b.word AS g
+      FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    g2 AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    b2 AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n,
+             CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS dup_bigram_occ,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM g2 GROUP BY 1
+    ),
+    tg AS (
+      SELECT a.doc_id AS doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS g
+      FROM wp a
+      JOIN wp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN wp c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    g3 AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+    b3 AS (
+      SELECT doc_id,
+             CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+               AS dup_trigram_occ
+      FROM g3 GROUP BY 1
+    )
+    SELECT w.doc_id AS doc_id, w.n_words AS n_words,
+           w.top_word_n AS top_word_n,
+           COALESCE(b2.n_bigrams, 0) AS n_bigrams,
+           COALESCE(b2.top_bigram_n, 0) AS top_bigram_n,
+           COALESCE(b2.dup_bigram_occ, 0) AS dup_bigram_occ,
+           COALESCE(b3.dup_trigram_occ, 0) AS dup_trigram_occ,
+           w.top_word_n * 100 <= w.n_words * 10 AS ok_top_word,
+           COALESCE(b2.dup_bigram_occ, 0) * 100
+             <= COALESCE(b2.n_bigrams, 0) * 5 AS ok_dup_bigram,
+           COALESCE(b3.dup_trigram_occ, 0) <= 0 AS ok_dup_trigram,
+           (w.top_word_n * 100 <= w.n_words * 10
+            AND COALESCE(b2.dup_bigram_occ, 0) * 100
+                  <= COALESCE(b2.n_bigrams, 0) * 5
+            AND COALESCE(b3.dup_trigram_occ, 0) <= 0) AS keep
+    FROM wtop w
+    LEFT JOIN b2 ON w.doc_id = b2.doc_id
+    LEFT JOIN b3 ON w.doc_id = b3.doc_id
+    """.format(wp=_WP_SQL),
+)
+def tx7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021 §A1.1): top-word
+    share, duplicated-bigram occurrence share, duplicated-trigram
+    occurrences — integer cross-multiplied rule bits, fully JVM-side
+    (explode + two keyed aggs; no window, no Python)."""
+    return text.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "t3_multiobj_transform",
     oracles.with_catalogs(
         """
