@@ -256,3 +256,35 @@ def group_records(members: DataFrame) -> DataFrame:
         F.array_join(F.sort_array(F.collect_list("ext")), ",").alias("exts"),
         F.sum("bytes").alias("total_bytes"),
     )
+
+
+def salted_join(
+    hot: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread each hot key over ``n_salts`` tasks.
+
+    The hot (fact) side gets a deterministic salt — a hash of the whole
+    row, so re-runs place rows identically (never ``rand()``) — and the
+    dim side is replicated across every salt value; joining on
+    ``(key, salt)`` yields exactly the plain ``key`` join, but a viral
+    key's rows land in ``n_salts`` tasks instead of one straggler.
+
+    When to reach for it at 100 TB: a hot shard dominating the
+    get-batch join, a viral document's LSH bucket, an EKM rule that
+    routes half the corpus. AQE's skew-split handles sort-merge skew at
+    runtime; this primitive is for hash joins where the dim side is too
+    big to broadcast but cheap to replicate ``n_salts``-fold, and for
+    deterministic task sizing. Cost: dim side × n_salts shuffle rows.
+    """
+    hot_cols = [c for c in hot.columns]
+    salted_hot = hot.withColumn(
+        "_salt", F.pmod(F.xxhash64(*hot_cols), F.lit(n_salts))
+    )
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    salted_dim = dim.withColumn("_salt", F.explode(salts))
+    out = salted_hot.join(salted_dim, [key, "_salt"], how)
+    return out.drop("_salt")

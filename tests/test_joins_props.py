@@ -86,3 +86,25 @@ def test_mixed_join_naming_and_inner_mode(spark, sf_dir):
     inner = get_batch_join_mixed(reqs, members, continue_on_err=False)
     assert inner.filter(F.col("status") != "ok").count() == 0
     assert inner.count() == full.filter(F.col("status") == "ok").count()
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be result-identical to the plain equi-join on a
+    skewed key distribution (one key holding half the fact side)."""
+    from aistore_spark.operators.joins import salted_join
+
+    hot = spark.createDataFrame(
+        [("k0" if i % 2 == 0 else f"k{i % 7}", i) for i in range(2000)],
+        "key string, val bigint",
+    )
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"d{i}") for i in range(7)], "key string, attr string"
+    )
+    plain = {
+        (r.key, r.val, r.attr) for r in hot.join(dim, "key").collect()
+    }
+    salted = {
+        (r.key, r.val, r.attr)
+        for r in salted_join(hot, dim, "key", n_salts=8).collect()
+    }
+    assert salted == plain and len(plain) == 2000
