@@ -1689,6 +1689,35 @@ def mm4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm5_wav_decode",
+    """
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(2 AS BIGINT) AS sample_width,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(800 + doc_id % 800 AS BIGINT) AS n_frames,
+           CAST((800 + doc_id % 800) // 8 AS BIGINT) AS duration_ms,
+           CAST(1000 + doc_id % 9000 AS BIGINT) AS rms,
+           CAST(44 + 2 * (800 + doc_id % 800) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def mm5_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, no stub: synthesize genuine 16-bit PCM WAV
+    containers (stdlib wave writer; square wave parameterized by
+    doc_id), then parse them back with the stdlib wave reader and
+    compute integer-exact signal stats. The oracle re-derives every
+    field analytically — frame count, 44-byte header size, and RMS
+    (= amplitude exactly, square wave) — so drift anywhere in the
+    synth→encode→decode→stats chain breaks the hash."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id")
+    wavs = multimodal.synth_wav_frame(ids)
+    return multimodal.decode_wav_meta(wavs)
+
+
 # ---- DS/S4/D5/A3/T6: downloader, archive listing, reshard, stats --------------
 
 

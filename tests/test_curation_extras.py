@@ -93,3 +93,39 @@ def test_repetition_stats_bigram_count_is_words_minus_one(spark):
     # "p q p q": bigrams [p q, q p, p q] -> 'p q' twice = 2 dup occurrences
     assert out[3].n_bigrams == 3
     assert out[3].dup_bigram_occ == 2
+
+
+def test_wav_decode_real_codec(spark):
+    """decode_wav_meta parses genuine stdlib-written WAV bytes; RMS of
+    a square wave equals its amplitude exactly, and stereo containers
+    decode with the right channel count."""
+    import io
+    import struct
+    import wave
+
+    from aistore_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(3,), (10,)], "doc_id bigint")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_wav_meta(
+            multimodal.synth_wav_frame(ids)
+        ).collect()
+    }
+    assert out[3].rms == 1000 + 3 and out[3].n_frames == 800 + 3
+    assert out[10].n_bytes == 44 + 2 * (800 + 10)
+    assert out[10].duration_ms == (800 + 10) * 1000 // 8000
+
+    # stereo, hand-built: 4 frames of (1000, -1000) per channel
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(struct.pack("<8h", *([1000, -1000] * 4)))
+    stereo = spark.createDataFrame(
+        [(99, buf.getvalue())], "doc_id bigint, wav binary"
+    )
+    r = multimodal.decode_wav_meta(stereo).collect()[0]
+    assert r.n_channels == 2 and r.sample_rate == 16000
+    assert r.n_frames == 4 and r.rms == 1000
