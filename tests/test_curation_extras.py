@@ -129,3 +129,24 @@ def test_wav_decode_real_codec(spark):
     r = multimodal.decode_wav_meta(stereo).collect()[0]
     assert r.n_channels == 2 and r.sample_rate == 16000
     assert r.n_frames == 4 and r.rms == 1000
+
+
+def test_bmp_decode_real_codec(spark):
+    """decode_bmp_meta parses genuine struct-packed BMP bytes; channel
+    means of a solid-color image equal the color exactly, and the
+    stride math survives widths that need row padding."""
+    from aistore_spark.operators import multimodal
+
+    # width 4+5%61=9 -> 3*9=27 -> stride 28 (padded); blue=5, red=65
+    ids = spark.createDataFrame([(5,), (60,)], "doc_id bigint")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_bmp_meta(
+            multimodal.synth_bmp_frame(ids)
+        ).collect()
+    }
+    assert out[5].width == 9 and out[5].row_stride == 28
+    assert out[5].mean_blue == 5 and out[5].mean_red == 65
+    assert out[60].mean_blue == 60 and out[60].mean_red == (60 * 13) % 256
+    for r in out.values():
+        assert r.n_bytes == 54 + r.row_stride * r.height
