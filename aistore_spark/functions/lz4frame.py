@@ -151,25 +151,38 @@ def compress_block(src: bytes) -> bytes:
 
 
 def decompress_block(src: bytes) -> bytes:
-    """LZ4 block decoding per the public block format."""
+    """LZ4 block decoding per the public block format.
+
+    Every read is bounds-checked: truncated or malformed blocks raise
+    ``ValueError('truncated LZ4 stream')`` instead of surfacing as
+    ``struct.error``/``IndexError`` or silently short output.
+    """
     out = bytearray()
     i = 0
     n = len(src)
+
+    def _need(k: int) -> None:
+        if i + k > n:
+            raise ValueError("truncated LZ4 stream")
+
     while i < n:
         token = src[i]
         i += 1
         lit_len = token >> 4
         if lit_len == 15:
             while True:
+                _need(1)
                 b = src[i]
                 i += 1
                 lit_len += b
                 if b != 255:
                     break
+        _need(lit_len)
         out += src[i : i + lit_len]
         i += lit_len
         if i >= n:
             break  # last sequence: literals only
+        _need(2)
         (offset,) = struct.unpack_from("<H", src, i)
         i += 2
         if offset == 0:
@@ -177,6 +190,7 @@ def decompress_block(src: bytes) -> bytes:
         match_len = (token & 0xF) + _MIN_MATCH
         if token & 0xF == 15:
             while True:
+                _need(1)
                 b = src[i]
                 i += 1
                 match_len += b
@@ -229,15 +243,24 @@ def decompress(data: bytes) -> bytes:
     out = bytearray()
     i = 0
     n = len(data)
+
+    def _need(at: int, k: int) -> None:
+        if at + k > n:
+            raise ValueError("truncated LZ4 stream")
+
     while i < n:
+        _need(i, 4)
         (magic,) = struct.unpack_from("<I", data, i)
         i += 4
         if _SKIP_MIN <= magic <= _SKIP_MAX:
+            _need(i, 4)
             (sz,) = struct.unpack_from("<I", data, i)
+            _need(i + 4, sz)
             i += 4 + sz
             continue
         if magic != MAGIC:
             raise ValueError(f"not an LZ4 frame (magic {magic:#x})")
+        _need(i, 2)
         flg = data[i]
         bd = data[i + 1]
         i += 2
@@ -254,18 +277,23 @@ def decompress(data: bytes) -> bytes:
         if has_dict_id:
             i += 4
         i += 1  # header checksum byte
+        _need(i, 0)
         while True:
+            _need(i, 4)
             (bsz,) = struct.unpack_from("<I", data, i)
             i += 4
             if bsz == 0:
                 break
             raw = bool(bsz & 0x80000000)
             bsz &= 0x7FFFFFFF
+            _need(i, bsz)
             chunk = data[i : i + bsz]
             i += bsz
             if has_block_cks:
+                _need(i, 4)
                 i += 4
             out += chunk if raw else decompress_block(chunk)
         if has_content_cks:
+            _need(i, 4)
             i += 4
     return bytes(out)

@@ -279,7 +279,22 @@ def salted_join(
     runtime; this primitive is for hash joins where the dim side is too
     big to broadcast but cheap to replicate ``n_salts``-fold, and for
     deterministic task sizing. Cost: dim side × n_salts shuffle rows.
+
+    Only inner/left-flavored joins are supported: the dim side is
+    replicated ``n_salts`` times, so right/full-outer would emit each
+    unmatched dim row once per salt replica (spurious null-extended
+    rows) — those modes raise instead of silently miscounting.
     """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported (dim side is replicated "
+            f"per salt; only inner/left-flavored joins are exact): {sorted(allowed)}"
+        )
     hot_cols = [c for c in hot.columns]
     salted_hot = hot.withColumn(
         "_salt", F.pmod(F.xxhash64(*hot_cols), F.lit(n_salts))

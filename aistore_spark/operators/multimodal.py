@@ -242,10 +242,28 @@ def decode_wav_meta(
                     nch, sw, sr = (
                         w.getnchannels(), w.getsampwidth(), w.getframerate()
                     )
+                    if sr <= 0:
+                        raise ValueError(f"WAV sample rate {sr} <= 0")
                     nf = w.getnframes()
-                    pcm = np.frombuffer(
-                        w.readframes(nf), dtype="<i2"
-                    ).astype(np.int64)
+                    raw = w.readframes(nf)
+                # dtype must follow the container's sample width —
+                # decoding 8/24/32-bit PCM as '<i2' yields garbage stats
+                if sw == 1:  # 8-bit PCM is unsigned, midpoint 128
+                    pcm = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+                elif sw == 2:
+                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                elif sw == 3:  # 24-bit: assemble + sign-extend
+                    b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                    pcm = (
+                        b[:, 0].astype(np.int64)
+                        | (b[:, 1].astype(np.int64) << 8)
+                        | (b[:, 2].astype(np.int64) << 16)
+                    )
+                    pcm -= (pcm >> 23) << 24
+                elif sw == 4:
+                    pcm = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+                else:
+                    raise ValueError(f"unsupported WAV sample width {sw}")
                 sq = int((pcm * pcm).sum())
                 rows["doc_id"].append(int(doc_id))
                 rows["n_channels"].append(nch)

@@ -131,6 +131,26 @@ def test_wav_decode_real_codec(spark):
     assert r.n_frames == 4 and r.rms == 1000
 
 
+def test_wav_decode_8bit_width(spark):
+    """Regression: PCM dtype must follow sample_width — an 8-bit WAV
+    decoded as '<i2' yields garbage stats. 8-bit PCM is unsigned with
+    midpoint 128, so ±100 around it gives RMS exactly 100."""
+    import io
+    import wave
+
+    from aistore_spark.operators import multimodal
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([228, 28] * 8))
+    df = spark.createDataFrame([(7, buf.getvalue())], "doc_id bigint, wav binary")
+    r = multimodal.decode_wav_meta(df).collect()[0]
+    assert r.sample_width == 1 and r.n_frames == 16 and r.rms == 100
+
+
 def test_bmp_decode_real_codec(spark):
     """decode_bmp_meta parses genuine struct-packed BMP bytes; channel
     means of a solid-color image equal the color exactly, and the

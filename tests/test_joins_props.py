@@ -108,3 +108,27 @@ def test_salted_join_equals_plain_join(spark):
         for r in salted_join(hot, dim, "key", n_salts=8).collect()
     }
     assert salted == plain and len(plain) == 2000
+
+    # left outer stays exact too: unmatched hot rows null-extend once
+    hot2 = hot.unionByName(
+        spark.createDataFrame([("k99", -1)], "key string, val bigint")
+    )
+    left = {
+        (r.key, r.val, r.attr)
+        for r in salted_join(hot2, dim, "key", how="left", n_salts=8).collect()
+    }
+    assert left == plain | {("k99", -1, None)}
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Regression: the dim side is replicated per salt, so right/full
+    outer would emit spurious null-extended rows — must raise."""
+    import pytest
+
+    from aistore_spark.operators.joins import salted_join
+
+    hot = spark.createDataFrame([("a", 1)], "key string, val bigint")
+    dim = spark.createDataFrame([("a", "x")], "key string, attr string")
+    for how in ("right", "full", "full_outer", "right_outer", "cross"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(hot, dim, "key", how=how)

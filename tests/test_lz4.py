@@ -96,6 +96,37 @@ def test_tar_lz4_expand_path(spark):
     assert [bytes(r.bytes) for r in rows] == payloads
 
 
+def test_truncated_streams_raise_value_error():
+    """Regression: truncated/malformed input must raise a consistent
+    ValueError, never struct.error / IndexError / silent short output."""
+    frame = lz4frame.compress(b"the quick brown fox " * 500)
+    for cut in (2, 5, 7, len(frame) // 2, len(frame) - 1):
+        with pytest.raises(ValueError):
+            lz4frame.decompress(frame[:cut])
+    # truncated blocks: ValueError, or a clean prefix decode when the
+    # cut happens to land on a sequence boundary — never struct/Index
+    block = lz4frame.compress_block(b"abcd" * 600)
+    for cut in range(len(block)):
+        try:
+            lz4frame.decompress_block(block[:cut])
+        except ValueError:
+            pass
+    # oversized literal run: token declares 15+ext literals, body short
+    with pytest.raises(ValueError):
+        lz4frame.decompress_block(bytes([0xF0, 200]) + b"x" * 10)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_arbitrary_bytes_never_crash_unsafely(junk):
+    """Decoder total on garbage: ValueError or a successful decode,
+    nothing else."""
+    try:
+        lz4frame.decompress_block(junk)
+    except ValueError:
+        pass
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=2000))
 def test_block_round_trip_property(data):

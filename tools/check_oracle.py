@@ -27,6 +27,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from aistore_spark.session import get_spark
 from aistore_spark.sources.tables import TABLES
+from aistore_spark.util import release_cached
 
 
 def canon(df: pd.DataFrame) -> list[tuple]:
@@ -85,6 +86,10 @@ def main() -> int:
             rec["err"] = f"spark: {exc}"[:300]
             failed.append(name)
             continue
+        finally:
+            # queries pin frames (m9 warmed catalog, shingle subtrees);
+            # release per query like bench.py, or they leak across the run
+            release_cached()
         rec["spark_rows"] = len(sdf)
         osql = oracles.get(name)
         if osql is None:
