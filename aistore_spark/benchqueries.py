@@ -1284,10 +1284,24 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH wp AS ({_WP_SQL}),
         sh AS ({_SHINGLES_SQL}),
+        mh AS (
+          SELECT doc_id, CAST(r AS INT) AS band,
+                 min(md5(CAST(r AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh, range(0, 8) t(r)
+          GROUP BY doc_id, r
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mh a
+          JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
+                    AND a.doc_id < b.doc_id
+        ),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         common AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          SELECT c.doc_a, c.doc_b, count(*) AS common
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
           GROUP BY 1, 2
         )
         SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b
@@ -1300,11 +1314,17 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup verify stage: exact word-3-gram Jaccard >= 1/20,
-    integer-exact threshold (no float division)."""
-    return dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold_num=1,
-        threshold_den=20,
+    """Near-dup pipeline as-registered at scale: MinHash-LSH candidate
+    generation (dd3's bucketed join — shuffle keys (band, minhash))
+    composed with the exact word-3-gram Jaccard verify >= 1/20 on the
+    candidate pairs only — work is O(candidates × shingles/doc), never
+    the corpus-wide shingle self-join (that all-pairs form,
+    dedup.ngram_jaccard_pairs, stays as the test-only oracle of the
+    verifier; see tests/test_dedup_ann_props.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.lsh_candidate_pairs(docs, bands=8, n=3)
+    return dedup.jaccard_verify(
+        docs, cands, n=3, threshold_num=1, threshold_den=20
     )
 
 

@@ -157,6 +157,59 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    documents: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on *candidates* pairs — the
+    verify stage of the scale pipeline (``lsh_candidate_pairs`` →
+    ``jaccard_verify``). Same integer threshold semantics and output
+    columns as :func:`ngram_jaccard_pairs`, but the shingle self-join
+    is replaced by routing shingles through the candidate pair list:
+
+    1. shingles are semi-joined to docs that appear in any candidate
+       (at corpus scale this drops ~everything — candidates are sparse);
+    2. each candidate pair joins doc_a's shingles, then inner-joins
+       doc_b's on (doc_b, shingle) — the common count per pair.
+
+    Shuffle keys are doc ids and (doc, shingle); work is O(candidate
+    pairs × shingles-per-doc), never O(corpus²) — hot shingles cannot
+    quadratically explode because pairs are fixed by the LSH stage.
+    """
+    cand = candidates.select("doc_a", "doc_b")
+    docs_in = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = pin(
+        shingles(documents, n=n).join(docs_in, "doc_id", "left_semi")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("common") * threshold_den
+            >= (F.col("n_a") + F.col("n_b") - F.col("common")) * threshold_num
+        )
+        .select("doc_a", "doc_b", "common", "n_a", "n_b")
+    )
+
+
 def minhash_bands(documents: DataFrame, bands: int = 8, n: int = 3) -> DataFrame:
     """Per-doc MinHash signature, one row per band: the band's hash is
     ``min(md5(band || '|' || shingle))``. r=1 row per band (bands
@@ -328,10 +381,27 @@ def simhash_pairs(
     )
 
 
+def _local_edge_budget(spark) -> int:
+    """Edge count the driver union-find may collect: sized from
+    ``spark.driver.memory`` (numpy peak is ~64 B/edge through
+    unique/searchsorted; budget 256 B/edge for slack), clamped to
+    [500k, 8M] so a mis-set config can neither disable the fast path
+    nor OOM the driver."""
+    mem = spark.conf.get("spark.driver.memory", "2g") or "2g"
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    m = mem.strip().lower()
+    try:
+        mult = units.get(m[-1], 1)
+        nbytes = int(float(m[:-1] if m[-1] in units else m)) * mult
+    except ValueError:
+        nbytes = 2 << 30
+    return max(500_000, min(8_000_000, nbytes // 256))
+
+
 def dup_groups(
     pairs: DataFrame,
     max_iter: int = 25,
-    local_edges_threshold: int = 4_000_000,
+    local_edges_threshold: int | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs — the grouping
     step of a dedup pipeline: verified pairs (from :func:`simhash_pairs`
@@ -342,12 +412,17 @@ def dup_groups(
     Hybrid strategy (the standard CC cutover):
 
     - **Small graph** (≤ ``local_edges_threshold`` edges, counted on
-      the already-materialized edge frame): union-find on the driver.
-      Verified near-dup graphs are sparse — edges ≈ O(actual dups) —
-      so even a billion-doc corpus with 1% dup chains often lands
-      here, and a bounded two-int-column collect replaces
-      diameter-many distributed rounds of pure scheduling overhead
-      (profiled: 900-node graph, 9 rounds, >10× the local cost).
+      the already-materialized edge frame; default derived from
+      ``spark.driver.memory`` via :func:`_local_edge_budget`, clamped
+      to [500k, 8M]): array union-find on the driver. The edge list
+      arrives as two int64 numpy arrays via Arrow (``toPandas``) —
+      ~16 B/edge plus bounded temporaries, never per-row ``Row``
+      objects — so the fast path costs tens of MB, not GB, of driver
+      heap. Verified near-dup graphs are sparse — edges ≈ O(actual
+      dups) — so even a billion-doc corpus with 1% dup chains often
+      lands here, and the bounded collect replaces diameter-many
+      distributed rounds of pure scheduling overhead (profiled:
+      900-node graph, 9 rounds, >10× the local cost).
     - **Large graph**: iterative min-label propagation — every node
       repeatedly takes the minimum label over itself and its
       neighbors until fixpoint. Each round is one edge join + one
@@ -368,25 +443,37 @@ def dup_groups(
     )
     edges = edges.distinct().localCheckpoint(eager=True)
 
+    if local_edges_threshold is None:
+        local_edges_threshold = _local_edge_budget(pairs.sparkSession)
     if edges.count() <= local_edges_threshold:
-        rows = edges.collect()
-        parent: dict[int, int] = {}
+        import numpy as np
+        import pandas as pd
+
+        pdf = edges.toPandas()  # Arrow transfer: two int64 columns
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        nodes = np.unique(src)  # edges are doubled, so src covers all
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        parent = np.arange(len(nodes), dtype=np.int64)
 
         def find(x: int) -> int:
             root = x
-            while parent.get(root, root) != root:
+            while parent[root] != root:
                 root = parent[root]
-            while parent.get(x, x) != x:  # path compression
+            while parent[x] != x:  # path compression
                 parent[x], x = root, parent[x]
             return root
 
-        for row in rows:
-            ra, rb = find(row.src), find(row.dst)
+        for a, b in zip(si.tolist(), di.tolist()):
+            ra, rb = find(a), find(b)
             if ra != rb:
-                lo, hi = min(ra, rb), max(ra, rb)
-                parent[hi] = lo  # min root wins -> min-label groups
-        nodes = sorted({r.src for r in rows})  # edges are doubled
-        out = [(doc, find(doc)) for doc in nodes]
+                # min node id wins -> min-label groups (nodes sorted,
+                # so the smaller index IS the smaller doc_id)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+        out = pd.DataFrame({"doc_id": nodes, "group_id": nodes[roots]})
         return pairs.sparkSession.createDataFrame(
             out, "doc_id bigint, group_id bigint"
         )

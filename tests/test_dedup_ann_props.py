@@ -246,3 +246,51 @@ def test_dup_groups_local_and_distributed_paths_agree(spark):
         (20, 20), (21, 20), (22, 20),
         (40, 40), (41, 40),
     }
+
+
+def test_local_edge_budget_derived_from_driver_memory(spark):
+    """The fast-path threshold scales with spark.driver.memory and is
+    clamped to [500k, 8M] — a mis-set config can neither disable the
+    local path nor let it OOM the driver."""
+    budget = dedup._local_edge_budget(spark)
+    assert 500_000 <= budget <= 8_000_000
+    mem = spark.conf.get("spark.driver.memory", "2g") or "2g"
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    m = mem.strip().lower()
+    nbytes = int(float(m[:-1])) * units[m[-1]] if m[-1] in units else int(m)
+    assert budget == max(500_000, min(8_000_000, nbytes // 256))
+
+
+def test_jaccard_verify_equals_allpairs_on_candidates(spark):
+    """The registered dd2 composition (LSH candidates -> jaccard_verify)
+    must equal the all-pairs oracle (ngram_jaccard_pairs) restricted to
+    the candidate pair set — the all-pairs form is the test-only oracle
+    of the verifier, never the registered plan."""
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    for i in range(30):
+        words = base.split()
+        if i % 3 == 0:
+            words[i % len(words)] = f"w{i}"  # near-dup of base
+        elif i % 3 == 1:
+            words = [f"u{i}_{j}" for j in range(12)]  # unique doc
+        texts.append((i, " ".join(words)))
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+
+    cands = dedup.lsh_candidate_pairs(docs, bands=8, n=3)
+    composed = {
+        (r.doc_a, r.doc_b): (r.common, r.n_a, r.n_b)
+        for r in dedup.jaccard_verify(
+            docs, cands, n=3, threshold_num=1, threshold_den=20
+        ).collect()
+    }
+    cand_set = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    allpairs = {
+        (r.doc_a, r.doc_b): (r.common, r.n_a, r.n_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=3, threshold_num=1, threshold_den=20
+        ).collect()
+        if (r.doc_a, r.doc_b) in cand_set
+    }
+    assert composed == allpairs
+    assert composed  # non-vacuous: the near-dups must surface
