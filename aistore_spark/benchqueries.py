@@ -1811,12 +1811,59 @@ def mm6_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id), parse them back (header fields + stride-aware numpy pixel
     fold) and report integer-exact channel means. Oracle re-derives
     width/height/stride/means/file-size analytically — a drifting
-    writer or reader breaks the hash. Complements mm5 (WAV audio);
-    compressed formats (JPEG/PNG video) stay lib-gated."""
+    writer or reader breaks the hash. Complements mm5 (WAV audio) and
+    mm7 (compressed PNG)."""
     ids = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 4 == 1
     ).select("doc_id")
     return multimodal.decode_bmp_meta(multimodal.synth_bmp_frame(ids))
+
+
+@register(
+    "mm7_png_decode",
+    """
+    WITH ids AS (
+      SELECT doc_id, 4 + doc_id % 29 AS w, 5 + doc_id % 17 AS h
+      FROM documents WHERE doc_id % 5 = 2
+    ),
+    red AS (
+      SELECT doc_id, sum((doc_id + x.r) % 256) AS rsum
+      FROM ids, range(0, 32) x(r) WHERE x.r < w GROUP BY doc_id
+    ),
+    grn AS (
+      SELECT doc_id, sum((3 * doc_id + 7 * y.r) % 256) AS gsum
+      FROM ids, range(0, 32) y(r) WHERE y.r < h GROUP BY doc_id
+    )
+    SELECT i.doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(1 AS BIGINT) AS n_idat,
+           CAST(rsum // w AS BIGINT) AS mean_red,
+           CAST(gsum // h AS BIGINT) AS mean_green,
+           CAST((w + h - 2) // 2 AS BIGINT) AS mean_blue,
+           CAST(w * h AS BIGINT) AS n_pixels
+    FROM ids i JOIN red USING (doc_id) JOIN grn USING (doc_id)
+    """,
+)
+def mm7_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, no stub and no image library:
+    synthesize genuine PNGs (stdlib zlib deflate; every image cycles
+    all five spec scanline filters — None/Sub/Up/Average/Paeth — with a
+    gradient pattern that makes each filter's output non-trivial), then
+    decode them back: CRC-verified chunk walk, zlib inflate, per-
+    scanline unfilter, integer-exact channel means. The oracle
+    re-derives width/height/means analytically from the pixel formula
+    ((doc_id+x)%256, (3*doc_id+7*y)%256, (x+y)%256), so a bug in
+    either the filter encode or the unfilter decode breaks the hash
+    unless it cancels bit-for-bit across all five filter types.
+    Closes the reference's image-ETL surface
+    (python sdk etl_templates transforms) for compressed formats."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 2
+    ).select("doc_id")
+    return multimodal.decode_png_meta(multimodal.synth_png_frame(ids))
 
 
 # ---- DS/S4/D5/A3/T6: downloader, archive listing, reshard, stats --------------

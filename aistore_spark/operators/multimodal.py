@@ -376,3 +376,230 @@ def synth_bmp_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(run, schema="doc_id bigint, img binary")
+
+
+# ---- real compressed-image codec (stdlib PNG: zlib + scanline filters) ----
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+PNG_META_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, bit_depth bigint, "
+    "color_type bigint, n_idat bigint, mean_red bigint, mean_green bigint, "
+    "mean_blue bigint, n_pixels bigint"
+)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic 8-bit truecolor PNG with REAL compression and
+    REAL scanline filtering: pixel (x, y) is
+    ``(R, G, B) = ((doc_id + x) % 256, (3*doc_id + 7*y) % 256,
+    (x + y) % 256)`` and scanline y is encoded with filter type
+    ``y % 5`` — all five spec filters (None/Sub/Up/Average/Paeth) are
+    exercised in every image, so a decoder that mishandles any one of
+    them cannot reproduce the analytic channel sums."""
+    import struct
+    import zlib
+
+    w = 4 + doc_id % 29
+    h = 5 + doc_id % 17
+    raw_rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (doc_id + x) % 256,
+                    (3 * doc_id + 7 * y) % 256,
+                    (x + y) % 256,
+                )
+            )
+        raw_rows.append(bytes(row))
+    stream = bytearray()
+    bpp = 3
+    prior = bytes(bpp * w)
+    for y, row in enumerate(raw_rows):
+        ft = y % 5
+        stream.append(ft)
+        if ft == 0:
+            stream += row
+        elif ft == 1:  # Sub
+            stream += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif ft == 2:  # Up
+            stream += bytes(
+                (row[i] - prior[i]) & 0xFF for i in range(len(row))
+            )
+        elif ft == 3:  # Average
+            stream += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prior[i]) // 2)
+                & 0xFF
+                for i in range(len(row))
+            )
+        else:  # Paeth
+            stream += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(row))
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_meta(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "img"
+) -> DataFrame:
+    """REAL compressed-image decode, no stub and no image library:
+    walk the chunk stream (CRC-verified), inflate IDAT with stdlib
+    ``zlib``, reverse the per-scanline filters (all five spec types —
+    None/Sub/Up/Average/Paeth) and fold the reconstructed truecolor
+    array into integer-exact channel means. This is the mapInPandas
+    stage a Pillow decoder drops into; PNG proves the compressed-format
+    path end-to-end the way mm5/mm6 proved WAV/BMP.
+
+    Supports the synthesizable profile: 8-bit truecolor (color type 2),
+    non-interlaced. Anything else raises rather than mis-decoding.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def unfilter(stream: bytes, w: int, h: int, bpp: int = 3) -> np.ndarray:
+        rowlen = bpp * w
+        out = np.zeros((h, rowlen), dtype=np.uint8)
+        pos = 0
+        for y in range(h):
+            ft = stream[pos]
+            pos += 1
+            cur = bytearray(stream[pos : pos + rowlen])
+            pos += rowlen
+            if len(cur) != rowlen:
+                raise ValueError("truncated PNG pixel stream")
+            prior = out[y - 1] if y else np.zeros(rowlen, dtype=np.uint8)
+            if ft == 0:
+                pass
+            elif ft == 1:  # Sub
+                for i in range(bpp, rowlen):
+                    cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for i in range(rowlen):
+                    cur[i] = (cur[i] + prior[i]) & 0xFF
+            elif ft == 3:  # Average
+                for i in range(rowlen):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    cur[i] = (cur[i] + (left + int(prior[i])) // 2) & 0xFF
+            elif ft == 4:  # Paeth
+                for i in range(rowlen):
+                    left = cur[i - bpp] if i >= bpp else 0
+                    ul = int(prior[i - bpp]) if i >= bpp else 0
+                    cur[i] = (cur[i] + _paeth(left, int(prior[i]), ul)) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ft}")
+            out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "bit_depth", "color_type",
+                "n_idat", "mean_red", "mean_green", "mean_blue", "n_pixels",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(blob)
+                if data[:8] != PNG_SIGNATURE:
+                    raise ValueError("not a PNG")
+                pos = 8
+                idat = bytearray()
+                n_idat = 0
+                w = h = depth = ctype = None
+                while pos < len(data):
+                    (clen,) = struct.unpack_from(">I", data, pos)
+                    cname = data[pos + 4 : pos + 8]
+                    body = data[pos + 8 : pos + 8 + clen]
+                    (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+                    if zlib.crc32(cname + body) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"PNG chunk CRC mismatch in {cname!r}")
+                    pos += 12 + clen
+                    if cname == b"IHDR":
+                        w, h, depth, ctype, _comp, _filt, inter = (
+                            struct.unpack(">IIBBBBB", body)
+                        )
+                        if depth != 8 or ctype != 2 or inter != 0:
+                            raise ValueError(
+                                "unsupported PNG profile (need 8-bit "
+                                f"truecolor non-interlaced): depth={depth} "
+                                f"color_type={ctype} interlace={inter}"
+                            )
+                    elif cname == b"IDAT":
+                        idat += body
+                        n_idat += 1
+                    elif cname == b"IEND":
+                        break
+                if w is None:
+                    raise ValueError("PNG missing IHDR")
+                px = unfilter(zlib.decompress(bytes(idat)), w, h)
+                rgb = px.reshape(h, w, 3).astype(np.int64)
+                n = w * h
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bit_depth"].append(depth)
+                rows["color_type"].append(ctype)
+                rows["n_idat"].append(n_idat)
+                rows["mean_red"].append(int(rgb[:, :, 0].sum()) // n)
+                rows["mean_green"].append(int(rgb[:, :, 1].sum()) // n)
+                rows["mean_blue"].append(int(rgb[:, :, 2].sum()) // n)
+                rows["n_pixels"].append(n)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PNG_META_SCHEMA)
+
+
+def synth_png_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real synthesized PNG binary column per id row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "img": [synth_png(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return ids.mapInPandas(run, schema="doc_id bigint, img binary")

@@ -151,6 +151,77 @@ def test_wav_decode_8bit_width(spark):
     assert r.sample_width == 1 and r.n_frames == 16 and r.rms == 100
 
 
+def test_png_decode_real_codec(spark):
+    """decode_png_meta parses genuine zlib-deflated PNG bytes: CRC
+    check, inflate, and all five scanline unfilters (each synth image
+    cycles None/Sub/Up/Average/Paeth per row)."""
+    from aistore_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(2,), (57,)], "doc_id bigint")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_png_meta(
+            multimodal.synth_png_frame(ids)
+        ).collect()
+    }
+    # doc 2: w=4+2%29=6, h=5+2%17=7
+    assert out[2].width == 6 and out[2].height == 7
+    assert out[2].bit_depth == 8 and out[2].color_type == 2
+    assert out[2].mean_red == sum((2 + x) % 256 for x in range(6)) // 6
+    assert out[2].mean_green == sum((6 + 7 * y) % 256 for y in range(7)) // 7
+    assert out[2].mean_blue == (6 + 7 - 2) // 2
+    assert out[57].n_pixels == (4 + 57 % 29) * (5 + 57 % 17)
+
+
+def test_png_decode_independent_encoder_and_corruption(spark):
+    """The decoder must accept PNGs from ANY conforming encoder (here:
+    an independent filter-0-only writer with multiple IDAT chunks) and
+    must reject corrupt bytes (CRC flip) rather than mis-decode."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from aistore_spark.operators import multimodal
+
+    w, h = 5, 4
+    pix = bytes((x * 40 + y * 11) % 256 for y in range(h) for x in range(w * 3))
+    stream = b"".join(
+        b"\x00" + pix[y * 3 * w : (y + 1) * 3 * w] for y in range(h)
+    )
+    comp = zlib.compress(stream)
+    mid = len(comp) // 2
+    blob = (
+        multimodal.PNG_SIGNATURE
+        + multimodal._png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        )
+        + multimodal._png_chunk(b"IDAT", comp[:mid])  # split across chunks
+        + multimodal._png_chunk(b"IDAT", comp[mid:])
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, blob)], "doc_id bigint, img binary")
+    r = multimodal.decode_png_meta(df).collect()[0]
+    assert r.width == w and r.height == h and r.n_idat == 2
+    n = w * h
+    sums = [0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                sums[c] += pix[y * 3 * w + 3 * x + c]
+    assert (r.mean_red, r.mean_green, r.mean_blue) == tuple(
+        s // n for s in sums
+    )
+
+    corrupt = bytearray(blob)
+    corrupt[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    bad = spark.createDataFrame(
+        [(1, bytes(corrupt))], "doc_id bigint, img binary"
+    )
+    with pytest.raises(Exception, match="CRC"):
+        multimodal.decode_png_meta(bad).collect()
+
+
 def test_bmp_decode_real_codec(spark):
     """decode_bmp_meta parses genuine struct-packed BMP bytes; channel
     means of a solid-color image equal the color exactly, and the
