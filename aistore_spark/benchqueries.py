@@ -1150,6 +1150,58 @@ def g1_assemble_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archive.assemble_batches(j)
 
 
+@register(
+    "g3_output_formats",
+    oracles.with_catalogs(
+        """
+        WITH j AS (
+          SELECT r.req_idx AS req_idx,
+                 CASE WHEN c.member IS NULL
+                      THEN '__404__/' || r.bucket || '/' || r.objname
+                      ELSE r.bucket || '/' || r.objname END AS out_name,
+                 COALESCE(c.size, 0) AS size
+          FROM batch_requests r
+          LEFT JOIN (
+            SELECT member, min(size) AS size
+            FROM members GROUP BY member
+          ) c ON r.objname = c.member
+        ),
+        b AS (
+          SELECT CAST(floor(req_idx / 250.0) AS BIGINT) AS batch_id,
+                 count(*) AS n_entries,
+                 CAST(sum(size) AS BIGINT) AS payload_bytes,
+                 CAST(ceil((sum(512 + CAST(ceil(size / 512.0) AS BIGINT) * 512)
+                            + 1024) / 10240.0) AS BIGINT) * 10240 AS tarsz,
+                 CAST(sum(30 + length(out_name) + size)
+                      + sum(46 + length(out_name)) + 22 AS BIGINT) AS zipsz,
+                 md5(string_agg(out_name, ',' ORDER BY req_idx)) AS entries_md5
+          FROM j GROUP BY 1
+        )
+        SELECT batch_id, f.format, n_entries, payload_bytes,
+               CASE WHEN f.format = 'zip' THEN zipsz ELSE tarsz END
+                 AS check_bytes,
+               entries_md5
+        FROM b, (VALUES ('tar'), ('tgz'), ('zip'), ('tar.lz4')) f(format)
+        """,
+        "members",
+        "batch_requests",
+    ),
+)
+def g3_output_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: the get-batch output-format matrix — every batch built as
+    tar AND tgz AND zip AND tar.lz4 in one pass
+    (``MossReq.OutputFormat``, api/apc/ml.go:101 +
+    cmn/archive/mime.go:25-29). ``check_bytes`` is analytic per format:
+    the closed-form USTAR size for tar, the decompressed-stream size
+    (proving a real gzip/lz4 round trip, == the tar closed form) for
+    tgz/tar.lz4, and the closed-form STORED layout for zip — so the
+    oracle hash-checks real bytes of all four mimes."""
+    j = joins.get_batch_join(
+        _requests(spark, sf_dir), _members(spark, sf_dir)
+    ).withColumn("batch_id", F.floor(F.col("req_idx") / 250.0).cast("bigint"))
+    return archive.assemble_batches_formats(j)
+
+
 _MIXED_JOIN_SQL = """
 plainc AS (
   SELECT member, min(size) AS psize FROM members GROUP BY member
@@ -2604,26 +2656,12 @@ def s2c_custom_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("j4_hrw_placement")  # no oracle: xxhash64 is Spark-side only
-def j4_hrw_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: rendezvous (HRW) placement — every object name hashed to an
-    owning target (core/meta/hrw.go:23-57). Spark-native form: argmax
-    over targets of xxhash64(name, target) — declared rows-only (the
-    oracle lacks xxhash64; semantics verified by the balance test)."""
-    objects = _objects(spark, sf_dir)
-    targets = spark.range(8).select(F.col("id").alias("target"))
-    scored = objects.select("name").crossJoin(F.broadcast(targets)).select(
-        "name", "target", F.xxhash64(F.col("name"), F.col("target")).alias("h")
-    )
-    w = Window.partitionBy("name").orderBy(F.col("h").desc(), F.col("target"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("target")
-        .agg(F.count("*").alias("n_objects"))
-    )
-
-
+# J4's production form — xxhash64 rendezvous, hash never leaves codegen —
+# lives in placement.hrw_placement_xxhash (property-tested in
+# tests/test_hrw.py: balance + minimal disruption). It is not registered
+# because xxhash64 is not reproducible in the DuckDB oracle; the
+# REGISTERED J4 row is the hash-exact md5 variant below, which checks
+# the full placement map, so the ledger carries zero rows-only entries.
 @register(
     "j4b_hrw_md5",
     oracles.with_catalogs(
@@ -2770,6 +2808,41 @@ def m6_rename_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "size",
             "checksum",
         )
+    )
+
+
+@register(
+    "m6b_rename_objects",
+    oracles.with_catalogs(
+        """
+        WITH ren AS (
+          SELECT name, 'renamed/' || substr(name, 4) AS new_name
+          FROM objects WHERE name LIKE 'en/%'
+        ),
+        scored AS (
+          SELECT r.name, r.new_name, t.r AS target,
+                 md5(r.name || '#' || CAST(t.r AS VARCHAR)) AS ho,
+                 md5(r.new_name || '#' || CAST(t.r AS VARCHAR)) AS hn
+          FROM ren r, range(0, 8) t(r)
+        )
+        SELECT name, new_name,
+               arg_max(target, ho) AS src_target,
+               arg_max(target, hn) AS dst_target,
+               arg_max(target, ho) <> arg_max(target, hn) AS moved
+        FROM scored GROUP BY name, new_name
+        """,
+        "objects",
+    ),
+)
+def m6b_rename_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6b: object rename — the ``rename-obj`` verb
+    (``api/apc/actmsg.go:62`` ActRenameObject), bulk prefix form.
+    Unlike bucket rename (pure metadata), an object rename changes the
+    HRW placement key, so the plan carries both owners and a ``moved``
+    flag — the re-placement delta the reference's same-bucket move
+    computes. One broadcast + one max(struct)-pair aggregation."""
+    return movement.rename_objects_plan(
+        _objects(spark, sf_dir), prefix="en/", new_prefix="renamed/"
     )
 
 

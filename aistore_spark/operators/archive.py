@@ -175,6 +175,68 @@ def assemble_batches(
     return joined.groupBy(batch_col).applyInPandas(pack, schema=schema)
 
 
+def assemble_batches_formats(
+    joined: DataFrame,
+    batch_col: str = "batch_id",
+    formats: tuple[str, ...] = ("tar", "tgz", "zip", "tar.lz4"),
+) -> DataFrame:
+    """G3: the get-batch output-format matrix — every response batch
+    built in EVERY requested archive mime (``MossReq.OutputFormat``,
+    api/apc/ml.go:101 + cmn/archive/mime.go:25-29) in one pass.
+
+    One task per batch builds all formats from the same ordered entry
+    list (one row out per (batch, format)), and each row carries the
+    format's analytically-checkable size:
+
+    - ``tar``: the archive size itself (closed-form USTAR layout);
+    - ``tgz`` / ``tar.lz4``: the size of the **decompressed** stream —
+      the builder gunzips/un-lz4s its own output, so the value proves a
+      real compression round trip AND equals the tar closed form;
+    - ``zip``: the archive size (STORED entries: 30+len(name) local
+      header + payload, 46+len(name) central entry, 22-byte EOCD).
+
+    Scale: identical to :func:`assemble_batches` — shuffle on
+    ``batch_col`` only, bounded payload per task; the format loop adds
+    CPU, not movement.
+    """
+    import gzip
+
+    builders = {f: ARCHIVE_BUILDERS[f] for f in formats}  # fail fast
+    schema = (
+        f"{batch_col} bigint, format string, n_entries bigint, "
+        "payload_bytes bigint, check_bytes bigint, entries_md5 string"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        from aistore_spark.functions import lz4frame
+
+        pdf = pdf.sort_values("req_idx", kind="mergesort")
+        names = list(pdf["out_name"])
+        payloads = [b"\0" * int(s) for s in pdf["size"]]
+        fp = hashlib.md5(",".join(names).encode()).hexdigest()
+        rows: dict[str, list] = {
+            batch_col: [], "format": [], "n_entries": [],
+            "payload_bytes": [], "check_bytes": [], "entries_md5": [],
+        }
+        for fmt in formats:
+            blob = builders[fmt](names, payloads)
+            if fmt == "tgz":
+                check = len(gzip.decompress(blob))
+            elif fmt == "tar.lz4":
+                check = len(lz4frame.decompress(blob))
+            else:  # tar, zip: the archive size is the closed form
+                check = len(blob)
+            rows[batch_col].append(int(pdf[batch_col].iloc[0]))
+            rows["format"].append(fmt)
+            rows["n_entries"].append(len(pdf))
+            rows["payload_bytes"].append(int(pdf["size"].sum()))
+            rows["check_bytes"].append(check)
+            rows["entries_md5"].append(fp)
+        return pd.DataFrame(rows)
+
+    return joined.groupBy(batch_col).applyInPandas(pack, schema=schema)
+
+
 def zip_round_trip_listing(members: DataFrame) -> DataFrame:
     """S4-family over a real ZIP: pack the selected members (deduped to
     one row per member, deterministic member order) into an actual ZIP
@@ -265,14 +327,21 @@ def build_tgz(names: list[str], payloads: list[bytes]) -> bytes:
 
 def build_zip(names: list[str], payloads: list[bytes]) -> bytes:
     """ZIP shard (STORED — the reference archives already-compressed
-    media; date_time pinned for determinism)."""
+    media; date_time pinned for determinism). A batch may legitimately
+    request the same object twice, so zipfile's duplicate-name
+    UserWarning is suppressed — duplicates are kept, like tar does."""
+    import warnings
     import zipfile
 
     buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
-        for name, payload in zip(names, payloads):
-            info = zipfile.ZipInfo(filename=name, date_time=(1980, 1, 1, 0, 0, 0))
-            zf.writestr(info, payload)
+    with warnings.catch_warnings():
+        warnings.filterwarnings("ignore", message="Duplicate name")
+        with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as zf:
+            for name, payload in zip(names, payloads):
+                info = zipfile.ZipInfo(
+                    filename=name, date_time=(1980, 1, 1, 0, 0, 0)
+                )
+                zf.writestr(info, payload)
     return buf.getvalue()
 
 

@@ -104,6 +104,63 @@ def latest_version_plan(local: DataFrame, remote: DataFrame) -> DataFrame:
     )
 
 
+def rename_objects_plan(
+    objects: DataFrame,
+    prefix: str,
+    new_prefix: str,
+    n_targets: int = 8,
+) -> DataFrame:
+    """M6b: object rename plan — the ``rename-obj`` verb
+    (``api/apc/actmsg.go:62`` ActRenameObject; exec ``ais/tgtobj.go``
+    object-move path), bulk form: every object under *prefix* is
+    renamed to *new_prefix* + remainder.
+
+    Unlike bucket rename (M6, pure metadata), renaming an OBJECT
+    changes its HRW placement key, so the plan carries the re-placement
+    delta: the md5 rendezvous owner under the old and the new name, and
+    whether the bytes must move (``moved``) — the reference's rename is
+    exactly a same-bucket move through the placement function.
+
+    Scale shape: one broadcast of the target set, both owners computed
+    in a single max(struct)-pair aggregation keyed by name (map-side
+    combined, one row per object into the shuffle); no window, no
+    second pass.
+    """
+    spark = objects.sparkSession
+    tdf = spark.createDataFrame(
+        [(t,) for t in range(n_targets)], "target bigint"
+    )
+    renamed = objects.filter(F.col("name").startswith(prefix)).select(
+        "name",
+        F.concat(
+            F.lit(new_prefix),
+            F.expr(f"substring(name, {len(prefix) + 1})"),
+        ).alias("new_name"),
+    )
+    scored = renamed.crossJoin(F.broadcast(tdf)).select(
+        "name",
+        "new_name",
+        "target",
+        F.md5(
+            F.concat(F.col("name"), F.lit("#"), F.col("target").cast("string"))
+        ).alias("ho"),
+        F.md5(
+            F.concat(F.col("new_name"), F.lit("#"), F.col("target").cast("string"))
+        ).alias("hn"),
+    )
+    owner = scored.groupBy("name", "new_name").agg(
+        F.max(F.struct("ho", "target")).alias("o"),
+        F.max(F.struct("hn", "target")).alias("n"),
+    )
+    return owner.select(
+        "name",
+        "new_name",
+        F.col("o.target").alias("src_target"),
+        F.col("n.target").alias("dst_target"),
+        (F.col("o.target") != F.col("n.target")).alias("moved"),
+    )
+
+
 def promote_plan(
     files: DataFrame,
     objects: DataFrame,

@@ -64,6 +64,38 @@ def hrw_owner(
     )
 
 
+def hrw_placement_xxhash(objects: DataFrame, n_targets: int = 8) -> DataFrame:
+    """J4 production form: rendezvous placement with Spark's native
+    ``xxhash64`` weight (argmax over targets, ``core/meta/hrw.go:23-57``)
+    — the hash stays inside whole-stage codegen, no md5 string
+    materialization. xxhash64 is engine-internal (not reproducible in
+    the DuckDB oracle), so the cross-engine-checkable registered query
+    is the md5-weighted ``j4b_hrw_md5``; this form's semantics (balance,
+    minimal disruption) are property-tested in ``tests/test_hrw.py``.
+
+    Scale shape: targets broadcast, owner via one max(struct)
+    aggregation keyed by name — map-side combined, one row per object
+    into the shuffle; final rollup is n_targets rows.
+    """
+    spark = objects.sparkSession
+    targets = spark.range(n_targets).select(F.col("id").alias("target"))
+    scored = (
+        objects.select("name")
+        .crossJoin(F.broadcast(targets))
+        .select(
+            "name", "target", F.xxhash64(F.col("name"), F.col("target")).alias("h")
+        )
+    )
+    owner = scored.groupBy("name").agg(
+        F.max(F.struct("h", "target")).alias("m")
+    )
+    return (
+        owner.select(F.col("m.target").alias("target"))
+        .groupBy("target")
+        .agg(F.count("*").alias("n_objects"))
+    )
+
+
 def lru_evict_plan(
     objects: DataFrame,
     n_mpaths: int = 4,

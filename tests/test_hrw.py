@@ -41,3 +41,20 @@ def test_hrw_balanced_and_minimally_disruptive(spark, sf_dir):
     moved = [nm for nm in p8 if p8[nm] != 7 and p7[nm] != p8[nm]]
     assert moved == [], "non-evicted objects must not move when a target leaves"
     assert all(p7[nm] != 7 for nm in p8 if p8[nm] == 7)
+
+
+def test_hrw_placement_xxhash_matches_window_form(spark, sf_dir):
+    """The aggregation-shaped production form (max(struct), no window)
+    must produce the same per-target counts as the row_number form."""
+    from aistore_spark.operators.placement import hrw_placement_xxhash
+
+    names = objects_catalog(load_table(spark, sf_dir, "documents")).select("name")
+    counts = {
+        r.target: r.n_objects
+        for r in hrw_placement_xxhash(names, n_targets=8).collect()
+    }
+    p8 = {r.name: r.target for r in _placement(spark, names, 8).collect()}
+    want = {}
+    for t in p8.values():
+        want[t] = want.get(t, 0) + 1
+    assert counts == want
