@@ -2226,6 +2226,47 @@ def t6_canned_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("name", F.col("out").cast("string").alias("out"))
 
 
+@register(
+    "t8_direct_put",
+    """
+    WITH o AS (
+      SELECT 'etl/' || lang || '/' || source || '/'
+               || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS new_name,
+             md5(text) AS out
+      FROM documents
+    ),
+    routed AS (
+      SELECT new_name, out,
+             (SELECT t.r FROM range(0, 8) t(r)
+              ORDER BY md5(new_name || '#' || CAST(t.r AS VARCHAR)) DESC
+              LIMIT 1) AS dst_target
+      FROM o
+    )
+    SELECT dst_target,
+           count(*) AS n_objects,
+           CAST(sum(length(out)) AS BIGINT) AS bytes_out,
+           md5(string_agg(new_name, ',' ORDER BY new_name)) AS names_md5,
+           md5(string_agg(out, ',' ORDER BY out)) AS content_md5
+    FROM routed GROUP BY dst_target
+    """,
+)
+def t8_direct_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: offline transform with direct-put delivery — the one §2.7
+    surface previously without an analogue (websocket control channel +
+    DirectPut, ext/etl/websocket_comm.go:151+, base_etl_server.py:294+:
+    the transformer PUTs straight to the destination target, skipping
+    the requester hop). Spark-first: the transformed bytes are hash-
+    partitioned ONCE by their destination HRW owner (computed in
+    codegen as an argmax over a literal (md5, target) struct array —
+    no join, no payload replication) and the per-target delivery
+    manifest rides that same exchange. Fingerprints cover both names
+    and transformed content, so the oracle checks the md5 transform
+    and the full routing map."""
+    return etl.etl_offline_direct(
+        _docs_with_data(spark, sf_dir), ["md5"], n_targets=8, prepend="etl/"
+    )
+
+
 # ---- S6/S7, P4, T7: backend listing, archive append, ETL-on-ingest ------------
 
 

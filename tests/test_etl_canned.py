@@ -85,3 +85,42 @@ def test_compress_lz4_round_trip_and_pipeline():
     assert CANNED["decompress_lz4"](comp, "p", "") == data
     ident = resolve(["compress_lz4", "decompress_lz4"])
     assert ident(data, "p", "") == data
+
+
+def test_direct_put_single_exchange_and_routing(spark):
+    """T8 direct-put: the plan must contain exactly ONE Exchange after
+    the transform (the direct hop to the destination owner) — no
+    second requester-style hop — and every object must be delivered to
+    its HRW owner exactly once."""
+    from pyspark.sql import functions as F
+
+    from aistore_spark.operators.etl import etl_offline_direct
+
+    docs = spark.createDataFrame(
+        [(f"d/{i:04d}.txt", f"payload {i}".encode()) for i in range(200)],
+        "name string, data binary",
+    )
+    out = etl_offline_direct(docs, ["md5"], n_targets=4, prepend="etl/")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges == 1, f"expected 1 exchange, plan has {n_exchanges}"
+
+    rows = out.collect()
+    assert sum(r.n_objects for r in rows) == 200
+    assert len(rows) == len({r.dst_target for r in rows}) <= 4
+
+    # routing must agree with the md5 rendezvous argmax computed naively
+    import hashlib
+
+    def owner(name: str) -> int:
+        return max(
+            range(4),
+            key=lambda t: hashlib.md5(f"{name}#{t}".encode()).hexdigest(),
+        )
+
+    want: dict[int, int] = {}
+    for i in range(200):
+        want[owner(f"etl/d/{i:04d}.txt")] = (
+            want.get(owner(f"etl/d/{i:04d}.txt"), 0) + 1
+        )
+    assert {r.dst_target: r.n_objects for r in rows} == want
