@@ -123,9 +123,16 @@ def compress_block(src: bytes) -> bytes:
         ):
             pos += 1
             continue
-        # extend the match forward (never into the last-5 literals)
+        # extend the match forward (never into the last-5 literals) —
+        # chunked slice compares first, so long runs (zero padding,
+        # repeated records) extend at memcmp speed instead of one
+        # Python iteration per byte
         m = pos + _MIN_MATCH
         c = cand + _MIN_MATCH
+        for step in (4096, 256, 16):
+            while m + step <= match_limit and src[m : m + step] == src[c : c + step]:
+                m += step
+                c += step
         while m < match_limit and src[m] == src[c]:
             m += 1
             c += 1
@@ -202,9 +209,11 @@ def decompress_block(src: bytes) -> bytes:
         if offset >= match_len:
             out += out[start : start + match_len]
         else:
-            # overlap: RLE-style copy from the rolling output
-            for k in range(match_len):
-                out.append(out[start + k])
+            # overlap: the match repeats the trailing `offset` bytes —
+            # replicate the pattern instead of appending byte-by-byte
+            pattern = bytes(out[start:])
+            reps = -(-match_len // offset)
+            out += (pattern * reps)[:match_len]
     return bytes(out)
 
 

@@ -101,7 +101,12 @@ def pack_members(
             }
         )
 
-    return members.groupBy(shard_col).applyInPandas(pack, schema=schema)
+    n = members.sparkSession.sparkContext.defaultParallelism
+    return (
+        members.repartition(n, shard_col)
+        .groupBy(shard_col)
+        .applyInPandas(pack, schema=schema)
+    )
 
 
 def extract_member(members: DataFrame, shard: str, member: str) -> DataFrame:
@@ -145,7 +150,12 @@ def assemble_batches(
 
     Scale: one task per batch; a batch is bounded by the loader's
     request size, so payload materialization per task is bounded. The
-    shuffle is on ``batch_col`` only.
+    shuffle is on ``batch_col`` only — via an explicit
+    ``repartition(defaultParallelism, batch_col)``: the shuffled rows
+    are tiny (name+size) but the per-group pack is CPU-bound, so AQE's
+    byte-based partition coalescing would serialize the builders onto
+    2-3 tasks; a user-specified partition count keeps the pack wide
+    and satisfies the groupBy's clustering, so no second exchange.
     """
     builder = ARCHIVE_BUILDERS[output_format]
     schema = (
@@ -172,7 +182,12 @@ def assemble_batches(
             }
         )
 
-    return joined.groupBy(batch_col).applyInPandas(pack, schema=schema)
+    n = joined.sparkSession.sparkContext.defaultParallelism
+    return (
+        joined.repartition(n, batch_col)
+        .groupBy(batch_col)
+        .applyInPandas(pack, schema=schema)
+    )
 
 
 def assemble_batches_formats(
@@ -196,8 +211,8 @@ def assemble_batches_formats(
       header + payload, 46+len(name) central entry, 22-byte EOCD).
 
     Scale: identical to :func:`assemble_batches` — shuffle on
-    ``batch_col`` only, bounded payload per task; the format loop adds
-    CPU, not movement.
+    ``batch_col`` only (explicit width, see there), bounded payload per
+    task; the format loop adds CPU, not movement.
     """
     import gzip
 
@@ -234,7 +249,12 @@ def assemble_batches_formats(
             rows["entries_md5"].append(fp)
         return pd.DataFrame(rows)
 
-    return joined.groupBy(batch_col).applyInPandas(pack, schema=schema)
+    n = joined.sparkSession.sparkContext.defaultParallelism
+    return (
+        joined.repartition(n, batch_col)
+        .groupBy(batch_col)
+        .applyInPandas(pack, schema=schema)
+    )
 
 
 def zip_round_trip_listing(members: DataFrame) -> DataFrame:
