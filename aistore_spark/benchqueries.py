@@ -1373,10 +1373,15 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-wide shingle self-join (that all-pairs form,
     dedup.ngram_jaccard_pairs, stays as the test-only oracle of the
     verifier; see tests/test_dedup_ann_props.py)."""
+    from aistore_spark.util import pin
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = dedup.lsh_candidate_pairs(docs, bands=8, n=3)
+    # one pinned shingle frame feeds BOTH the LSH stage and the verify
+    # stage — the split+explode+distinct chain runs once
+    sh = pin(dedup.shingles(docs, n=3))
+    cands = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
     return dedup.jaccard_verify(
-        docs, cands, n=3, threshold_num=1, threshold_den=20
+        docs, cands, n=3, threshold_num=1, threshold_den=20, shingles_df=sh
     )
 
 

@@ -163,6 +163,7 @@ def jaccard_verify(
     n: int = 3,
     threshold_num: int = 1,
     threshold_den: int = 20,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY on *candidates* pairs — the
     verify stage of the scale pipeline (``lsh_candidate_pairs`` →
@@ -178,6 +179,11 @@ def jaccard_verify(
     Shuffle keys are doc ids and (doc, shingle); work is O(candidate
     pairs × shingles-per-doc), never O(corpus²) — hot shingles cannot
     quadratically explode because pairs are fixed by the LSH stage.
+
+    Pass *shingles_df* (e.g. a pinned :func:`shingles` frame shared
+    with the LSH candidate stage) to avoid recomputing the
+    split+explode+distinct chain — the composed dd2 pipeline computes
+    shingles exactly once that way.
     """
     cand = candidates.select("doc_a", "doc_b")
     docs_in = (
@@ -185,9 +191,8 @@ def jaccard_verify(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = pin(
-        shingles(documents, n=n).join(docs_in, "doc_id", "left_semi")
-    )
+    base = shingles_df if shingles_df is not None else shingles(documents, n=n)
+    sh = pin(base.join(docs_in, "doc_id", "left_semi"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -210,11 +215,16 @@ def jaccard_verify(
     )
 
 
-def minhash_bands(documents: DataFrame, bands: int = 8, n: int = 3) -> DataFrame:
+def minhash_bands(
+    documents: DataFrame,
+    bands: int = 8,
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc MinHash signature, one row per band: the band's hash is
     ``min(md5(band || '|' || shingle))``. r=1 row per band (bands
     independent single-hash LSH)."""
-    sh = shingles(documents, n=n)
+    sh = shingles_df if shingles_df is not None else shingles(documents, n=n)
     # One pass over the shingle rows: all `bands` hashes are computed
     # per row and min-aggregated as separate columns (map-side partial
     # agg keeps the shuffle at one row per doc), then unpivoted. An
@@ -237,6 +247,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     n: int = 3,
     max_bucket: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing a (band, minhash)
     bucket in >= 1 band. The only shuffle keys are (band, minhash) —
@@ -250,7 +261,7 @@ def lsh_candidate_pairs(
     within a cell — bounded work per key, at a quantified recall cost
     on the split buckets (candidates can still surface via the other
     bands; that's why bands exist)."""
-    mh = minhash_bands(documents, bands=bands, n=n)
+    mh = minhash_bands(documents, bands=bands, n=n, shingles_df=shingles_df)
     if max_bucket is not None:
         sizes = mh.groupBy("band", "minhash").agg(F.count("*").alias("_bk"))
         mh = mh.join(sizes, ["band", "minhash"]).withColumn(
