@@ -100,6 +100,12 @@ def main() -> None:
         )
     if per_query.get("s1_list_prefix_page"):
         derived["listing_page_sec"] = per_query["s1_list_prefix_page"]
+    if per_query.get("g3_output_formats") and n_requests:
+        # the format matrix builds ceil(requests/250) batches x 4 mimes
+        n_archives = -(-n_requests // 250) * 4
+        derived["get_batch_format_archives_per_sec"] = round(
+            n_archives / per_query["g3_output_formats"], 1
+        )
     if per_query.get("dd3_lsh_candidates"):
         derived["minhash_lsh_docs_per_sec"] = round(
             n_docs / per_query["dd3_lsh_candidates"], 1
