@@ -3001,9 +3001,71 @@ def s8_range_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd6_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded candidates (4x4-bit) + exact
     Hamming verify <= 3 on candidates only. Pigeonhole-complete recall
-    (3 < 4 bands); shuffle keys are (band, band_val) only."""
+    (3 < 4 bands); shuffle keys are (band, band_val) only. 16-bit
+    oracle sizing keeps the DuckDB twin cheap; the production 64-bit
+    sizing is the separately-registered dd6b."""
     return dedup.simhash_pairs(
         load_table(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=3
+    )
+
+
+@register(
+    "dd6b_simhash_prod",
+    """
+    WITH wd AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, CAST(j AS INT) AS j,
+             sum(CASE WHEN substr(CASE WHEN j < 32 THEN md5(word)
+                                       ELSE md5('#' || word) END,
+                             CAST(j % 32 AS INT) + 1, 1)
+                      IN ('8','9','a','b','c','d','e','f')
+                 THEN 1 ELSE -1 END) AS s
+      FROM wd, range(0, 64) t(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY j) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             substr(simhash, CAST(b AS INT) * 16 + 1, 16) AS band_val
+      FROM fp, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+           CAST(sum(CASE WHEN substr(fa.simhash, CAST(j AS INT) + 1, 1)
+                          <> substr(fb.simhash, CAST(j AS INT) + 1, 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b, range(0, 64) t(j)
+    GROUP BY 1, 2
+    HAVING CAST(sum(CASE WHEN substr(fa.simhash, CAST(j AS INT) + 1, 1)
+                          <> substr(fb.simhash, CAST(j AS INT) + 1, 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) <= 3
+    """,
+)
+def dd6b_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at PRODUCTION sizing: 64-bit fingerprint
+    (two salted md5 digests, one pass), 4x16-bit bands, Hamming <= 3
+    verify — the selective configuration the r4 verdict asked to see
+    measured rather than documented: 16-bit band values make shared
+    buckets mean 16 agreeing bits, so the candidate set is tiny and
+    the band join cost collapses vs dd6's dense 4-bit oracle sizing.
+    Same plan shape (shift+mask band extraction, bit_count(xor)
+    verify), pigeonhole-complete recall for d <= 3 < 4 bands."""
+    return dedup.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), bits=64, bands=4, max_hamming=3
     )
 
 

@@ -294,17 +294,29 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     when the vote sum is >= 0. Returns ``(doc_id, simhash)`` with the
     fingerprint as a '0'/'1' string (cross-engine exact; near-dup docs
     differ in few bit positions).
+
+    One md5 digest supplies 32 nibble positions; ``bits`` up to 64 is
+    served by a second salted digest ``md5('#' || word)`` for
+    positions 32..63 — the production 64-bit sizing stays one pass.
     """
-    # Single pass: one md5 per word occurrence, all *bits* vote sums as
-    # parallel agg columns (partial/final combine; no word x position
-    # row blow-up, shuffle carries `bits` ints per doc).
+    if bits > 64:
+        raise ValueError(f"simhash supports at most 64 bits, got {bits}")
+    # Single pass: one md5 (two for bits>32) per word occurrence, all
+    # *bits* vote sums as parallel agg columns (partial/final combine;
+    # no word x position row blow-up, shuffle carries `bits` ints/doc).
+    cols = [F.md5("word").alias("digest")]
+    if bits > 32:
+        cols.append(F.md5(F.concat(F.lit("#"), F.col("word"))).alias("digest2"))
     digests = (
         spread(documents)
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .select("doc_id", F.md5("word").alias("digest"))
+        .select("doc_id", *cols)
     )
     vote = lambda j: F.when(  # noqa: E731
-        F.substring(F.col("digest"), j + 1, 1).isin(*"89abcdef"), 1
+        F.substring(
+            F.col("digest" if j < 32 else "digest2"), (j % 32) + 1, 1
+        ).isin(*"89abcdef"),
+        1,
     ).otherwise(-1)
     sums = digests.groupBy("doc_id").agg(
         *[F.sum(vote(j)).alias(f"s{j}") for j in range(bits)]
