@@ -409,36 +409,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def synth_png(doc_id: int) -> bytes:
-    """Deterministic 8-bit truecolor PNG with REAL compression and
-    REAL scanline filtering: pixel (x, y) is
-    ``(R, G, B) = ((doc_id + x) % 256, (3*doc_id + 7*y) % 256,
-    (x + y) % 256)`` and scanline y is encoded with filter type
-    ``y % 5`` — all five spec filters (None/Sub/Up/Average/Paeth) are
-    exercised in every image, so a decoder that mishandles any one of
-    them cannot reproduce the analytic channel sums."""
+def encode_png_rgb(
+    raw_rows: list[bytes], width: int, filters: list[int] | None = None
+) -> bytes:
+    """Encode raw RGB scanlines as a real 8-bit truecolor PNG.
+
+    *raw_rows* is one ``3*width``-byte string per scanline; *filters*
+    picks the spec filter type per row (default ``y % 5`` so all five
+    — None/Sub/Up/Average/Paeth — appear in any image ≥5 rows tall).
+    The filter math here is the encode direction of the spec;
+    :func:`decode_png_meta` implements the decode direction, and the
+    property test drives arbitrary pixels through both.
+    """
     import struct
     import zlib
 
-    w = 4 + doc_id % 29
-    h = 5 + doc_id % 17
-    raw_rows = []
-    for y in range(h):
-        row = bytearray()
-        for x in range(w):
-            row += bytes(
-                (
-                    (doc_id + x) % 256,
-                    (3 * doc_id + 7 * y) % 256,
-                    (x + y) % 256,
-                )
-            )
-        raw_rows.append(bytes(row))
-    stream = bytearray()
     bpp = 3
-    prior = bytes(bpp * w)
+    stream = bytearray()
+    prior = bytes(bpp * width)
     for y, row in enumerate(raw_rows):
-        ft = y % 5
+        if len(row) != bpp * width:
+            raise ValueError("scanline length != 3*width")
+        ft = (filters[y] if filters is not None else y % 5) % 5
         stream.append(ft)
         if ft == 0:
             stream += row
@@ -471,13 +463,38 @@ def synth_png(doc_id: int) -> bytes:
                 for i in range(len(row))
             )
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, len(raw_rows), 8, 2, 0, 0, 0)
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic 8-bit truecolor PNG with REAL compression and
+    REAL scanline filtering: pixel (x, y) is
+    ``(R, G, B) = ((doc_id + x) % 256, (3*doc_id + 7*y) % 256,
+    (x + y) % 256)`` and scanline y is encoded with filter type
+    ``y % 5`` — all five spec filters (None/Sub/Up/Average/Paeth) are
+    exercised in every image, so a decoder that mishandles any one of
+    them cannot reproduce the analytic channel sums."""
+    w = 4 + doc_id % 29
+    h = 5 + doc_id % 17
+    raw_rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(
+                (
+                    (doc_id + x) % 256,
+                    (3 * doc_id + 7 * y) % 256,
+                    (x + y) % 256,
+                )
+            )
+        raw_rows.append(bytes(row))
+    return encode_png_rgb(raw_rows, w)
 
 
 def decode_png_meta(

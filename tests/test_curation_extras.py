@@ -222,6 +222,49 @@ def test_png_decode_independent_encoder_and_corruption(spark):
         multimodal.decode_png_meta(bad).collect()
 
 
+def test_png_round_trip_property(spark):
+    """Hypothesis-style sweep without Spark in the loop: arbitrary
+    pixel bytes and arbitrary per-row filter choices must round-trip
+    encode -> decode to exact channel means (the decoder's unfilter is
+    exercised against every filter type on adversarial data, not just
+    the synth gradient)."""
+    import random
+
+    from aistore_spark.operators import multimodal
+
+    rng = random.Random(20260814)
+    cases = []
+    for trial in range(40):
+        w = rng.randrange(1, 24)
+        h = rng.randrange(1, 16)
+        rows = [
+            bytes(rng.randrange(256) for _ in range(3 * w)) for _ in range(h)
+        ]
+        filters = [rng.randrange(5) for _ in range(h)]
+        n = w * h
+        sums = [0, 0, 0]
+        for row in rows:
+            for x in range(w):
+                for c in range(3):
+                    sums[c] += row[3 * x + c]
+        cases.append(
+            (
+                trial,
+                multimodal.encode_png_rgb(rows, w, filters),
+                (w, h, *(s // n for s in sums)),
+            )
+        )
+    df = spark.createDataFrame(
+        [(t, b) for t, b, _ in cases], "doc_id bigint, img binary"
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.mean_red, r.mean_green, r.mean_blue)
+        for r in multimodal.decode_png_meta(df).collect()
+    }
+    for trial, _, want in cases:
+        assert got[trial] == want, f"trial {trial}: {got[trial]} != {want}"
+
+
 def test_bmp_decode_real_codec(spark):
     """decode_bmp_meta parses genuine struct-packed BMP bytes; channel
     means of a solid-color image equal the color exactly, and the
