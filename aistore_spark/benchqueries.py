@@ -1295,6 +1295,35 @@ def g1_mixed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return archive.assemble_batches(j)
 
 
+@register(
+    "tx8_bigram_familiarity",
+    """
+    WITH wp AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.doc_id AS doc_id, a.word || ' ' || b.word AS bigram
+      FROM wp a JOIN wp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ),
+    cnt AS (SELECT bigram, count(*) AS df FROM bg GROUP BY bigram)
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(c.df) AS BIGINT) AS familiarity,
+           CAST(sum(c.df) // count(*) AS BIGINT) AS mean_familiarity
+    FROM bg g JOIN cnt c ON g.bigram = c.bigram
+    GROUP BY g.doc_id
+    """,
+)
+def tx8_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX8: corpus-empirical bigram-LM familiarity — the integer-exact
+    analogue of KenLM perplexity filtering (garbled text scores at the
+    minimum, boilerplate at the maximum). One bigram-count agg + one
+    bigram-keyed probe join + per-doc rollup; no floats, no Python."""
+    return text.bigram_familiarity(load_table(spark, sf_dir, "documents"))
+
+
 # ---- DD: deduplication (training-data pipeline) --------------------------------
 
 _SHINGLES_SQL = """

@@ -317,6 +317,62 @@ PII_PATTERNS = {
 }
 
 
+def bigram_familiarity(documents: DataFrame) -> DataFrame:
+    """Corpus-empirical bigram "language model" familiarity score —
+    the integer-exact cousin of KenLM perplexity filtering in
+    pretraining curation: each document is scored by how common its
+    word bigrams are ACROSS the corpus. Garbled text (OCR noise,
+    wrong-segmentation, binary-as-text) scores near the minimum
+    because its bigrams appear nowhere else; boilerplate scores very
+    high because its bigrams repeat corpus-wide.
+
+    Per document with >= 1 bigram:
+
+    - ``n_bigrams``     — bigram occurrences in the doc
+    - ``familiarity``   — sum over occurrences of the corpus-wide
+      occurrence count of that bigram (>= n_bigrams by construction)
+    - ``mean_familiarity`` — ``familiarity div n_bigrams`` (floor)
+
+    All counts are integers, so the score is engine-portable with no
+    float/log drift (a real LM uses log-probs; the empirical count sum
+    is monotone in the same signal and hash-checkable).
+
+    Scale shape: bigrams explode map-side; the corpus count table is
+    one map-side-combinable agg keyed by bigram; the probe is one join
+    keyed by bigram (hot boilerplate bigrams are exactly the keys AQE
+    skew-split handles), then a per-doc rollup. Cost class = tx1.
+    """
+    ws = F.split(F.col("text"), " ")
+    bigrams = F.filter(
+        F.zip_with(
+            ws,
+            F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
+            lambda a, b: F.when(
+                a.isNotNull() & b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    occ = documents.select(
+        "doc_id", F.explode(bigrams).alias("bigram")
+    )
+    counts = occ.groupBy("bigram").agg(F.count("*").alias("_df"))
+    return (
+        occ.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("_df").cast("bigint").alias("familiarity"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "familiarity",
+            F.expr("familiarity div n_bigrams").alias("mean_familiarity"),
+        )
+    )
+
+
 def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction for training-data hygiene: emails, phone numbers
     and IPv4 addresses are replaced with typed placeholder tokens and

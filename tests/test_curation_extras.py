@@ -284,3 +284,25 @@ def test_bmp_decode_real_codec(spark):
     assert out[60].mean_blue == 60 and out[60].mean_red == (60 * 13) % 256
     for r in out.values():
         assert r.n_bytes == 54 + r.row_stride * r.height
+
+
+def test_bigram_familiarity_separates_garbage_from_boilerplate(spark):
+    """The empirical-LM signal: a doc whose bigrams appear nowhere
+    else scores mean_familiarity == 1 (only its own occurrences);
+    repeated boilerplate scores the corpus repetition count; and
+    familiarity >= n_bigrams always."""
+    boiler = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(5)]
+        + [(10, "zq8 vv91 k3j mm2x qqp")]  # garbled: unique bigrams
+        + [(11, "click here to unsubscribe")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in text.bigram_familiarity(docs).collect()}
+    assert out[10].mean_familiarity == 1 and out[10].n_bigrams == 4
+    # boilerplate bigrams occur 5x each -> mean exactly 5
+    assert out[0].mean_familiarity == 5
+    # doc 11 shares 'click here' and 'here to' with the 5 boiler docs
+    assert out[11].familiarity == (6 + 6 + 1)
+    for r in out.values():
+        assert r.familiarity >= r.n_bigrams

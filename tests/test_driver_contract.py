@@ -108,6 +108,7 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         # registered after the 50 rotation slots were fixed this round
         "t8_direct_put": "t2_offline_pipeline",
         "dd6b_simhash_prod": "dd6_simhash_pairs",
+        "tx8_bigram_familiarity": "tx1_token_stats",
     }
     assert set(behind) == set(siblings)
     for n, sib in siblings.items():
