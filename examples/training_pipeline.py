@@ -32,19 +32,34 @@ def main() -> None:
     docs1 = docs.join(canon, "doc_id", "left_semi")
     print(f"dedup: {docs.count()} -> {docs1.count()} docs")
 
-    # 2. near-dup candidates via MinHash-LSH, verified with n-gram Jaccard
-    cand = dedup.lsh_candidate_pairs(docs1)
-    pairs = dedup.ngram_jaccard_pairs(docs1, threshold_num=1, threshold_den=5)
+    # 2. near-dup removal, the scale path: MinHash-LSH candidates ->
+    #    exact Jaccard verify on candidates only -> transitive groups
+    from aistore_spark.util import pin
+
+    sh = pin(dedup.shingles(docs1))
+    cand = dedup.lsh_candidate_pairs(docs1, shingles_df=sh)
+    pairs = dedup.jaccard_verify(
+        docs1, cand, threshold_num=1, threshold_den=5, shingles_df=sh
+    )
     groups = dedup.dup_groups(pairs)
     near_dups = groups.filter(F.col("doc_id") != F.col("group_id"))
     docs2 = docs1.join(near_dups.select("doc_id"), "doc_id", "left_anti")
     print(f"near-dup: dropped {near_dups.count()} (candidates {cand.count()})")
 
-    # 3. quality gates: Gopher rules + repetition filters
+    # 3. quality gates: Gopher rules + repetition filters + bigram-LM
+    #    familiarity floor (drops garbled text whose bigrams appear
+    #    nowhere else in the corpus)
     keep_q = text.gopher_quality(docs2).filter("keep").select("doc_id")
     keep_r = text.repetition_stats(docs2).filter("keep").select("doc_id")
-    docs3 = docs2.join(keep_q, "doc_id", "left_semi").join(
-        keep_r, "doc_id", "left_semi"
+    keep_f = (
+        text.bigram_familiarity(docs2)
+        .filter(F.col("mean_familiarity") >= 1)
+        .select("doc_id")
+    )
+    docs3 = (
+        docs2.join(keep_q, "doc_id", "left_semi")
+        .join(keep_r, "doc_id", "left_semi")
+        .join(keep_f, "doc_id", "left_semi")
     )
     print(f"quality: -> {docs3.count()} docs")
 
@@ -70,6 +85,21 @@ def main() -> None:
     manifest = dsort.shard_manifest(packed, item_col="doc_key", size_col="bytes")
     print("export shards:")
     manifest.orderBy("shard_id").show(10, truncate=False)
+
+    # 7. deliver transformed bytes straight to their destination owner
+    #    (direct-put: one shuffle keyed by HRW owner; the manifest rides
+    #    the same exchange)
+    from aistore_spark.operators import etl
+
+    kept = docs.join(split.filter("split = 'train'").select("doc_id"), "doc_id")
+    with_data = kept.select(
+        F.concat(F.lit("train/"), F.col("doc_id").cast("string"), F.lit(".txt"))
+        .alias("name"),
+        F.encode("text", "UTF-8").alias("data"),
+    )
+    delivery = etl.etl_offline_direct(with_data, ["compress"], n_targets=8)
+    print("direct-put delivery manifest (per destination target):")
+    delivery.orderBy("dst_target").show(8, truncate=False)
 
 
 if __name__ == "__main__":
