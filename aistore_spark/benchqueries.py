@@ -1324,6 +1324,95 @@ def tx8_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_familiarity(load_table(spark, sf_dir, "documents"))
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"555-[0-9]{4}"
+
+
+@register(
+    "tx9_pii_redact",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                THEN ' mail u' || CAST(doc_id AS VARCHAR)
+                     || '@corpus.example.org now' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.7' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                THEN ' call 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS text
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+      FROM d
+    ),
+    r2 AS (
+      SELECT doc_id, n_emails,
+             CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS BIGINT)
+               AS n_ips,
+             regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2
+      FROM r1
+    )
+    SELECT doc_id, n_emails, n_ips,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g'))
+             AS redacted_md5
+    FROM r2
+    """,
+)
+def tx9_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX9: PII redaction for training-data hygiene — emails, IPv4,
+    phone tokens replaced with typed placeholders and counted, in a
+    fixed pass order so the redacted text is deterministic. The corpus
+    is salted with deterministic synthetic PII (doc_id-derived) so the
+    oracle validates real matches, not an all-zeros pass; the md5 of
+    the fully-redacted text transitively checks every replacement
+    boundary. Patterns stay in the RE2-compatible subset so Java regex
+    (Spark) and RE2 (DuckDB) agree match-for-match. Pure codegen,
+    zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" mail u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corpus.example.org now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return text.pii_redact(docs).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted_md5"
+    )
+
+
 # ---- DD: deduplication (training-data pipeline) --------------------------------
 
 _SHINGLES_SQL = """

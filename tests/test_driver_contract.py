@@ -109,6 +109,7 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         "t8_direct_put": "t2_offline_pipeline",
         "dd6b_simhash_prod": "dd6_simhash_pairs",
         "tx8_bigram_familiarity": "tx1_token_stats",
+        "tx9_pii_redact": "tx1_token_stats",
     }
     assert set(behind) == set(siblings)
     for n, sib in siblings.items():
