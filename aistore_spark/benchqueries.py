@@ -2576,6 +2576,55 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.blocked_pairs_above(emb, threshold=40_000_000)
 
 
+@register(
+    "dd9_semantic_dedup",
+    f"""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+               WHERE vec_id < 16),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             sum({_QELEM.format(side='v')} * {_QELEM.format(side='c')}) AS cdot
+      FROM embeddings v, c, range(1, 65) t(i)
+      GROUP BY 1, 2
+    ),
+    vassign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT va.centroid_id AS centroid_id,
+             a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum({_QELEM.format(side='a')}
+                      * {_QELEM.format(side='b')}) AS BIGINT) AS dot
+      FROM embeddings a
+      JOIN vassign va ON a.vec_id = va.vec_id
+      JOIN vassign vb ON va.centroid_id = vb.centroid_id
+      JOIN embeddings b ON b.vec_id = vb.vec_id AND a.vec_id < b.vec_id,
+      range(1, 65) t(i)
+      GROUP BY 1, 2, 3
+    )
+    SELECT centroid_id, vec_a, vec_b, dot FROM pairs WHERE dot >= 40000000
+    """,
+)
+def dd9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD9: SemDeDup-style semantic dedup — cluster by max-IP centroid
+    (broadcast assignment), then near-dup pairs WITHIN each cell via
+    one numpy matmul per cell (exact fixed-point integer dots). The
+    cell blocking is what turns all-pairs O(N²) into Σ O(|cell|²) at
+    corpus scale; cross-cell pairs are out of scope by the SemDeDup
+    premise that semantic duplicates co-cluster. Same 40M threshold as
+    dd5, so the output is exactly dd5's pair set restricted to
+    co-clustered pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simsearch.semantic_cell_pairs(
+        emb, emb.filter(F.col("vec_id") < 16), threshold=40_000_000
+    )
+
+
 _PQ_COMMON_SQL = """
 qz AS (
   SELECT vec_id,

@@ -649,3 +649,55 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc")
     )
+
+
+def semantic_cell_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, re-expressed
+    fresh): assign every vector to its max-inner-product centroid cell
+    (broadcast — the corpus never shuffles for assignment), then find
+    near-duplicate pairs WITHIN each cell with one numpy matmul per
+    cell. Pairs crossing cells are intentionally out of scope — the
+    SemDeDup premise is that semantic duplicates co-cluster, which is
+    what turns the O(N²) all-pairs problem into Σ O(|cell|²).
+
+    Returns ``(centroid_id, vec_a, vec_b, dot)`` with ``vec_a < vec_b``
+    and exact fixed-point integer dots (bit-identical to the per-pair
+    formulation).
+
+    Scale shape: ONE shuffle keys vectors by ``centroid_id``; per-task
+    memory is a cell's int64 matrix. Cell count is the knob: pick
+    k ~ sqrt(N) (k-means refined via :func:`kmeans_step`) so cells stay
+    executor-sized; skewed cells split the same way LSH hot buckets do.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assign = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    q = corpus.select(
+        F.col(id_col).alias("vec_id"), quantized(vec_col).alias("q")
+    )
+    cells = q.join(assign.select("vec_id", "centroid_id"), "vec_id")
+    schema = "centroid_id bigint, vec_a bigint, vec_b bigint, dot bigint"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.array(pdf["q"].tolist(), dtype=np.int64)
+        G = M @ M.T
+        ii, jj = np.nonzero(np.triu(G >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "centroid_id": np.full(len(ii), int(pdf["centroid_id"].iloc[0]), dtype=np.int64),
+                "vec_a": ids[ii],
+                "vec_b": ids[jj],
+                "dot": G[ii, jj],
+            }
+        )
+
+    return cells.groupBy("centroid_id").applyInPandas(pairs, schema=schema)

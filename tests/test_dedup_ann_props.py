@@ -294,3 +294,32 @@ def test_jaccard_verify_equals_allpairs_on_candidates(spark):
     }
     assert composed == allpairs
     assert composed  # non-vacuous: the near-dups must surface
+
+
+def test_semantic_cell_pairs_subset_of_all_pairs(spark):
+    """dd9 is exactly the all-pairs near-dup set restricted to
+    co-clustered pairs: every emitted pair must appear in the
+    threshold all-pairs set with the identical integer dot, and every
+    all-pairs pair whose endpoints share a cell must be emitted."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    th = 30_000_000
+    cell = {
+        (r.vec_a, r.vec_b): r.dot
+        for r in simsearch.semantic_cell_pairs(emb, cents, threshold=th).collect()
+    }
+    allp = {
+        (r.vec_a, r.vec_b): r.dot
+        for r in simsearch.blocked_pairs_above(emb, threshold=th).collect()
+    }
+    assign = {
+        r.vec_id: r.centroid_id
+        for r in simsearch.ivf_assign(emb, cents).collect()
+    }
+    want = {
+        p: d for p, d in allp.items() if assign[p[0]] == assign[p[1]]
+    }
+    assert cell == want
+    assert cell  # non-vacuous on this corpus

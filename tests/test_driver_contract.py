@@ -110,6 +110,7 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         "dd6b_simhash_prod": "dd6_simhash_pairs",
         "tx8_bigram_familiarity": "tx1_token_stats",
         "tx9_pii_redact": "tx1_token_stats",
+        "dd9_semantic_dedup": "dd5_embedding_neardup",
     }
     assert set(behind) == set(siblings)
     for n, sib in siblings.items():
