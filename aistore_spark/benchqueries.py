@@ -4176,6 +4176,77 @@ def ann9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "samp3_source_mixture",
+    oracles.with_catalogs(
+        """
+        WITH wtd AS (
+          SELECT name, source,
+                 CASE source WHEN 'src1' THEN 5 WHEN 'src3' THEN 1
+                             WHEN 'src7' THEN 0 ELSE 1 END AS num,
+                 CASE source WHEN 'src1' THEN 2 WHEN 'src3' THEN 3
+                             ELSE 1 END AS den
+          FROM objects
+        ),
+        copies AS (
+          SELECT name, source,
+                 CAST((num - num % den) // den AS BIGINT)
+                 + CASE WHEN ('0x' || substr(md5(name), 1, 8))::BIGINT % den
+                             < num % den
+                        THEN 1 ELSE 0 END AS n_copies
+          FROM wtd
+        )
+        SELECT source,
+               count(*) AS n_source_rows,
+               CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+               md5(string_agg(name || '#' || CAST(n_copies AS VARCHAR), ','
+                              ORDER BY name)) AS mix_md5
+        FROM copies GROUP BY source
+        """,
+        "objects",
+    ),
+)
+def samp3_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data mixing — epochs-per-source upsampling
+    (src1 = 2.5 epochs, src3 = 1/3 epoch, src7 dropped, rest 1.0):
+    exact-rational replication with the extra copy keyed by md5
+    bucket, so the realized mix is a pure function of the keys.
+    Registered as the per-source rollup with a per-row copy-count
+    fingerprint (the exploded copies frame feeds the packer; its
+    total is verified here). Map-side only until the rollup."""
+    mixed = sampling.source_mixture(
+        _objects(spark, sf_dir),
+        {"src1": (5, 2), "src3": (1, 3), "src7": (0, 1)},
+    )
+    per_row = mixed.groupBy("name", "source").agg(
+        (F.max("copy_idx") + 1).alias("n_copies")
+    )
+    zero = (
+        _objects(spark, sf_dir)
+        .join(per_row.select("name"), "name", "left_anti")
+        .select("name", "source", F.lit(0).cast("bigint").alias("n_copies"))
+    )
+    allrows = per_row.unionByName(zero)
+    return allrows.groupBy("source").agg(
+        F.count("*").alias("n_source_rows"),
+        F.sum("n_copies").cast("bigint").alias("n_copies_total"),
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(
+                            F.col("name"),
+                            F.lit("#"),
+                            F.col("n_copies").cast("string"),
+                        )
+                    )
+                ),
+                ",",
+            )
+        ).alias("mix_md5"),
+    )
+
+
+@register(
     "samp1_hash_split",
     oracles.with_catalogs(
         """

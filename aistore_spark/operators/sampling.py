@@ -106,3 +106,59 @@ def stratified_sample(
         .filter(F.col("_r") - F.col("_off") < quota)
         .drop("_h", "_r", "_off")
     )
+
+
+def source_mixture(
+    df: DataFrame,
+    weights: dict[str, tuple[int, int]],
+    default_weight: tuple[int, int] = (1, 1),
+    source_col: str = "source",
+    key_col: str = "name",
+) -> DataFrame:
+    """Deterministic source-weighted upsampling — the data-mixing step
+    of pretraining assembly ("epochs per source"): each row is
+    replicated ``num/den`` times in expectation, exactly and
+    reproducibly. *weights* maps source → (num, den) as an exact
+    rational (e.g. ``(5, 2)`` = 2.5 epochs); unlisted sources take
+    *default_weight*.
+
+    Replication count per row = ``num div den`` guaranteed copies,
+    plus one extra copy iff the row's md5 bucket (0..den-1) is below
+    ``num mod den`` — so over any key population the realized mix
+    converges to the target rational with zero randomness: membership
+    of the extra copy is a pure function of the key, stable across
+    runs, engines, and cluster sizes.
+
+    Output: one row per COPY, ``(.., copy_idx)`` with ``copy_idx`` in
+    ``0..n_copies-1`` — ready to feed the packer; rows with zero
+    copies (downsampled sources) drop out.
+
+    Scale shape: pure column math + ``explode(sequence(...))`` —
+    map-side only, zero shuffles; the mix report is one
+    map-side-combinable rollup.
+    """
+    num = None
+    den = None
+    for src, (n_, d_) in weights.items():
+        if n_ < 0 or d_ <= 0:
+            raise ValueError(f"weight for {src!r} must be (num>=0, den>0)")
+        cond = F.col(source_col) == src
+        num = F.when(cond, n_) if num is None else num.when(cond, n_)
+        den = F.when(cond, d_) if den is None else den.when(cond, d_)
+    dn, dd = default_weight
+    num = (num.otherwise(dn) if num is not None else F.lit(dn)).cast("bigint")
+    den = (den.otherwise(dd) if den is not None else F.lit(dd)).cast("bigint")
+    bucket = (
+        F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("bigint") % den
+    )
+    # whole part exactly (num - num%den is divisible by den; the double
+    # division is exact for these magnitudes), plus the keyed extra copy
+    whole = ((num - num % den) / den).cast("bigint")
+    n_copies = whole + F.when(bucket < num % den, 1).otherwise(0)
+    out = df.withColumn("n_copies", n_copies.cast("bigint"))
+    return out.filter(F.col("n_copies") > 0).select(
+        "*",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1)
+        ).alias("copy_idx"),
+    )

@@ -53,3 +53,47 @@ def test_stratified_sample_exact_quota_and_stable(spark, sf_dir):
     assert sorted(r["name"] for r in kept.select("name").collect()) == sorted(
         r["name"] for r in again.select("name").collect()
     )
+
+
+def test_source_mixture_exact_rational_and_determinism(spark):
+    """source_mixture realizes num/den epochs exactly: guaranteed
+    whole copies for every row, the keyed extra copy for exactly
+    (num % den)/den of keys in expectation, zero rows for weight 0,
+    and the output is a pure function of the keys (stable across
+    repartitions)."""
+    from pyspark.sql import functions as F
+
+    from aistore_spark.operators.sampling import source_mixture
+
+    rows = [(f"k{i:05d}", ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "name string, source string")
+    weights = {"a": (5, 2), "b": (0, 1)}  # a: 2.5 epochs, b: dropped
+    out = source_mixture(df, weights)
+    per = {
+        (r.name): r.cnt
+        for r in out.groupBy("name").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_a = sum(1 for n, s in rows if s == "a")
+    # b rows vanish; c rows (default 1,1) appear exactly once
+    assert all(not n.startswith("k") or True for n in per)
+    got_sources = {
+        r.source for r in out.select("source").distinct().collect()
+    }
+    assert got_sources == {"a", "c"}
+    a_counts = [per[n] for n, s in rows if s == "a"]
+    assert set(a_counts) <= {2, 3}
+    # exact-rational expectation: extra copy for ~half the keys
+    extra = sum(1 for c in a_counts if c == 3)
+    assert abs(extra - n_a / 2) < n_a * 0.1
+    for n, s in rows:
+        if s == "c":
+            assert per[n] == 1
+    # determinism across layouts
+    again = {
+        (r.name): r.cnt
+        for r in source_mixture(df.repartition(13), weights)
+        .groupBy("name")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert per == again
