@@ -2041,6 +2041,47 @@ def mm7_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_png_meta(multimodal.synth_png_frame(ids))
 
 
+@register(
+    "mm8_gif_decode",
+    """
+    WITH ids AS (
+      SELECT doc_id, 6 + doc_id % 27 AS w, 4 + doc_id % 19 AS h
+      FROM documents WHERE doc_id % 6 = 3
+    ),
+    px AS (
+      SELECT i.doc_id, i.w, i.h,
+             (i.doc_id + 3 * x.r + 5 * y.r) % 256 AS idx
+      FROM ids i, range(0, 33) x(r), range(0, 23) y(r)
+      WHERE x.r < i.w AND y.r < i.h
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(256 AS BIGINT) AS n_colors,
+           CAST(sum(idx) // (w * h) AS BIGINT) AS mean_index,
+           CAST(sum((2 * idx) % 256) // (w * h) AS BIGINT) AS mean_green,
+           CAST(w * h AS BIGINT) AS n_pixels
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm8_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL dictionary-coded image decode, no stub and no library:
+    synthesize genuine GIF87a files (hand-built LZW encoder with
+    variable code widths, CLEAR/END codes and 4096-entry dictionary
+    resets) and decode them back — container parse, sub-block
+    reassembly, full LZW decode (KwKwK case included), palette lookup,
+    integer channel means. Completes the real-codec matrix across
+    compression families: PCM (mm5), raw bitmap (mm6), DEFLATE/mm7,
+    LZW/mm8. Oracle re-derives every stat from the pixel formula
+    ``idx(x,y) = (doc_id + 3x + 5y) % 256`` with palette green
+    ``(2*idx) % 256`` — an encoder and decoder bug must cancel
+    bit-for-bit across dictionary resets to slip through."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 6 == 3
+    ).select("doc_id")
+    return multimodal.decode_gif_meta(multimodal.synth_gif_frame(ids))
+
+
 # ---- DS/S4/D5/A3/T6: downloader, archive listing, reshard, stats --------------
 
 

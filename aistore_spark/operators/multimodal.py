@@ -620,3 +620,239 @@ def synth_png_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(run, schema="doc_id bigint, img binary")
+
+
+# ---- real dictionary-coded image codec (stdlib GIF87a / LZW) --------------
+
+GIF_META_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_colors bigint, "
+    "mean_index bigint, mean_green bigint, n_pixels bigint"
+)
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: variable-width codes starting at
+    ``min_code_size + 1`` bits, CLEAR/END codes, dictionary reset at
+    4096 — the encode direction of the public GIF87a specification."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            # GIF encoders grow the width when the NEXT code to assign
+            # no longer fits the current width
+            width += 1
+        elif next_code == 4097:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(end, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """LZW decode per the GIF87a spec: variable code width, CLEAR
+    resets, KwKwK case, END terminates. Truncated/invalid streams
+    raise ValueError."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    pos = 0
+    bitbuf = 0
+    bitcnt = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, bitbuf, bitcnt
+        while bitcnt < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        return code
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("LZW: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW: code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def synth_gif(doc_id: int) -> bytes:
+    """Deterministic GIF87a with REAL LZW compression: 256-entry
+    global palette where entry ``i`` is ``(i, (2*i) % 256, (7*i) %
+    256)`` and pixel ``(x, y)`` holds palette index ``(doc_id + 3*x +
+    5*y) % 256`` — both analytic, so the oracle re-derives the decoded
+    channel means with no reference to the bytes."""
+    import struct
+
+    w = 6 + doc_id % 27
+    h = 4 + doc_id % 19
+    indices = bytes(
+        (doc_id + 3 * x + 5 * y) % 256 for y in range(h) for x in range(w)
+    )
+    palette = bytearray()
+    for i in range(256):
+        palette += bytes((i, (2 * i) % 256, (7 * i) % 256))
+    lzw = _lzw_encode(indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 colors
+        + bytes(palette)
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+        + bytes([8])  # LZW min code size
+        + bytes(blocks)
+        + b"\x3b"  # trailer
+    )
+
+
+def decode_gif_meta(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "img"
+) -> DataFrame:
+    """REAL dictionary-coded image decode, stdlib only: parse the
+    GIF87a container (screen descriptor, global palette, image
+    descriptor, sub-block stream), LZW-decode the pixel indices and
+    fold them into integer-exact stats. Completes the codec matrix:
+    mm5 PCM audio, mm6 raw bitmaps, mm7 DEFLATE (PNG), mm8 LZW (GIF).
+    Supports the synthesizable profile (global 256-color table, single
+    non-interlaced image, no extensions); anything else raises."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_colors", "mean_index",
+                "mean_green", "n_pixels",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(blob)
+                if data[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise ValueError("not a GIF")
+                w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+                if not flags & 0x80:
+                    raise ValueError("GIF without global color table")
+                n_colors = 2 << (flags & 0x07)
+                pos = 13
+                palette = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * n_colors, offset=pos
+                ).reshape(n_colors, 3)
+                pos += 3 * n_colors
+                if data[pos] != 0x2C:
+                    raise ValueError(
+                        f"unsupported GIF block 0x{data[pos]:02x} "
+                        "(extensions not in the synthesizable profile)"
+                    )
+                ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+                if iflags & 0xC0:
+                    raise ValueError("local table/interlace unsupported")
+                pos += 10
+                min_code = data[pos]
+                pos += 1
+                lzw = bytearray()
+                while True:
+                    blen = data[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    lzw += data[pos : pos + blen]
+                    pos += blen
+                idx = np.frombuffer(
+                    _lzw_decode(bytes(lzw), min_code), dtype=np.uint8
+                )
+                if len(idx) != iw * ih:
+                    raise ValueError(
+                        f"LZW output {len(idx)} != {iw}x{ih} pixels"
+                    )
+                g = palette[idx, 1].astype(np.int64)
+                n = iw * ih
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(iw)
+                rows["height"].append(ih)
+                rows["n_colors"].append(n_colors)
+                rows["mean_index"].append(int(idx.astype(np.int64).sum()) // n)
+                rows["mean_green"].append(int(g.sum()) // n)
+                rows["n_pixels"].append(n)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=GIF_META_SCHEMA)
+
+
+def synth_gif_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a real synthesized GIF binary column per id row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "img": [synth_gif(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return ids.mapInPandas(run, schema="doc_id bigint, img binary")

@@ -306,3 +306,61 @@ def test_bigram_familiarity_separates_garbage_from_boilerplate(spark):
     assert out[11].familiarity == (6 + 6 + 1)
     for r in out.values():
         assert r.familiarity >= r.n_bigrams
+
+
+def test_gif_decode_real_codec(spark):
+    """decode_gif_meta parses genuine GIF87a bytes: container walk,
+    sub-block reassembly, full LZW decode, palette lookup."""
+    from aistore_spark.operators import multimodal
+
+    ids = spark.createDataFrame([(3,), (57,)], "doc_id bigint")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_gif_meta(
+            multimodal.synth_gif_frame(ids)
+        ).collect()
+    }
+    # doc 3: w=6+3%27=9, h=4+3%19=7
+    assert out[3].width == 9 and out[3].height == 7
+    n = 9 * 7
+    idxs = [(3 + 3 * x + 5 * y) % 256 for y in range(7) for x in range(9)]
+    assert out[3].mean_index == sum(idxs) // n
+    assert out[3].mean_green == sum((2 * i) % 256 for i in idxs) // n
+    assert out[57].n_colors == 256
+
+
+def test_lzw_spec_cases():
+    """LZW decoder against hand-built code streams: the KwKwK case
+    (a code referencing the entry being defined) and truncation."""
+    import pytest
+
+    from aistore_spark.operators.multimodal import _lzw_decode, _lzw_encode
+
+    # hand-pack codes [CLEAR, 5, 258(KwKwK), END] at 9-bit width,
+    # min_code_size=8: 258 = '5'+'5'[0] -> output [5, 5, 5]
+    codes = [256, 5, 258, 257]
+    buf = 0
+    bits = 0
+    out = bytearray()
+    for c in codes:
+        buf |= c << bits
+        bits += 9
+        while bits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            bits -= 8
+    if bits:
+        out.append(buf & 0xFF)
+    assert _lzw_decode(bytes(out), 8) == bytes([5, 5, 5])
+
+    enc = _lzw_encode(b"abcabcabc" * 50)
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode(enc[: len(enc) // 3], 8)
+
+    # dictionary-reset path: >4096 distinct phrases forces a mid-stream
+    # CLEAR; round trip must survive it
+    import random
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(30000))
+    assert _lzw_decode(_lzw_encode(data), 8) == data

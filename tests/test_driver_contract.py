@@ -112,6 +112,7 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         "tx9_pii_redact": "tx1_token_stats",
         "dd9_semantic_dedup": "dd5_embedding_neardup",
         "samp3_source_mixture": "samp1_hash_split",
+        "mm8_gif_decode": "mm7_png_decode",
     }
     assert set(behind) == set(siblings)
     for n, sib in siblings.items():
