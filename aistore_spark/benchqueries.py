@@ -2058,6 +2058,7 @@ def mm7_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(w AS BIGINT) AS width,
            CAST(h AS BIGINT) AS height,
            CAST(256 AS BIGINT) AS n_colors,
+           CAST(1 AS BIGINT) AS n_frames,
            CAST(sum(idx) // (w * h) AS BIGINT) AS mean_index,
            CAST(sum((2 * idx) % 256) // (w * h) AS BIGINT) AS mean_green,
            CAST(w * h AS BIGINT) AS n_pixels
@@ -2080,6 +2081,38 @@ def mm8_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 6 == 3
     ).select("doc_id")
     return multimodal.decode_gif_meta(multimodal.synth_gif_frame(ids))
+
+
+@register(
+    "mm9_media_dispatch",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+                           WHEN 2 THEN 'image/png' ELSE 'image/gif' END
+             AS media_type,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 4 + doc_id % 61
+                                WHEN 2 THEN 4 + doc_id % 29
+                                ELSE 6 + doc_id % 27 END AS BIGINT) AS width,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 4 + doc_id % 37
+                                WHEN 2 THEN 5 + doc_id % 17
+                                ELSE 4 + doc_id % 19 END AS BIGINT) AS height,
+           CAST(CASE doc_id % 4 WHEN 0 THEN 800 + doc_id % 800
+                                WHEN 3 THEN 1 + doc_id % 5
+                                ELSE 1 END AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def mm9_media_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM9: the decode_media contract with NO stub — a mixed-media
+    lake (REAL WAV / BMP / PNG / animated-GIF containers, one per doc)
+    is sniffed by magic bytes and routed to the real parser for typed
+    metadata: PCM frame count for audio, CRC-checked IHDR dims for
+    PNG, a full block walk counting image frames for GIF — animated
+    GIFs are genuine multi-frame (video-shaped) containers, so the
+    frame-sampling plan (mm4) now has a real n_frames source. Oracle
+    is fully analytic per container kind."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_media_meta(multimodal.synth_media_frame(ids))
 
 
 # ---- DS/S4/D5/A3/T6: downloader, archive listing, reshard, stats --------------

@@ -626,7 +626,7 @@ def synth_png_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 GIF_META_SCHEMA = (
     "doc_id bigint, width bigint, height bigint, n_colors bigint, "
-    "mean_index bigint, mean_green bigint, n_pixels bigint"
+    "n_frames bigint, mean_index bigint, mean_green bigint, n_pixels bigint"
 )
 
 
@@ -735,37 +735,41 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def synth_gif(doc_id: int) -> bytes:
+def synth_gif(doc_id: int, n_frames: int = 1) -> bytes:
     """Deterministic GIF87a with REAL LZW compression: 256-entry
     global palette where entry ``i`` is ``(i, (2*i) % 256, (7*i) %
-    256)`` and pixel ``(x, y)`` holds palette index ``(doc_id + 3*x +
-    5*y) % 256`` — both analytic, so the oracle re-derives the decoded
-    channel means with no reference to the bytes."""
+    256)`` and frame ``f``'s pixel ``(x, y)`` holds palette index
+    ``(doc_id + 3*x + 5*y + 11*f) % 256`` — analytic, so the oracle
+    re-derives the decoded channel means with no reference to the
+    bytes. ``n_frames > 1`` writes one full-frame image block per
+    frame — a genuine multi-frame (video-shaped) container."""
     import struct
 
     w = 6 + doc_id % 27
     h = 4 + doc_id % 19
-    indices = bytes(
-        (doc_id + 3 * x + 5 * y) % 256 for y in range(h) for x in range(w)
-    )
     palette = bytearray()
     for i in range(256):
         palette += bytes((i, (2 * i) % 256, (7 * i) % 256))
-    lzw = _lzw_encode(indices)
-    blocks = bytearray()
-    for i in range(0, len(lzw), 255):
-        chunk = lzw[i : i + 255]
-        blocks.append(len(chunk))
-        blocks += chunk
-    blocks.append(0)  # block terminator
+    body = bytearray()
+    for f in range(n_frames):
+        indices = bytes(
+            (doc_id + 3 * x + 5 * y + 11 * f) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        lzw = _lzw_encode(indices)
+        body += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        body.append(8)  # LZW min code size
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            body.append(len(chunk))
+            body += chunk
+        body.append(0)  # block terminator
     return (
         b"GIF87a"
         + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table, 256 colors
         + bytes(palette)
-        + b"\x2c"
-        + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
-        + bytes([8])  # LZW min code size
-        + bytes(blocks)
+        + bytes(body)
         + b"\x3b"  # trailer
     )
 
@@ -787,8 +791,8 @@ def decode_gif_meta(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
-                "doc_id", "width", "height", "n_colors", "mean_index",
-                "mean_green", "n_pixels",
+                "doc_id", "width", "height", "n_colors", "n_frames",
+                "mean_index", "mean_green", "n_pixels",
             )}
             for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
                 data = bytes(blob)
@@ -803,41 +807,54 @@ def decode_gif_meta(
                     data, dtype=np.uint8, count=3 * n_colors, offset=pos
                 ).reshape(n_colors, 3)
                 pos += 3 * n_colors
-                if data[pos] != 0x2C:
-                    raise ValueError(
-                        f"unsupported GIF block 0x{data[pos]:02x} "
-                        "(extensions not in the synthesizable profile)"
+                idx_sum = 0
+                g_sum = 0
+                n_px = 0
+                frames = 0
+                iw = ih = 0
+                while data[pos] != 0x3B:  # until trailer
+                    if data[pos] != 0x2C:
+                        raise ValueError(
+                            f"unsupported GIF block 0x{data[pos]:02x} "
+                            "(extensions not in the synthesizable profile)"
+                        )
+                    _ix, _iy, iw, ih, iflags = struct.unpack_from(
+                        "<HHHHB", data, pos + 1
                     )
-                ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
-                if iflags & 0xC0:
-                    raise ValueError("local table/interlace unsupported")
-                pos += 10
-                min_code = data[pos]
-                pos += 1
-                lzw = bytearray()
-                while True:
-                    blen = data[pos]
+                    if iflags & 0xC0:
+                        raise ValueError("local table/interlace unsupported")
+                    pos += 10
+                    min_code = data[pos]
                     pos += 1
-                    if blen == 0:
-                        break
-                    lzw += data[pos : pos + blen]
-                    pos += blen
-                idx = np.frombuffer(
-                    _lzw_decode(bytes(lzw), min_code), dtype=np.uint8
-                )
-                if len(idx) != iw * ih:
-                    raise ValueError(
-                        f"LZW output {len(idx)} != {iw}x{ih} pixels"
+                    lzw = bytearray()
+                    while True:
+                        blen = data[pos]
+                        pos += 1
+                        if blen == 0:
+                            break
+                        lzw += data[pos : pos + blen]
+                        pos += blen
+                    idx = np.frombuffer(
+                        _lzw_decode(bytes(lzw), min_code), dtype=np.uint8
                     )
-                g = palette[idx, 1].astype(np.int64)
-                n = iw * ih
+                    if len(idx) != iw * ih:
+                        raise ValueError(
+                            f"LZW output {len(idx)} != {iw}x{ih} pixels"
+                        )
+                    idx_sum += int(idx.astype(np.int64).sum())
+                    g_sum += int(palette[idx, 1].astype(np.int64).sum())
+                    n_px += iw * ih
+                    frames += 1
+                if frames == 0:
+                    raise ValueError("GIF with no image block")
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(iw)
                 rows["height"].append(ih)
                 rows["n_colors"].append(n_colors)
-                rows["mean_index"].append(int(idx.astype(np.int64).sum()) // n)
-                rows["mean_green"].append(int(g.sum()) // n)
-                rows["n_pixels"].append(n)
+                rows["n_frames"].append(frames)
+                rows["mean_index"].append(idx_sum // n_px)
+                rows["mean_green"].append(g_sum // n_px)
+                rows["n_pixels"].append(n_px)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=GIF_META_SCHEMA)
@@ -856,3 +873,122 @@ def synth_gif_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(run, schema="doc_id bigint, img binary")
+
+
+# ---- real media-type dispatch (the decode_media contract, no stub) --------
+
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, media_type string, width bigint, height bigint, "
+    "n_frames bigint"
+)
+
+
+def sniff_media_type(data: bytes) -> str:
+    """Magic-byte container sniff — the reference's mime detection
+    applied to media (cmn/archive/mime.go does the same for shards)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "audio/wav"
+    if data[:2] == b"BM":
+        return "image/bmp"
+    if data[:8] == PNG_SIGNATURE:
+        return "image/png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
+    raise ValueError(f"unknown media container (magic {data[:8]!r})")
+
+
+def synth_media_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Mixed-media corpus: each id gets a REAL container chosen by
+    ``doc_id % 4`` — WAV audio, BMP, PNG, or an ANIMATED multi-frame
+    GIF (``1 + doc_id % 5`` frames — the video-shaped case)."""
+
+    def one(doc_id: int) -> bytes:
+        k = doc_id % 4
+        if k == 0:
+            return synth_wav(doc_id)
+        if k == 1:
+            return synth_bmp(doc_id)
+        if k == 2:
+            return synth_png(doc_id)
+        return synth_gif(doc_id, n_frames=1 + doc_id % 5)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "data": [one(int(i)) for i in pdf[id_col]],
+                }
+            )
+
+    return ids.mapInPandas(run, schema="doc_id bigint, data binary")
+
+
+def decode_media_meta(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "data"
+) -> DataFrame:
+    """The ``decode_media`` contract with NO stub: sniff the container
+    by magic bytes and extract typed metadata with the real parsers —
+    WAV header (PCM frame count = the audio "n_frames"), BMP header,
+    PNG IHDR (CRC-verified), GIF block walk counting image frames
+    (animated GIFs are the multi-frame/video case). This is the
+    dispatch layer a mixed-media lake needs before routing content to
+    the per-format pixel/sample decoders (mm5-mm8)."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "media_type", "width", "height", "n_frames",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(blob)
+                mt = sniff_media_type(data)
+                if mt == "audio/wav":
+                    with wave.open(io.BytesIO(data)) as w:
+                        width, height, frames = 0, 0, w.getnframes()
+                elif mt == "image/bmp":
+                    _hsz, bw, bh, _pl, _bpp = struct.unpack_from(
+                        "<IiiHH", data, 14
+                    )
+                    width, height, frames = bw, abs(bh), 1
+                elif mt == "image/png":
+                    (clen,) = struct.unpack_from(">I", data, 8)
+                    cname = data[12:16]
+                    body = data[16 : 16 + clen]
+                    (crc,) = struct.unpack_from(">I", data, 16 + clen)
+                    if cname != b"IHDR" or (
+                        zlib.crc32(cname + body) & 0xFFFFFFFF
+                    ) != crc:
+                        raise ValueError("bad PNG IHDR")
+                    pw, ph = struct.unpack_from(">II", body, 0)
+                    width, height, frames = pw, ph, 1
+                else:  # image/gif — walk blocks, count frames
+                    flags = data[10]
+                    pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+                    gw, gh = struct.unpack_from("<HH", data, 6)
+                    frames = 0
+                    while data[pos] != 0x3B:
+                        if data[pos] != 0x2C:
+                            raise ValueError("unsupported GIF block")
+                        pos += 10
+                        pos += 1  # min code size
+                        while True:
+                            blen = data[pos]
+                            pos += 1
+                            if blen == 0:
+                                break
+                            pos += blen
+                        frames += 1
+                    width, height = gw, gh
+                rows["doc_id"].append(int(doc_id))
+                rows["media_type"].append(mt)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["n_frames"].append(frames)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)

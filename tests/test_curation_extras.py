@@ -364,3 +364,42 @@ def test_lzw_spec_cases():
     rng = random.Random(3)
     data = bytes(rng.randrange(256) for _ in range(30000))
     assert _lzw_decode(_lzw_encode(data), 8) == data
+
+
+def test_media_dispatch_animated_gif_frames(spark):
+    """decode_media_meta routes mixed real containers by magic bytes;
+    animated GIFs report their true frame count, and a multi-frame GIF
+    aggregates pixel stats over ALL frames in decode_gif_meta."""
+    from aistore_spark.operators import multimodal
+
+    ids = spark.createDataFrame(
+        [(4,), (9,), (22,), (19,)], "doc_id bigint"
+    )
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_media_meta(
+            multimodal.synth_media_frame(ids)
+        ).collect()
+    }
+    assert out[4].media_type == "audio/wav" and out[4].n_frames == 800 + 4
+    assert out[9].media_type == "image/bmp" and out[9].n_frames == 1
+    assert out[22].media_type == "image/png" and out[22].width == 4 + 22 % 29
+    assert out[19].media_type == "image/gif"
+    assert out[19].n_frames == 1 + 19 % 5  # animated
+
+    # multi-frame pixel aggregation: means over all frames, exact
+    d, nf = 19, 1 + 19 % 5
+    w, h = 6 + d % 27, 4 + d % 19
+    gif = spark.createDataFrame(
+        [(d, multimodal.synth_gif(d, n_frames=nf))], "doc_id bigint, img binary"
+    )
+    r = multimodal.decode_gif_meta(gif).collect()[0]
+    idxs = [
+        (d + 3 * x + 5 * y + 11 * f) % 256
+        for f in range(nf)
+        for y in range(h)
+        for x in range(w)
+    ]
+    assert r.n_frames == nf and r.n_pixels == w * h * nf
+    assert r.mean_index == sum(idxs) // (w * h * nf)
+    assert r.mean_green == sum((2 * i) % 256 for i in idxs) // (w * h * nf)

@@ -113,6 +113,7 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         "dd9_semantic_dedup": "dd5_embedding_neardup",
         "samp3_source_mixture": "samp1_hash_split",
         "mm8_gif_decode": "mm7_png_decode",
+        "mm9_media_dispatch": "mm1_decode_media",
     }
     assert set(behind) == set(siblings)
     for n, sib in siblings.items():
