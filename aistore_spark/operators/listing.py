@@ -79,19 +79,21 @@ def list_inventory_page(
     boundary at-or-below the token — the page may re-include a few
     entries before the cursor (that is the documented approximation).
 
-    Fixture shape: the ordinal is derived with a row_number window
-    here; a real inventory (S3 Inventory manifest et al.) stores the
-    ordinal/chunk id per row, so at 100 TB this is a filter on a stored
-    column — no global window. The scalar "token chunk" is a 1-row
-    aggregate cross-joined in (broadcast, no collect).
+    Fixture shape: the ordinal is derived with the two-pass
+    range-partitioned :func:`~aistore_spark.operators.dsort.global_rank`
+    (NO single-partition window anywhere in this plan); a real
+    inventory (S3 Inventory manifest et al.) stores the ordinal/chunk
+    id per row, so at 100 TB this is a filter on a stored column. The
+    scalar "token chunk" is a 1-row aggregate cross-joined in
+    (broadcast, no collect).
     """
-    from pyspark.sql import Window
+    from aistore_spark.operators.dsort import global_rank
 
     inv = inventory
     if prefix:
         inv = inv.filter(F.col("name").startswith(prefix))
-    inv = inv.withColumn(
-        "rn", F.row_number().over(Window.orderBy("name")).cast("bigint") - 1
+    inv = global_rank(inv, ["name"], rank_col="rn").withColumn(
+        "rn", F.col("rn").cast("bigint") - 1
     )
     if token:
         tok = inv.filter(F.col("name") > token).agg(
