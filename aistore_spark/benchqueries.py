@@ -2083,6 +2083,58 @@ def mm8_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_gif_meta(multimodal.synth_gif_frame(ids))
 
 
+_DSV2_CACHE: dict[str, str] = {}
+
+
+def _chunked_catalog_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the chunked catalog once per process per sf_dir."""
+    if sf_dir not in _DSV2_CACHE:
+        import tempfile
+
+        from aistore_spark.sources import catalog_source
+
+        path = tempfile.mkdtemp(prefix="aiscat_") + "/cat"
+        catalog_source.write_chunked_catalog(
+            _objects(spark, sf_dir), path, n_chunks=16
+        )
+        _DSV2_CACHE[sf_dir] = path
+    return _DSV2_CACHE[sf_dir]
+
+
+@register(
+    "s7b_dsv2_listing",
+    oracles.with_catalogs(
+        """
+        SELECT bucket, name, size, version
+        FROM objects
+        WHERE name LIKE 'en/%' AND name > 'en/src1'
+        ORDER BY name LIMIT 150
+        """,
+        "objects",
+    ),
+)
+def s7b_dsv2_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7b: the S1 prefix+token listing served through the custom
+    ``aiscatalog`` Python DataSource (sources/catalog_source.py) — the
+    DSv2-style relation SURVEY §4 names as the catalog's scale path:
+    name predicates are CONSUMED by the reader (pushFilters) and prune
+    manifest chunks at planning time, so at 10^9 rows a listing page
+    schedules only the chunks whose [min,max] name range can match
+    (pruning counts machine-checked in test_catalog_datasource.py)."""
+    from aistore_spark.sources import catalog_source
+
+    cat = catalog_source.load_catalog(
+        spark, _chunked_catalog_path(spark, sf_dir)
+    )
+    return (
+        cat.filter(F.col("name").startswith("en/"))
+        .filter(F.col("name") > "en/src1")
+        .orderBy("name")
+        .limit(150)
+        .select("bucket", "name", "size", "version")
+    )
+
+
 @register(
     "mm9_media_dispatch",
     """

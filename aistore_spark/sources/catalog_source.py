@@ -1,0 +1,231 @@
+"""Custom catalog connector via the PySpark DataSource API (the
+"DSv2 relation" SURVEY.md §4 names as the catalog's scale
+optimization — delivered with the official Python DataSource API,
+``pyspark.sql.datasource``).
+
+The listing workload (S1/S7) is: prefix + continuation-token + page
+over a name-sorted inventory. The parquet-view stance covers it at
+testdata scale; this connector adds what a 10^9-row catalog needs —
+**planner-level chunk pruning**: the catalog is materialized as
+name-range chunk files plus a manifest of per-chunk ``[min_name,
+max_name]``, and the reader's ``pushFilters``/``partitions`` drop
+every chunk whose range cannot match BEFORE any task is scheduled.
+``tests/test_catalog_source.py`` measures the pruning (selected-chunk
+counts) and proves end-to-end row equality against the plain parquet
+read.
+
+Reference parity: the chunked inventory IS the reference's
+native-bucket-inventory shape (``xact/xs/ls_nbi.go`` reads S3
+Inventory chunks; approximate pagination over chunk boundaries is S7);
+here the chunk index additionally serves exact predicate pruning.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+#: the inventory projection every chunk file carries (LsoEnt core)
+CATALOG_SCHEMA = (
+    "bucket string, name string, size bigint, checksum string, "
+    "version string"
+)
+
+MANIFEST = "_catalog_manifest.json"
+
+
+def write_chunked_catalog(
+    objects: DataFrame, path: str, n_chunks: int = 16
+) -> dict:
+    """Materialize a name-sorted chunked catalog + manifest.
+
+    Chunks are parquet files range-partitioned by ``name`` (each chunk
+    owns a contiguous name range — the layout that makes the manifest
+    selective); the manifest records per-chunk ``[min_name, max_name]``
+    and row count. Returns the manifest dict.
+    """
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    (
+        objects.select("bucket", "name", "size", "checksum", "version")
+        .repartitionByRange(n_chunks, "name")
+        .sortWithinPartitions("name")
+        .write.mode("overwrite")
+        .parquet(str(out / "chunks"))
+    )
+    import pyarrow.parquet as pq
+
+    chunks = []
+    for f in sorted((out / "chunks").glob("part-*.parquet")):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        name_idx = md.schema.names.index("name")
+        lo = min(
+            md.row_group(i).column(name_idx).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(name_idx).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        chunks.append(
+            {"file": str(f), "min_name": lo, "max_name": hi, "rows": md.num_rows}
+        )
+    manifest = {"chunks": chunks}
+    (out / MANIFEST).write_text(json.dumps(manifest, indent=1))
+    return manifest
+
+
+class _ChunkPartition(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+class CatalogReader(DataSourceReader):
+    """Reader with real filter pushdown: name-range predicates prune
+    chunks at PLANNING time (``partitions()`` consults the manifest),
+    and fully-handled filters are also applied row-level inside
+    ``read`` so Spark doesn't re-evaluate them."""
+
+    #: filter classes fully handled here (returned as consumed)
+    _HANDLED = (
+        StringStartsWith,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+        EqualTo,
+    )
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        manifest = json.loads(
+            (Path(self.path) / MANIFEST).read_text()
+        )
+        self.chunks = manifest["chunks"]
+        self.name_filters: list = []
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, self._HANDLED)
+                and tuple(f.attribute) == ("name",)
+                and (isinstance(f, StringStartsWith) or isinstance(f.value, str))
+            ):
+                self.name_filters.append(f)
+            else:
+                remaining.append(f)
+        return iter(remaining)
+
+    # -- planning-time chunk pruning ------------------------------------
+    def _bounds(self) -> tuple[str | None, str | None]:
+        """Collapse the accepted filters into one [lo, hi] name range
+        (inclusive bounds are conservative — exactness is enforced
+        row-level in read())."""
+        lo: str | None = None
+        hi: str | None = None
+
+        def tighten(new_lo=None, new_hi=None):
+            nonlocal lo, hi
+            if new_lo is not None and (lo is None or new_lo > lo):
+                lo = new_lo
+            if new_hi is not None and (hi is None or new_hi < hi):
+                hi = new_hi
+
+        for f in self.name_filters:
+            if isinstance(f, StringStartsWith):
+                tighten(f.value, f.value + "￿")
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                tighten(new_lo=f.value)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                tighten(new_hi=f.value)
+            elif isinstance(f, EqualTo):
+                tighten(f.value, f.value)
+        return lo, hi
+
+    def partitions(self):
+        lo, hi = self._bounds()
+        selected = [
+            c
+            for c in self.chunks
+            if (lo is None or c["max_name"] >= lo)
+            and (hi is None or c["min_name"] <= hi)
+        ]
+        # exposed for the pruning tests (and for EXPLAIN-style debugging)
+        self.selected_files = [c["file"] for c in selected]
+        return [_ChunkPartition(c["file"]) for c in selected]
+
+    # -- execution-time read --------------------------------------------
+    def read(self, partition: _ChunkPartition | None):
+        import pyarrow.parquet as pq
+
+        if partition is None:  # every chunk pruned -> empty scan
+            return
+        table = pq.read_table(partition.file)
+        names = table.column("name").to_pylist()
+        keep = range(len(names))
+        for f in self.name_filters:
+            if isinstance(f, StringStartsWith):
+                keep = [i for i in keep if names[i].startswith(f.value)]
+            elif isinstance(f, GreaterThan):
+                keep = [i for i in keep if names[i] > f.value]
+            elif isinstance(f, GreaterThanOrEqual):
+                keep = [i for i in keep if names[i] >= f.value]
+            elif isinstance(f, LessThan):
+                keep = [i for i in keep if names[i] < f.value]
+            elif isinstance(f, LessThanOrEqual):
+                keep = [i for i in keep if names[i] <= f.value]
+            elif isinstance(f, EqualTo):
+                keep = [i for i in keep if names[i] == f.value]
+        cols = [table.column(c).to_pylist() for c in (
+            "bucket", "name", "size", "checksum", "version"
+        )]
+        for i in keep:
+            yield tuple(col[i] for col in cols)
+
+
+class CatalogDataSource(DataSource):
+    """``spark.read.format("aiscatalog").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "aiscatalog"
+
+    def schema(self) -> str:
+        return CATALOG_SCHEMA
+
+    def reader(self, schema: StructType) -> CatalogReader:
+        return CatalogReader(self.options)
+
+
+def register_catalog_source(spark: SparkSession) -> None:
+    """Idempotently register the ``aiscatalog`` format (and enable the
+    Python-data-source filter-pushdown conf it depends on — a runtime
+    SQL conf, safe on any caller-provided session)."""
+    if getattr(spark, "_aiscatalog_registered", False):
+        return
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CatalogDataSource)
+    spark._aiscatalog_registered = True  # noqa: SLF001
+
+
+def load_catalog(spark: SparkSession, path: str) -> DataFrame:
+    register_catalog_source(spark)
+    return spark.read.format("aiscatalog").option("path", path).load()

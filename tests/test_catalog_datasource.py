@@ -1,0 +1,123 @@
+"""The `aiscatalog` Python DataSource (sources/catalog_source.py):
+planner-level chunk pruning via pushFilters + manifest, row-level
+equality with the plain parquet read, and graceful fallback for
+filters the reader doesn't handle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    EqualTo,
+    GreaterThan,
+    IsNotNull,
+    StringStartsWith,
+)
+
+from aistore_spark.catalog import objects_catalog
+from aistore_spark.sources import catalog_source as cs
+from aistore_spark.sources.tables import load_table
+from aistore_spark.util import ensure_shipped
+
+
+@pytest.fixture(scope="module")
+def chunked(spark, sf_dir, tmp_path_factory):
+    ensure_shipped(spark)
+    path = str(tmp_path_factory.mktemp("aiscat") / "cat")
+    objs = objects_catalog(load_table(spark, sf_dir, "documents"))
+    manifest = cs.write_chunked_catalog(objs, path, n_chunks=8)
+    return path, manifest, objs
+
+
+def test_manifest_covers_disjoint_sorted_ranges(chunked):
+    _, manifest, _ = chunked
+    chunks = sorted(manifest["chunks"], key=lambda c: c["min_name"])
+    assert len(chunks) >= 4
+    for a, b in zip(chunks, chunks[1:]):
+        assert a["max_name"] <= b["min_name"]  # range partitioning
+
+
+def test_reader_prunes_chunks_at_planning_time(chunked):
+    path, manifest, _ = chunked
+    r = cs.CatalogReader({"path": path})
+    remaining = list(
+        r.pushFilters(
+            [StringStartsWith(("name",), "en/"), GreaterThan(("name",), "en/src1")]
+        )
+    )
+    assert remaining == []  # both fully handled
+    parts = r.partitions()
+    assert 0 < len(parts) < len(manifest["chunks"]), (
+        f"{len(parts)}/{len(manifest['chunks'])} chunks - no pruning"
+    )
+    # the surviving chunks are exactly those whose range intersects
+    lo, hi = "en/src1", "en/￿"
+    want = [
+        c["file"]
+        for c in manifest["chunks"]
+        if c["max_name"] >= lo and c["min_name"] <= hi
+    ]
+    assert sorted(r.selected_files) == sorted(want)
+
+
+def test_point_lookup_prunes_to_one_chunk(chunked):
+    path, manifest, objs = chunked
+    some_name = objs.orderBy("name").limit(1).collect()[0].name
+    r = cs.CatalogReader({"path": path})
+    assert list(r.pushFilters([EqualTo(("name",), some_name)])) == []
+    assert len(r.partitions()) == 1
+
+
+def test_end_to_end_equals_parquet_read(spark, chunked):
+    path, _, objs = chunked
+    for preds in (
+        [F.col("name").startswith("en/")],
+        [F.col("name").startswith("en/"), F.col("name") > "en/src1"],
+        [F.col("name") > "zz/"],  # empty result
+    ):
+        got = cs.load_catalog(spark, path)
+        want = objs.select("bucket", "name", "size", "checksum", "version")
+        for p in preds:
+            got = got.filter(p)
+            want = want.filter(p)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+def test_unhandled_filters_fall_back_to_spark(spark, chunked):
+    """A size predicate isn't pushed (non-string attribute): the reader
+    must return it as remaining and Spark must still produce exact
+    results."""
+    path, _, objs = chunked
+    r = cs.CatalogReader({"path": path})
+    remaining = list(
+        r.pushFilters(
+            [GreaterThan(("size",), 500), IsNotNull(("name",))]
+        )
+    )
+    assert len(remaining) == 2  # neither handled
+    got = (
+        cs.load_catalog(spark, path)
+        .filter((F.col("size") > 500) & F.col("name").startswith("en/"))
+        .collect()
+    )
+    want = (
+        objs.select("bucket", "name", "size", "checksum", "version")
+        .filter((F.col("size") > 500) & F.col("name").startswith("en/"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_fully_consumed_filters_not_reapplied_in_plan(spark, chunked):
+    """When the reader consumes the name predicates, the physical plan
+    keeps only the null check — proof the pushdown is planner-visible,
+    not a silent double-evaluation."""
+    path, _, _ = chunked
+    df = cs.load_catalog(spark, path).filter(F.col("name").startswith("en/"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan aiscatalog" in plan
+    filter_lines = [ln for ln in plan.splitlines() if "Filter " in ln]
+    assert all("StartsWith" not in ln for ln in filter_lines), filter_lines

@@ -114,6 +114,7 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         "samp3_source_mixture": "samp1_hash_split",
         "mm8_gif_decode": "mm7_png_decode",
         "mm9_media_dispatch": "mm1_decode_media",
+        "s7b_dsv2_listing": "s7_inventory_page",
     }
     assert set(behind) == set(siblings)
     for n, sib in siblings.items():
