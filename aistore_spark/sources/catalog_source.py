@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
 )
 from pyspark.sql.types import StructType
@@ -50,28 +51,36 @@ MANIFEST = "_catalog_manifest.json"
 
 
 def write_chunked_catalog(
-    objects: DataFrame, path: str, n_chunks: int = 16
+    objects: DataFrame, path: str, n_chunks: int = 16, append: bool = False
 ) -> dict:
     """Materialize a name-sorted chunked catalog + manifest.
 
     Chunks are parquet files range-partitioned by ``name`` (each chunk
     owns a contiguous name range — the layout that makes the manifest
     selective); the manifest records per-chunk ``[min_name, max_name]``
-    and row count. Returns the manifest dict.
+    and row count, in a STABLE append-only order (new chunks land at
+    the tail — the streaming reader's offsets index this list).
+    Returns the manifest dict.
     """
     out = Path(path)
     out.mkdir(parents=True, exist_ok=True)
+    prior: list[dict] = []
+    if append and (out / MANIFEST).exists():
+        prior = json.loads((out / MANIFEST).read_text())["chunks"]
     (
         objects.select("bucket", "name", "size", "checksum", "version")
         .repartitionByRange(n_chunks, "name")
         .sortWithinPartitions("name")
-        .write.mode("overwrite")
+        .write.mode("append" if append else "overwrite")
         .parquet(str(out / "chunks"))
     )
     import pyarrow.parquet as pq
 
-    chunks = []
+    known = {c["file"] for c in prior}
+    chunks = list(prior)
     for f in sorted((out / "chunks").glob("part-*.parquet")):
+        if str(f) in known:
+            continue
         md = pq.read_metadata(f)
         if md.num_rows == 0:
             continue
@@ -201,8 +210,53 @@ class CatalogReader(DataSourceReader):
             yield tuple(col[i] for col in cols)
 
 
+class CatalogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tail of the chunked catalog: the offset is an index
+    into the manifest's append-only chunk list, so each micro-batch
+    reads exactly the chunks that landed since the last one — the
+    incremental-inventory shape of the reference's continuous
+    sync/prefetch jobs (F5/M2 over a growing remote listing).
+    Exactly-once: offsets are replayable (``readBetweenOffsets``) and
+    the manifest is only ever appended to."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def _chunks(self) -> list[dict]:
+        return json.loads((Path(self.path) / MANIFEST).read_text())["chunks"]
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"n_chunks": 0}
+
+    def _rows(self, chunks: list[dict]) -> list[tuple]:
+        # a LIST, not a generator: the streaming runner caches the
+        # prefetched batch and copy.copy()s the iterator on replan
+        import pyarrow.parquet as pq
+
+        rows: list[tuple] = []
+        for c in chunks:
+            table = pq.read_table(c["file"])
+            cols = [table.column(n).to_pylist() for n in (
+                "bucket", "name", "size", "checksum", "version"
+            )]
+            rows.extend(
+                tuple(col[i] for col in cols) for i in range(table.num_rows)
+            )
+        return rows
+
+    def read(self, start: dict):
+        chunks = self._chunks()
+        end = {"n_chunks": len(chunks)}
+        return iter(self._rows(chunks[start["n_chunks"]:])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        chunks = self._chunks()
+        return iter(self._rows(chunks[start["n_chunks"]: end["n_chunks"]]))
+
+
 class CatalogDataSource(DataSource):
-    """``spark.read.format("aiscatalog").option("path", ...)``."""
+    """``spark.read.format("aiscatalog").option("path", ...)`` — and
+    ``spark.readStream`` for the incremental chunk tail."""
 
     @classmethod
     def name(cls) -> str:
@@ -213,6 +267,9 @@ class CatalogDataSource(DataSource):
 
     def reader(self, schema: StructType) -> CatalogReader:
         return CatalogReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> CatalogStreamReader:  # noqa: N802
+        return CatalogStreamReader(self.options)
 
 
 def register_catalog_source(spark: SparkSession) -> None:

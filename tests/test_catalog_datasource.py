@@ -121,3 +121,45 @@ def test_fully_consumed_filters_not_reapplied_in_plan(spark, chunked):
     assert "BatchScan aiscatalog" in plan
     filter_lines = [ln for ln in plan.splitlines() if "Filter " in ln]
     assert all("StartsWith" not in ln for ln in filter_lines), filter_lines
+
+
+def test_stream_tail_reads_only_new_chunks(spark, sf_dir, tmp_path):
+    """readStream over the chunked catalog: the first availableNow run
+    drains the initial chunks; after an append, a second run emits
+    ONLY the appended rows (offset = manifest index, exactly-once)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cat")
+    objs = objects_catalog(load_table(spark, sf_dir, "documents"))
+    first = objs.filter(F.col("doc_id") % 2 == 0)
+    second = objs.filter(F.col("doc_id") % 2 == 1)
+    cs.write_chunked_catalog(first, path, n_chunks=4)
+    cs.register_catalog_source(spark)
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("aiscatalog")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    got1 = {r.name for r in spark.read.parquet(out).collect()}
+    assert got1 == {r.name for r in first.collect()}
+
+    cs.write_chunked_catalog(second, path, n_chunks=4, append=True)
+    drain()
+    got2 = {r.name for r in spark.read.parquet(out).collect()}
+    assert got2 == {r.name for r in objs.collect()}
+    # second drain appended exactly the new rows, no re-reads
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == objs.count()
