@@ -23,6 +23,7 @@ here the chunk index additionally serves exact predicate pruning.
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -36,8 +37,10 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -254,9 +257,93 @@ class CatalogStreamReader(SimpleDataSourceStreamReader):
         return iter(self._rows(chunks[start["n_chunks"]: end["n_chunks"]]))
 
 
+@dataclass
+class _ChunkCommit(WriterCommitMessage):
+    file: str | None
+    min_name: str | None
+    max_name: str | None
+    rows: int
+
+
+class CatalogWriter(DataSourceWriter):
+    """Transactional chunk append: each task writes one parquet chunk
+    (rows sorted by name so the manifest range stays tight) and the
+    MANIFEST is extended only at ``commit`` — a reader or stream tail
+    never observes half-written batches, and ``abort`` removes the
+    orphan files. Callers get tight per-chunk name ranges by
+    range-partitioning on ``name`` before the write (the same layout
+    contract as :func:`write_chunked_catalog`)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "aiscatalog is append-only (the stream offset is a "
+                "manifest index); write a new path for a full rebuild"
+            )
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = sorted(iterator, key=lambda r: r["name"])
+        if not rows:
+            return _ChunkCommit(None, None, None, 0)
+        out = Path(self.path) / "chunks"
+        out.mkdir(parents=True, exist_ok=True)
+        f = out / f"part-w{uuid.uuid4().hex}.parquet"
+        cols = ["bucket", "name", "size", "checksum", "version"]
+        table = pa.table(
+            {c: [r[c] for r in rows] for c in cols},
+            schema=pa.schema(
+                [
+                    ("bucket", pa.string()),
+                    ("name", pa.string()),
+                    ("size", pa.int64()),
+                    ("checksum", pa.string()),
+                    ("version", pa.string()),
+                ]
+            ),
+        )
+        pq.write_table(table, f)
+        return _ChunkCommit(
+            str(f), rows[0]["name"], rows[-1]["name"], len(rows)
+        )
+
+    def commit(self, messages):
+        mpath = Path(self.path) / MANIFEST
+        manifest = (
+            json.loads(mpath.read_text())
+            if mpath.exists()
+            else {"chunks": []}
+        )
+        for m in sorted(
+            (m for m in messages if m.file), key=lambda m: m.file
+        ):
+            manifest["chunks"].append(
+                {
+                    "file": m.file,
+                    "min_name": m.min_name,
+                    "max_name": m.max_name,
+                    "rows": m.rows,
+                }
+            )
+        mpath.parent.mkdir(parents=True, exist_ok=True)
+        mpath.write_text(json.dumps(manifest, indent=1))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.file:
+                Path(m.file).unlink(missing_ok=True)
+
+
 class CatalogDataSource(DataSource):
-    """``spark.read.format("aiscatalog").option("path", ...)`` — and
-    ``spark.readStream`` for the incremental chunk tail."""
+    """``spark.read.format("aiscatalog").option("path", ...)`` — plus
+    ``spark.readStream`` for the incremental chunk tail and
+    ``df.write.format("aiscatalog").mode("append")`` for transactional
+    chunk appends."""
 
     @classmethod
     def name(cls) -> str:
@@ -270,6 +357,9 @@ class CatalogDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> CatalogStreamReader:  # noqa: N802
         return CatalogStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> CatalogWriter:
+        return CatalogWriter(self.options, overwrite)
 
 
 def register_catalog_source(spark: SparkSession) -> None:

@@ -163,3 +163,50 @@ def test_stream_tail_reads_only_new_chunks(spark, sf_dir, tmp_path):
     # second drain appended exactly the new rows, no re-reads
     n_rows = spark.read.parquet(out).count()
     assert n_rows == objs.count()
+
+
+def test_writer_appends_chunks_transactionally(spark, sf_dir, tmp_path):
+    """df.write.format('aiscatalog').mode('append'): each task writes
+    one sorted chunk, the manifest extends only at commit, and the
+    batch reader + stream offsets see exactly the appended rows."""
+    path = str(tmp_path / "wcat")
+    objs = objects_catalog(load_table(spark, sf_dir, "documents")).select(
+        "bucket", "name", "size", "checksum", "version"
+    )
+    first = objs.filter(F.col("name") < "f")
+    second = objs.filter(F.col("name") >= "f")
+    cs.register_catalog_source(spark)
+
+    (
+        first.repartitionByRange(3, "name")
+        .write.format("aiscatalog")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    got1 = cs.load_catalog(spark, path).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, first.collect()))
+    man1 = cs.CatalogReader({"path": path}).chunks
+    for c in man1:
+        assert c["min_name"] <= c["max_name"] and c["rows"] > 0
+
+    (
+        second.repartitionByRange(3, "name")
+        .write.format("aiscatalog")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    got2 = cs.load_catalog(spark, path).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, objs.collect()))
+    man2 = cs.CatalogReader({"path": path}).chunks
+    # append-only manifest: the first batch's chunks are a stable prefix
+    assert man2[: len(man1)] == man1
+
+    # overwrite is refused (stream offsets index the manifest)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append-only"):
+        first.write.format("aiscatalog").option("path", path).mode(
+            "overwrite"
+        ).save()
