@@ -2042,6 +2042,87 @@ def mm7_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm2b_png_thumbnail",
+    """
+    WITH ids AS (
+      SELECT doc_id, 4 + doc_id % 29 AS w, 5 + doc_id % 17 AS h
+      FROM documents WHERE doc_id % 9 = 4
+    ),
+    tpx AS (
+      SELECT i.doc_id, i.w, i.h,
+             (i.doc_id + (u.r * i.w) // 7) % 256 AS r_,
+             (3 * i.doc_id + 7 * ((v.r * i.h) // 5)) % 256 AS g_,
+             ((u.r * i.w) // 7 + (v.r * i.h) // 5) % 256 AS b_
+      FROM ids i, range(0, 7) u(r), range(0, 5) v(r)
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(7 AS BIGINT) AS rs_width,
+           CAST(5 AS BIGINT) AS rs_height,
+           CAST(sum(r_) // 35 AS BIGINT) AS rs_mean_red,
+           CAST(sum(g_) // 35 AS BIGINT) AS rs_mean_green,
+           CAST(sum(b_) // 35 AS BIGINT) AS rs_mean_blue
+    FROM tpx GROUP BY doc_id, w, h
+    """,
+)
+def mm2b_png_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM2b: REAL resize, no stub — decode genuine PNG pixels (full
+    CRC/inflate/unfilter path) and nearest-neighbor-resample to a 7x5
+    thumbnail: thumb(u,v) = src(u*w div 7, v*h div 5), the canonical
+    floor mapping. The oracle re-derives the thumbnail channel means
+    straight from the source pixel formula evaluated at the mapped
+    coordinates — a resampling off-by-one anywhere breaks the hash.
+    (mm2 keeps the stub-plumbing variant for the no-codec contract.)"""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 9 == 4
+    ).select("doc_id")
+    return multimodal.png_thumbnail(
+        multimodal.synth_png_frame(ids), target_w=7, target_h=5
+    )
+
+
+@register(
+    "mm4b_gif_frame_extract",
+    """
+    WITH ids AS (
+      SELECT doc_id, 6 + doc_id % 27 AS w, 4 + doc_id % 19 AS h,
+             1 + doc_id % 5 AS nf
+      FROM documents WHERE doc_id % 7 = 5
+    ),
+    fr AS (
+      SELECT i.*, CAST(s.r AS BIGINT) AS frame_idx
+      FROM ids i, range(0, 5) s(r)
+      WHERE s.r % 2 = 0 AND s.r < nf AND s.r // 2 < 3
+    ),
+    px AS (
+      SELECT f.doc_id, f.nf, f.frame_idx, f.w, f.h,
+             (f.doc_id + 3 * x.r + 5 * y.r + 11 * f.frame_idx) % 256 AS idx
+      FROM fr f, range(0, 33) x(r), range(0, 23) y(r)
+      WHERE x.r < f.w AND y.r < f.h
+    )
+    SELECT doc_id, CAST(nf AS BIGINT) AS n_frames, frame_idx,
+           CAST(sum(idx) // (w * h) AS BIGINT) AS mean_index
+    FROM px GROUP BY doc_id, nf, frame_idx, w, h
+    """,
+)
+def mm4b_gif_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM4b: REAL frame sampling + extraction, no stub — animated GIFs
+    (1..5 genuine image blocks) have frames 0, 2, 4 (max 3) LZW-decoded
+    while the unsampled frames are SKIPPED at sub-block speed with no
+    decode: the selective-decode pattern a video pipeline runs after
+    mm4's sampling plan. One row per (doc, sampled frame) with the
+    frame's exact mean palette index, fully analytic in the oracle."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 5
+    ).select("doc_id")
+    gifs = multimodal.synth_gif_frame(
+        ids, n_frames_of=lambda d: 1 + d % 5
+    )
+    return multimodal.gif_extract_frames(gifs, every_n=2, max_frames=3)
+
+
+@register(
     "mm8_gif_decode",
     """
     WITH ids AS (

@@ -497,19 +497,10 @@ def synth_png(doc_id: int) -> bytes:
     return encode_png_rgb(raw_rows, w)
 
 
-def decode_png_meta(
-    df: DataFrame, id_col: str = "doc_id", data_col: str = "img"
-) -> DataFrame:
-    """REAL compressed-image decode, no stub and no image library:
-    walk the chunk stream (CRC-verified), inflate IDAT with stdlib
-    ``zlib``, reverse the per-scanline filters (all five spec types —
-    None/Sub/Up/Average/Paeth) and fold the reconstructed truecolor
-    array into integer-exact channel means. This is the mapInPandas
-    stage a Pillow decoder drops into; PNG proves the compressed-format
-    path end-to-end the way mm5/mm6 proved WAV/BMP.
-
-    Supports the synthesizable profile: 8-bit truecolor (color type 2),
-    non-interlaced. Anything else raises rather than mis-decoding.
+def decode_png_pixels(data: bytes):
+    """Decode a supported-profile PNG to its pixel array: CRC-verified
+    chunk walk, zlib inflate, per-scanline unfilter (all five spec
+    filter types). Returns ``(w, h, n_idat, int64 ndarray[h, w, 3])``.
     """
     import struct
     import zlib
@@ -550,6 +541,58 @@ def decode_png_meta(
             out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
         return out
 
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    n_idat = 0
+    w = h = None
+    while pos < len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        cname = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(cname + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {cname!r}")
+        pos += 12 + clen
+        if cname == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or ctype != 2 or inter != 0:
+                raise ValueError(
+                    "unsupported PNG profile (need 8-bit truecolor "
+                    f"non-interlaced): depth={depth} color_type={ctype} "
+                    f"interlace={inter}"
+                )
+        elif cname == b"IDAT":
+            idat += body
+            n_idat += 1
+        elif cname == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    px = unfilter(zlib.decompress(bytes(idat)), w, h)
+    import numpy as np
+
+    return w, h, n_idat, px.reshape(h, w, 3).astype(np.int64)
+
+
+def decode_png_meta(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "img"
+) -> DataFrame:
+    """REAL compressed-image decode, no stub and no image library:
+    walk the chunk stream (CRC-verified), inflate IDAT with stdlib
+    ``zlib``, reverse the per-scanline filters (all five spec types —
+    None/Sub/Up/Average/Paeth) and fold the reconstructed truecolor
+    array into integer-exact channel means. This is the mapInPandas
+    stage a Pillow decoder drops into; PNG proves the compressed-format
+    path end-to-end the way mm5/mm6 proved WAV/BMP.
+
+    Supports the synthesizable profile: 8-bit truecolor (color type 2),
+    non-interlaced. Anything else raises rather than mis-decoding.
+    """
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
@@ -557,40 +600,8 @@ def decode_png_meta(
                 "n_idat", "mean_red", "mean_green", "mean_blue", "n_pixels",
             )}
             for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
-                data = bytes(blob)
-                if data[:8] != PNG_SIGNATURE:
-                    raise ValueError("not a PNG")
-                pos = 8
-                idat = bytearray()
-                n_idat = 0
-                w = h = depth = ctype = None
-                while pos < len(data):
-                    (clen,) = struct.unpack_from(">I", data, pos)
-                    cname = data[pos + 4 : pos + 8]
-                    body = data[pos + 8 : pos + 8 + clen]
-                    (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
-                    if zlib.crc32(cname + body) & 0xFFFFFFFF != crc:
-                        raise ValueError(f"PNG chunk CRC mismatch in {cname!r}")
-                    pos += 12 + clen
-                    if cname == b"IHDR":
-                        w, h, depth, ctype, _comp, _filt, inter = (
-                            struct.unpack(">IIBBBBB", body)
-                        )
-                        if depth != 8 or ctype != 2 or inter != 0:
-                            raise ValueError(
-                                "unsupported PNG profile (need 8-bit "
-                                f"truecolor non-interlaced): depth={depth} "
-                                f"color_type={ctype} interlace={inter}"
-                            )
-                    elif cname == b"IDAT":
-                        idat += body
-                        n_idat += 1
-                    elif cname == b"IEND":
-                        break
-                if w is None:
-                    raise ValueError("PNG missing IHDR")
-                px = unfilter(zlib.decompress(bytes(idat)), w, h)
-                rgb = px.reshape(h, w, 3).astype(np.int64)
+                w, h, n_idat, rgb = decode_png_pixels(bytes(blob))
+                depth, ctype = 8, 2
                 n = w * h
                 rows["doc_id"].append(int(doc_id))
                 rows["width"].append(w)
@@ -860,15 +871,26 @@ def decode_gif_meta(
     return df.mapInPandas(run, schema=GIF_META_SCHEMA)
 
 
-def synth_gif_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a real synthesized GIF binary column per id row."""
+def synth_gif_frame(
+    ids: DataFrame, id_col: str = "doc_id", n_frames_of=None
+) -> DataFrame:
+    """Attach a real synthesized GIF binary column per id row;
+    ``n_frames_of(doc_id)`` makes them animated (multi-frame)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "img": [synth_gif(int(i)) for i in pdf[id_col]],
+                    "img": [
+                        synth_gif(
+                            int(i),
+                            n_frames=(
+                                n_frames_of(int(i)) if n_frames_of else 1
+                            ),
+                        )
+                        for i in pdf[id_col]
+                    ],
                 }
             )
 
@@ -992,3 +1014,127 @@ def decode_media_meta(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+# ---- REAL resize and frame extraction over the decoded codecs -------------
+
+THUMB_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, rs_width bigint, "
+    "rs_height bigint, rs_mean_red bigint, rs_mean_green bigint, "
+    "rs_mean_blue bigint"
+)
+
+
+def png_thumbnail(
+    df: DataFrame,
+    target_w: int = 7,
+    target_h: int = 5,
+    id_col: str = "doc_id",
+    data_col: str = "img",
+) -> DataFrame:
+    """REAL resize, no stub: decode the PNG pixels (full unfilter
+    path) and nearest-neighbor-resample to ``target_w x target_h`` —
+    thumbnail pixel ``(u, v)`` is source pixel ``(u*w div W,
+    v*h div H)``, the canonical floor mapping, so the result is
+    bit-exact reproducible and the oracle can re-derive the thumbnail
+    channel means straight from the source pixel formula."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "rs_width", "rs_height",
+                "rs_mean_red", "rs_mean_green", "rs_mean_blue",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                w, h, _n, rgb = decode_png_pixels(bytes(blob))
+                ux = np.array([u * w // target_w for u in range(target_w)])
+                vy = np.array([v * h // target_h for v in range(target_h)])
+                thumb = rgb[np.ix_(vy, ux)]
+                n = target_w * target_h
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["rs_width"].append(target_w)
+                rows["rs_height"].append(target_h)
+                rows["rs_mean_red"].append(int(thumb[:, :, 0].sum()) // n)
+                rows["rs_mean_green"].append(int(thumb[:, :, 1].sum()) // n)
+                rows["rs_mean_blue"].append(int(thumb[:, :, 2].sum()) // n)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=THUMB_SCHEMA)
+
+
+FRAME_EXTRACT_SCHEMA = (
+    "doc_id bigint, n_frames bigint, frame_idx bigint, mean_index bigint"
+)
+
+
+def gif_extract_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    max_frames: int = 3,
+    id_col: str = "doc_id",
+    data_col: str = "img",
+) -> DataFrame:
+    """REAL frame sampling + extraction, no stub: walk the animated
+    GIF's image blocks, LZW-DECODE ONLY the sampled frames (indices
+    ``0, every_n, 2*every_n, ...`` capped at *max_frames* — the mm4
+    sampling plan) and skip the rest at sub-block speed without
+    decoding — the selective-decode pattern a video pipeline needs.
+    One output row per (doc, sampled frame) with the frame's exact
+    mean palette index."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "n_frames", "frame_idx", "mean_index",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(blob)
+                if data[:6] not in (b"GIF87a", b"GIF89a"):
+                    raise ValueError("not a GIF")
+                flags = data[10]
+                pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+                frames: list[tuple[int, int]] = []  # (mean, n) per sampled
+                f = 0
+                while data[pos] != 0x3B:
+                    if data[pos] != 0x2C:
+                        raise ValueError("unsupported GIF block")
+                    _ix, _iy, iw, ih, _fl = struct.unpack_from(
+                        "<HHHHB", data, pos + 1
+                    )
+                    pos += 10
+                    min_code = data[pos]
+                    pos += 1
+                    wanted = (f % every_n == 0) and (
+                        f // every_n < max_frames
+                    )
+                    lzw = bytearray()
+                    while True:
+                        blen = data[pos]
+                        pos += 1
+                        if blen == 0:
+                            break
+                        if wanted:
+                            lzw += data[pos : pos + blen]
+                        pos += blen  # skipped frames: no decode at all
+                    if wanted:
+                        idx = np.frombuffer(
+                            _lzw_decode(bytes(lzw), min_code), dtype=np.uint8
+                        )
+                        frames.append(
+                            (f, int(idx.astype(np.int64).sum()) // (iw * ih))
+                        )
+                    f += 1
+                for fi, mean in frames:
+                    rows["doc_id"].append(int(doc_id))
+                    rows["n_frames"].append(f)
+                    rows["frame_idx"].append(fi)
+                    rows["mean_index"].append(mean)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_EXTRACT_SCHEMA)
