@@ -2083,6 +2083,43 @@ def mm2b_png_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm3b_png_features",
+    """
+    WITH ids AS (
+      SELECT doc_id, 4 + doc_id % 29 AS w, 5 + doc_id % 17 AS h
+      FROM documents WHERE doc_id % 11 = 6
+    ),
+    px AS (
+      SELECT i.doc_id,
+             (2 * x.r) // i.w AS qx, (2 * y.r) // i.h AS qy,
+             (i.doc_id + x.r) % 256 AS r_,
+             (3 * i.doc_id + 7 * y.r) % 256 AS g_,
+             (x.r + y.r) % 256 AS b_
+      FROM ids i, range(0, 33) x(r), range(0, 23) y(r)
+      WHERE x.r < i.w AND y.r < i.h
+    )
+    SELECT doc_id, CAST(qx AS BIGINT) AS qx, CAST(qy AS BIGINT) AS qy,
+           count(*) AS n_px,
+           CAST(sum(r_) // count(*) AS BIGINT) AS mean_red,
+           CAST(sum(g_) // count(*) AS BIGINT) AS mean_green,
+           CAST(sum(b_) // count(*) AS BIGINT) AS mean_blue
+    FROM px GROUP BY doc_id, qx, qy
+    """,
+)
+def mm3b_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM3b: REAL feature extraction, no stub — 2x2 block-grid channel
+    pooling (spatial-pyramid level-1, the hand-crafted descriptor a
+    learned embedding replaces) computed over genuinely decoded PNG
+    pixels. One row per (doc, grid cell) with exact integer channel
+    means; the oracle re-derives every cell from the pixel formula.
+    (mm3 keeps the digest-stub variant for the no-codec contract.)"""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 6
+    ).select("doc_id")
+    return multimodal.png_grid_features(multimodal.synth_png_frame(ids))
+
+
+@register(
     "mm4b_gif_frame_extract",
     """
     WITH ids AS (

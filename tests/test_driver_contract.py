@@ -116,6 +116,7 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         "mm9_media_dispatch": "mm1_decode_media",
         "s7b_dsv2_listing": "s7_inventory_page",
         "mm2b_png_thumbnail": "mm7_png_decode",
+        "mm3b_png_features": "mm7_png_decode",
         "mm4b_gif_frame_extract": "mm7_png_decode",
     }
     assert set(behind) == set(siblings)
