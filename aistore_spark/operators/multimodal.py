@@ -1,13 +1,22 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata (beyond-reference, SURVEY.md §7.8).
 
-The Spark-side contract is real and tested: binary content column,
-typed metadata struct, Arrow-batched ``mapInPandas`` decode/feature
-stages with bounded batch sizes. The actual codec calls are STUBBED —
-this container has no image/audio libraries — behind
-``_decode_real``, which raises ``NotImplementedError``; a
-deterministic fake decoder stands in so the plumbing (schemas,
-batching, partitioning) is exercised end-to-end.
+Two tiers, both Arrow-batched ``mapInPandas`` stages with bounded
+batch sizes:
+
+- **Real codecs, stdlib-only** — WAV PCM (``decode_wav_meta``), BMP
+  (``decode_bmp_meta``), PNG incl. full DEFLATE+unfilter
+  (``decode_png_pixels``/``decode_png_meta``), GIF incl. a hand-built
+  LZW decoder and animated multi-frame files (``decode_gif_meta``),
+  magic-byte dispatch (``decode_media_meta``), plus real pixel-level
+  resize (``png_thumbnail``), block-grid features
+  (``png_grid_features``) and selective frame extraction
+  (``gif_extract_frames``).
+- **Library-gated plumbing contract** — ``decode_media``/
+  ``resize_media``/``extract_features`` run a deterministic
+  digest-stub (or a Pillow/torchaudio/PyAV hook via ``_decode_real``)
+  so the schemas/batching/partitioning shape is exercised for formats
+  whose codecs aren't stdlib-expressible (JPEG, MP4).
 
 At 100 TB: content lives in object storage; the catalog carries
 (name, media_type, nbytes, metadata). Decode stages are
