@@ -1330,6 +1330,90 @@ _PII_PHONE = r"555-[0-9]{4}"
 
 
 @register(
+    "t9_media_transcode",
+    """
+    SELECT doc_id,
+           CAST(4 + doc_id % 61 AS BIGINT) AS width,
+           CAST(4 + doc_id % 37 AS BIGINT) AS height,
+           CAST((doc_id * 13) % 256 AS BIGINT) AS mean_red,
+           CAST((doc_id * 7) % 256 AS BIGINT) AS mean_green,
+           CAST(doc_id % 256 AS BIGINT) AS mean_blue
+    FROM documents WHERE doc_id % 8 = 7
+    """,
+)
+def t9_media_transcode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: REAL media transcode — genuine BMP containers decoded
+    (stride-aware, bottom-up, BGR), re-encoded as genuine PNGs
+    (deflate + scanline filters), then decoded BACK: both codec
+    directions prove out on the same bytes, the image-ETL transform
+    surface of the reference's media templates. Oracle re-derives the
+    round-tripped channel means from the BMP color formula — any drift
+    in either parser or the PNG encoder breaks the hash."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 8 == 7
+    ).select("doc_id")
+    out = multimodal.transcode_bmp_to_png(multimodal.synth_bmp_frame(ids))
+    # png_bytes is real compressed size - not closed-form; project the
+    # hash-checkable columns
+    return out.select(
+        "doc_id", "width", "height", "mean_red", "mean_green", "mean_blue"
+    )
+
+
+@register(
+    "tx10_heavy_phrases",
+    """
+    WITH wp AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS i
+      FROM documents
+    ),
+    tri AS (
+      SELECT a.doc_id,
+             a.word || ' ' || b.word || ' ' || c.word AS phrase
+      FROM wp a
+      JOIN wp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      JOIN wp c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    ),
+    agg AS (
+      SELECT phrase, count(*) AS n_occ,
+             count(DISTINCT doc_id) AS n_docs
+      FROM tri GROUP BY phrase
+    )
+    SELECT phrase, n_occ, n_docs
+    FROM agg ORDER BY n_occ DESC, phrase LIMIT 20
+    """,
+)
+def tx10_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX10: corpus-wide heavy-hitter phrases — the exact top-20 word
+    trigrams by occurrence (ties broken by phrase), with document
+    frequency: the boilerplate-discovery pass a curation team runs to
+    build template-removal rules (the corpus-level complement of tx7's
+    within-doc repetition rules). Plan: map-side gram explode, one
+    combinable count agg, then TakeOrderedAndProject — per-partition
+    top-k heaps, no global sort materialization; at 100 TB the agg
+    keyed by phrase is the only wide shuffle and heavy hitters are by
+    definition few."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    tri = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = docs.select("doc_id", F.explode(tri).alias("phrase"))
+    agg = occ.groupBy("phrase").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-k heaps) — no global sort, no rank window
+    return agg.orderBy(F.col("n_occ").desc(), "phrase").limit(20)
+
+
+@register(
     "tx9_pii_redact",
     f"""
     WITH d AS (

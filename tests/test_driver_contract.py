@@ -117,6 +117,8 @@ def test_left_behind_names_ride_behind_a_driver_green_sibling():
         "s7b_dsv2_listing": "s7_inventory_page",
         "mm2b_png_thumbnail": "mm7_png_decode",
         "mm3b_png_features": "mm7_png_decode",
+        "t9_media_transcode": "mm7_png_decode",
+        "tx10_heavy_phrases": "tx1_token_stats",
         "mm4b_gif_frame_extract": "mm7_png_decode",
     }
     assert set(behind) == set(siblings)
