@@ -183,10 +183,14 @@ def frame_sample_plan(
 ) -> DataFrame:
     """Frame-sampling plan for video rows: which frame indices a
     downstream extract stage should pull. Pure column expressions
-    (sequence + slice), one row in → one row out."""
-    idx = F.sequence(
-        F.lit(0), F.col("n_frames") - 1, F.lit(every_n)
-    )
+    (sequence + slice), one row in → one row out. Rows with
+    ``n_frames <= 0`` get an empty sample list — an unguarded
+    ``sequence(0, -1, step)`` would fail the whole job with
+    ILLEGAL_SEQUENCE_BOUNDARIES."""
+    idx = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<bigint>"))
     return decoded.withColumn(
         "sample_frames", F.slice(idx, 1, max_frames)
     ).withColumn("n_sampled", F.size("sample_frames").cast("bigint"))
@@ -352,6 +356,11 @@ def decode_bmp_meta(
                 if magic != b"BM":
                     raise ValueError("not a BMP")
                 _hsz, w, h, _pl, bpp = struct.unpack_from("<IiiHH", data, 14)
+                if bpp != 24:
+                    # the channel-slice math below is 3-bytes-per-pixel;
+                    # decoding other depths with it would yield silently
+                    # wrong means
+                    raise ValueError(f"unsupported BMP bpp {bpp} (need 24)")
                 stride = (bpp // 8 * w + 3) & ~3
                 px = np.frombuffer(
                     data, dtype=np.uint8, count=stride * abs(h), offset=off
@@ -868,8 +877,11 @@ def decode_gif_meta(
                 if frames == 0:
                     raise ValueError("GIF with no image block")
                 rows["doc_id"].append(int(doc_id))
-                rows["width"].append(iw)
-                rows["height"].append(ih)
+                # report the LOGICAL SCREEN dims (w, h) — per-frame
+                # image blocks may legally differ in size, and the
+                # last frame's iw/ih would be arbitrary
+                rows["width"].append(w)
+                rows["height"].append(h)
                 rows["n_colors"].append(n_colors)
                 rows["n_frames"].append(frames)
                 rows["mean_index"].append(idx_sum // n_px)

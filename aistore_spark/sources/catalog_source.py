@@ -100,8 +100,39 @@ def write_chunked_catalog(
             {"file": str(f), "min_name": lo, "max_name": hi, "rows": md.num_rows}
         )
     manifest = {"chunks": chunks}
-    (out / MANIFEST).write_text(json.dumps(manifest, indent=1))
+    _atomic_write_manifest(out / MANIFEST, manifest)
     return manifest
+
+
+def _prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than EVERY string with *prefix* — the
+    exact upper pruning bound (a ``prefix + '\\uffff'`` sentinel is NOT
+    one: names containing supplementary-plane characters sort above
+    it and would be silently pruned). Returns None when no successor
+    exists (prefix is all U+10FFFF → unbounded above)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        if ord(prefix[i]) < 0x10FFFF:
+            return prefix[:i] + chr(ord(prefix[i]) + 1)
+    return None
+
+
+def _atomic_write_manifest(path: Path, manifest: dict) -> None:
+    """Write the manifest via temp-file + os.replace so a concurrent
+    reader/stream poll never observes a truncated file."""
+    import os
+    import tempfile
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=str(path.parent), prefix=".manifest-", suffix=".tmp"
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(manifest, indent=1))
+        os.replace(tmp, path)
+    except BaseException:
+        Path(tmp).unlink(missing_ok=True)
+        raise
 
 
 class _ChunkPartition(InputPartition):
@@ -163,7 +194,7 @@ class CatalogReader(DataSourceReader):
 
         for f in self.name_filters:
             if isinstance(f, StringStartsWith):
-                tighten(f.value, f.value + "￿")
+                tighten(f.value, _prefix_successor(f.value))
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
                 tighten(new_lo=f.value)
             elif isinstance(f, (LessThan, LessThanOrEqual)):
@@ -186,31 +217,37 @@ class CatalogReader(DataSourceReader):
 
     # -- execution-time read --------------------------------------------
     def read(self, partition: _ChunkPartition | None):
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         if partition is None:  # every chunk pruned -> empty scan
             return
         table = pq.read_table(partition.file)
-        names = table.column("name").to_pylist()
-        keep = range(len(names))
+        # vectorized row filtering in Arrow — only the surviving rows
+        # are ever converted to Python objects
+        name = table.column("name")
+        mask = None
         for f in self.name_filters:
             if isinstance(f, StringStartsWith):
-                keep = [i for i in keep if names[i].startswith(f.value)]
+                m = pc.starts_with(name, f.value)
             elif isinstance(f, GreaterThan):
-                keep = [i for i in keep if names[i] > f.value]
+                m = pc.greater(name, f.value)
             elif isinstance(f, GreaterThanOrEqual):
-                keep = [i for i in keep if names[i] >= f.value]
+                m = pc.greater_equal(name, f.value)
             elif isinstance(f, LessThan):
-                keep = [i for i in keep if names[i] < f.value]
+                m = pc.less(name, f.value)
             elif isinstance(f, LessThanOrEqual):
-                keep = [i for i in keep if names[i] <= f.value]
-            elif isinstance(f, EqualTo):
-                keep = [i for i in keep if names[i] == f.value]
+                m = pc.less_equal(name, f.value)
+            else:  # EqualTo
+                m = pc.equal(name, f.value)
+            mask = m if mask is None else pc.and_(mask, m)
+        if mask is not None:
+            table = table.filter(mask)
         cols = [table.column(c).to_pylist() for c in (
             "bucket", "name", "size", "checksum", "version"
         )]
-        for i in keep:
-            yield tuple(col[i] for col in cols)
+        for row in zip(*cols):
+            yield row
 
 
 class CatalogStreamReader(SimpleDataSourceStreamReader):
@@ -330,8 +367,7 @@ class CatalogWriter(DataSourceWriter):
                     "rows": m.rows,
                 }
             )
-        mpath.parent.mkdir(parents=True, exist_ok=True)
-        mpath.write_text(json.dumps(manifest, indent=1))
+        _atomic_write_manifest(mpath, manifest)
 
     def abort(self, messages):
         for m in messages:

@@ -210,3 +210,42 @@ def test_writer_appends_chunks_transactionally(spark, sf_dir, tmp_path):
         first.write.format("aiscatalog").option("path", path).mode(
             "overwrite"
         ).save()
+
+
+def test_prefix_successor_handles_astral_plane_names():
+    """Regression: prefix+'\\uffff' is not an upper bound for names
+    with supplementary-plane characters; the successor bound is."""
+    from aistore_spark.sources.catalog_source import _prefix_successor
+
+    assert _prefix_successor("ab") == "ac"
+    # U+FFFF increments into the supplementary plane, not to 'b' —
+    # "a￿\U0001F600..." must still sit below the bound
+    assert _prefix_successor("a￿") == "a\U00010000"
+    assert "a￿\U0001F600" < _prefix_successor("a￿")
+    assert _prefix_successor("\U0010FFFF") is None
+    # an astral name that starts with the prefix must sit BELOW the bound
+    assert "ab\U0001F600xyz" < _prefix_successor("ab")
+    assert "ab￿￿" < _prefix_successor("ab")
+
+
+def test_reader_keeps_astral_named_rows(spark, tmp_path):
+    """End-to-end: a chunk whose names contain astral characters must
+    survive prefix pruning and return its rows."""
+    cs.register_catalog_source(spark)
+    path = str(tmp_path / "astral")
+    rows = [
+        ("ais://b", "ab\U0001F600doc", 1, "c1", "1"),
+        ("ais://b", "abzz", 2, "c2", "1"),
+        ("ais://b", "qq", 3, "c3", "1"),
+    ]
+    df = spark.createDataFrame(
+        rows, "bucket string, name string, size bigint, checksum string, version string"
+    )
+    cs.write_chunked_catalog(df, path, n_chunks=2)
+    got = sorted(
+        r.name
+        for r in cs.load_catalog(spark, path)
+        .filter(F.col("name").startswith("ab"))
+        .collect()
+    )
+    assert got == sorted(["ab\U0001F600doc", "abzz"])
