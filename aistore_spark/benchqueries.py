@@ -2696,8 +2696,9 @@ def t6_canned_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT dst_target,
            count(*) AS n_objects,
            CAST(sum(length(out)) AS BIGINT) AS bytes_out,
-           md5(string_agg(new_name, ',' ORDER BY new_name)) AS names_md5,
-           md5(string_agg(out, ',' ORDER BY out)) AS content_md5
+           md5(string_agg(md5(new_name), ','
+                          ORDER BY md5(new_name))) AS names_md5,
+           md5(string_agg(md5(out), ',' ORDER BY md5(out))) AS content_md5
     FROM routed GROUP BY dst_target
     """,
 )
@@ -3749,24 +3750,26 @@ def a4_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mounts by a deterministic name hash (the HRW idea, J4), rolled up
     to per-mount used bytes and parts-per-million of total (integer
     math; the reference's used%% from xact/xs/nsumm.go TotalSize)."""
+    from aistore_spark.util import md5_bucket
+
     placed = _objects(spark, sf_dir).select(
         F.concat(
-            F.lit("mp-"),
-            (
-                F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("bigint")
-                % 4
-            ).cast("string"),
+            F.lit("mp-"), md5_bucket("name", 4).cast("string")
         ).alias("mountpath"),
         "size",
     )
     per_mount = placed.groupBy("mountpath").agg(
         F.count("*").alias("n_objects"), F.sum("size").alias("used_bytes")
     )
-    return per_mount.select(
+    # total as a broadcast 1-row aggregate, not a global window — the
+    # per-mount frame is tiny but the plan shape should still be the
+    # one that scales (same pattern as lru_evict_plan's capacity)
+    total = per_mount.agg(F.sum("used_bytes").alias("_total"))
+    return per_mount.crossJoin(F.broadcast(total)).select(
         "mountpath",
         "n_objects",
         "used_bytes",
-        F.expr("used_bytes * 1000000 div sum(used_bytes) over ()")
+        F.expr("used_bytes * 1000000 div _total")
         .cast("bigint")
         .alias("used_ppm"),
     )

@@ -185,7 +185,10 @@ def jaccard_verify(
     split+explode+distinct chain — the composed dd2 pipeline computes
     shingles exactly once that way.
     """
-    cand = candidates.select("doc_a", "doc_b")
+    # dedup the pair list: a caller may union several candidate
+    # generators (LSH + SimHash overlap), and a duplicated pair would
+    # multiply `common` and break the threshold arithmetic
+    cand = candidates.select("doc_a", "doc_b").distinct()
     docs_in = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))

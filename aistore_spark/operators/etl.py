@@ -391,16 +391,19 @@ def etl_offline_direct(
         ]
     )
     routed = out.withColumn("dst_target", F.array_max(pairs)["t"])
+    # fingerprints hash each element FIRST (md5 of the name / of the
+    # raw payload bytes), then hash the sorted digest list: names may
+    # contain the join delimiter, and payloads may be arbitrary binary
+    # that a string cast would mangle (invalid UTF-8 -> U+FFFD
+    # collisions) — per-element digests make both unambiguous
     return routed.groupBy("dst_target").agg(
         F.count("*").alias("n_objects"),
         F.sum(F.length("_o")).alias("bytes_out"),
         F.md5(
-            F.array_join(F.sort_array(F.collect_list("new_name")), ",")
+            F.array_join(F.sort_array(F.collect_list(F.md5("new_name"))), ",")
         ).alias("names_md5"),
         F.md5(
-            F.array_join(
-                F.sort_array(F.collect_list(F.col("_o").cast("string"))), ","
-            )
+            F.array_join(F.sort_array(F.collect_list(F.md5("_o"))), ",")
         ).alias("content_md5"),
     )
 

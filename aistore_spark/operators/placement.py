@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aistore_spark.util import md5_bucket
+
 
 def _hrw_scored(
     objects: DataFrame, targets: list[int], cols: tuple[str, ...] = ("size",)
@@ -122,11 +124,7 @@ def lru_evict_plan(
     """
     placed = objects.filter(F.col("cached")).select(
         F.concat(
-            F.lit("mp-"),
-            (
-                F.conv(F.substring(F.md5("name"), 1, 8), 16, 10).cast("bigint")
-                % n_mpaths
-            ).cast("string"),
+            F.lit("mp-"), md5_bucket("name", n_mpaths).cast("string")
         ).alias("mountpath"),
         "name",
         "size",

@@ -36,9 +36,9 @@ def hash_split(
     total = sum(weights.values())
     if total != 100:
         raise ValueError(f"split weights must sum to 100, got {total}")
-    bucket = (
-        F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("bigint") % 100
-    )
+    from aistore_spark.util import md5_bucket
+
+    bucket = md5_bucket(key_col, 100)
     expr = None
     acc = 0
     for split, w in weights.items():
@@ -148,9 +148,9 @@ def source_mixture(
     dn, dd = default_weight
     num = (num.otherwise(dn) if num is not None else F.lit(dn)).cast("bigint")
     den = (den.otherwise(dd) if den is not None else F.lit(dd)).cast("bigint")
-    bucket = (
-        F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("bigint") % den
-    )
+    from aistore_spark.util import md5_bucket
+
+    bucket = md5_bucket(key_col, den)
     # whole part exactly (num - num%den is divisible by den; the double
     # division is exact for these magnitudes), plus the keyed extra copy
     whole = ((num - num % den) / den).cast("bigint")

@@ -169,9 +169,12 @@ def block_pairs_above(
     q = corpus.select(
         F.col(id_col).alias("_id"), quantized(vec_col).alias("_q")
     )
-    rows = q.collect()
-    ids = np.array([r["_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["_q"] for r in rows], dtype=np.int64)
+    # Arrow transfer, never per-row Row objects (same rationale as
+    # dedup.dup_groups): at the ~10^6-vector viability limit collect()
+    # would build millions of Row objects on the driver
+    pdf = q.toPandas()
+    ids = pdf["_id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["_q"].tolist(), dtype=np.int64)
     spark = corpus.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
@@ -678,11 +681,19 @@ def semantic_cell_pairs(
     import numpy as np
     import pandas as pd
 
-    assign = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col)
-    q = corpus.select(
-        F.col(id_col).alias("vec_id"), quantized(vec_col).alias("q")
+    # one pass: _cells(nprobe=1) assigns via a partial-aggregable
+    # min(struct) (no window over the vector x centroid product) and
+    # carries the quantized vector along — no re-quantize, no second
+    # corpus join
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            quantized(vec_col).alias("cvec"),
+        )
     )
-    cells = q.join(assign.select("vec_id", "centroid_id"), "vec_id")
+    cells = _cells(corpus, c, "vec_id", 1, id_col, vec_col).withColumnRenamed(
+        "vq", "q"
+    )
     schema = "centroid_id bigint, vec_a bigint, vec_b bigint, dot bigint"
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -57,6 +57,24 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     return df
 
 
+def md5_bucket(col, mod):
+    """Deterministic bucket in ``[0, mod)`` from the first 8 hex digits
+    of md5(col) — THE engine-portable bucketing primitive (hash_split,
+    source_mixture, mountpath placement all share it; the DuckDB twin
+    is ``('0x' || substr(md5(c), 1, 8))::BIGINT % mod``). One shared
+    definition so the cross-engine determinism contract cannot drift
+    per call site.
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    m = mod if isinstance(mod, Column) else F.lit(mod)
+    return (
+        F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint") % m
+    )
+
+
 def ensure_shipped(spark) -> None:
     """Make the ``aistore_spark`` package importable on executor Python
     workers regardless of how the SparkSession was built.
