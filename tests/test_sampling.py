@@ -97,3 +97,26 @@ def test_source_mixture_exact_rational_and_determinism(spark):
         .collect()
     }
     assert per == again
+
+
+def test_md5_bucket_matches_duckdb_twin(spark, oracle):
+    """The shared md5_bucket helper and its documented DuckDB twin
+    expression must agree key-for-key — this single contract underpins
+    hash_split, source_mixture and mountpath placement."""
+    from aistore_spark.util import md5_bucket
+
+    keys = [f"k/{i:05d}.txt" for i in range(500)] + ["￿x", "a,b", ""]
+    df = spark.createDataFrame([(k,) for k in keys], "name string")
+    got = {
+        r.name: r.b
+        for r in df.select("name", md5_bucket("name", 97).alias("b")).collect()
+    }
+    vals = ", ".join("('" + k.replace("'", "''") + "')" for k in keys)
+    want = {
+        name: b
+        for name, b in oracle.sql(
+            "SELECT name, ('0x' || substr(md5(name), 1, 8))::BIGINT % 97 AS b "
+            f"FROM (VALUES {vals}) t(name)"
+        ).fetchall()
+    }
+    assert got == want
