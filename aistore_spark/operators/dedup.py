@@ -417,8 +417,13 @@ def _local_edge_budget(spark) -> int:
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     m = mem.strip().lower()
     try:
-        mult = units.get(m[-1], 1)
-        nbytes = int(float(m[:-1] if m[-1] in units else m)) * mult
+        if m[-1] in units:
+            nbytes = int(float(m[:-1])) * units[m[-1]]
+        else:
+            # Spark memory strings without a unit suffix mean MiB
+            # ("4096" == "4096m"), not bytes — match that semantics so
+            # the budget isn't off by 2^20.
+            nbytes = int(float(m)) * (1 << 20)
     except ValueError:
         nbytes = 2 << 30
     return max(500_000, min(8_000_000, nbytes // 256))

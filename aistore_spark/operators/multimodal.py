@@ -709,6 +709,21 @@ def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
+def _gif_byte(data: bytes, pos: int) -> int:
+    """``data[pos]`` with the truncation contract the other hardened
+    decoders establish (lz4frame, _lzw_decode): a container cut short
+    raises ValueError, never a raw IndexError."""
+    if pos >= len(data):
+        raise ValueError("truncated GIF")
+    return data[pos]
+
+
+def _gif_need(data: bytes, pos: int, n: int) -> None:
+    """Require *n* readable bytes at *pos* or raise ValueError."""
+    if pos + n > len(data):
+        raise ValueError("truncated GIF")
+
+
 def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     """LZW decode per the GIF87a spec: variable code width, CLEAR
     resets, KwKwK case, END terminates. Truncated/invalid streams
@@ -827,11 +842,13 @@ def decode_gif_meta(
                 data = bytes(blob)
                 if data[:6] not in (b"GIF87a", b"GIF89a"):
                     raise ValueError("not a GIF")
+                _gif_need(data, 6, 7)
                 w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
                 if not flags & 0x80:
                     raise ValueError("GIF without global color table")
                 n_colors = 2 << (flags & 0x07)
                 pos = 13
+                _gif_need(data, pos, 3 * n_colors)
                 palette = np.frombuffer(
                     data, dtype=np.uint8, count=3 * n_colors, offset=pos
                 ).reshape(n_colors, 3)
@@ -841,26 +858,28 @@ def decode_gif_meta(
                 n_px = 0
                 frames = 0
                 iw = ih = 0
-                while data[pos] != 0x3B:  # until trailer
+                while _gif_byte(data, pos) != 0x3B:  # until trailer
                     if data[pos] != 0x2C:
                         raise ValueError(
                             f"unsupported GIF block 0x{data[pos]:02x} "
                             "(extensions not in the synthesizable profile)"
                         )
+                    _gif_need(data, pos + 1, 9)
                     _ix, _iy, iw, ih, iflags = struct.unpack_from(
                         "<HHHHB", data, pos + 1
                     )
                     if iflags & 0xC0:
                         raise ValueError("local table/interlace unsupported")
                     pos += 10
-                    min_code = data[pos]
+                    min_code = _gif_byte(data, pos)
                     pos += 1
                     lzw = bytearray()
                     while True:
-                        blen = data[pos]
+                        blen = _gif_byte(data, pos)
                         pos += 1
                         if blen == 0:
                             break
+                        _gif_need(data, pos, blen)
                         lzw += data[pos : pos + blen]
                         pos += blen
                     idx = np.frombuffer(
@@ -1010,20 +1029,23 @@ def decode_media_meta(
                     pw, ph = struct.unpack_from(">II", body, 0)
                     width, height, frames = pw, ph, 1
                 else:  # image/gif — walk blocks, count frames
+                    _gif_need(data, 0, 13)
                     flags = data[10]
                     pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
                     gw, gh = struct.unpack_from("<HH", data, 6)
                     frames = 0
-                    while data[pos] != 0x3B:
+                    while _gif_byte(data, pos) != 0x3B:
                         if data[pos] != 0x2C:
                             raise ValueError("unsupported GIF block")
+                        _gif_need(data, pos, 11)
                         pos += 10
                         pos += 1  # min code size
                         while True:
-                            blen = data[pos]
+                            blen = _gif_byte(data, pos)
                             pos += 1
                             if blen == 0:
                                 break
+                            _gif_need(data, pos, blen)
                             pos += blen
                         frames += 1
                     width, height = gw, gh
@@ -1118,28 +1140,31 @@ def gif_extract_frames(
                 data = bytes(blob)
                 if data[:6] not in (b"GIF87a", b"GIF89a"):
                     raise ValueError("not a GIF")
+                _gif_need(data, 0, 13)
                 flags = data[10]
                 pos = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
                 frames: list[tuple[int, int]] = []  # (mean, n) per sampled
                 f = 0
-                while data[pos] != 0x3B:
+                while _gif_byte(data, pos) != 0x3B:
                     if data[pos] != 0x2C:
                         raise ValueError("unsupported GIF block")
+                    _gif_need(data, pos + 1, 9)
                     _ix, _iy, iw, ih, _fl = struct.unpack_from(
                         "<HHHHB", data, pos + 1
                     )
                     pos += 10
-                    min_code = data[pos]
+                    min_code = _gif_byte(data, pos)
                     pos += 1
                     wanted = (f % every_n == 0) and (
                         f // every_n < max_frames
                     )
                     lzw = bytearray()
                     while True:
-                        blen = data[pos]
+                        blen = _gif_byte(data, pos)
                         pos += 1
                         if blen == 0:
                             break
+                        _gif_need(data, pos, blen)
                         if wanted:
                             lzw += data[pos : pos + blen]
                         pos += blen  # skipped frames: no decode at all

@@ -81,27 +81,51 @@ def write_chunked_catalog(
 
     known = {c["file"] for c in prior}
     chunks = list(prior)
+    # Adopt ONLY Spark-written chunk files (part-<task>-<uuid>…). The
+    # CatalogWriter DSv2 path names its files part-w<uuid>.parquet and
+    # registers them through commit messages exclusively — a part-w*
+    # file not in the manifest is an orphan from a failed/zombie writer
+    # task (abort() can only unlink files it was told about), and
+    # adopting it here would resurrect uncommitted rows into the
+    # manifest, breaking the transactional-append guarantee.
     for f in sorted((out / "chunks").glob("part-*.parquet")):
-        if str(f) in known:
+        if str(f) in known or f.name.startswith("part-w"):
             continue
         md = pq.read_metadata(f)
         if md.num_rows == 0:
             continue
         name_idx = md.schema.names.index("name")
-        lo = min(
-            md.row_group(i).column(name_idx).statistics.min
-            for i in range(md.num_row_groups)
-        )
-        hi = max(
-            md.row_group(i).column(name_idx).statistics.max
-            for i in range(md.num_row_groups)
-        )
+        lo, hi = _name_range(md, name_idx, f)
         chunks.append(
             {"file": str(f), "min_name": lo, "max_name": hi, "rows": md.num_rows}
         )
     manifest = {"chunks": chunks}
     _atomic_write_manifest(out / MANIFEST, manifest)
     return manifest
+
+
+def _name_range(md, name_idx: int, f) -> tuple[str, str]:
+    """Per-file [min, max] of ``name`` from row-group footers. Parquet
+    writers may drop min/max statistics (very long values, or
+    stats-disabled writers); a chunk without usable stats cannot be
+    range-pruned, so fall back to scanning the column rather than
+    crashing on ``statistics is None``."""
+    los: list[str] = []
+    his: list[str] = []
+    for i in range(md.num_row_groups):
+        stats = md.row_group(i).column(name_idx).statistics
+        if stats is None or not stats.has_min_max:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            col = pq.read_table(f, columns=["name"]).column("name")
+            return (
+                pc.min(col).as_py(),
+                pc.max(col).as_py(),
+            )
+        los.append(stats.min)
+        his.append(stats.max)
+    return min(los), max(his)
 
 
 def _prefix_successor(prefix: str) -> str | None:

@@ -249,3 +249,73 @@ def test_reader_keeps_astral_named_rows(spark, tmp_path):
         .collect()
     )
     assert got == sorted(["ab\U0001F600doc", "abzz"])
+
+
+def test_append_ignores_orphan_writer_files(spark, tmp_path):
+    """Regression (ADVICE r5): a part-w*.parquet left behind by a
+    failed/zombie CatalogWriter task (abort() can only unlink files it
+    was told about) must NOT be adopted by a later
+    write_chunked_catalog(append=True) — adopting it would resurrect
+    uncommitted rows into the manifest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "orphan")
+    schema = (
+        "bucket string, name string, size bigint, checksum string, "
+        "version string"
+    )
+    first = spark.createDataFrame(
+        [("ais://b", "a", 1, "c", "1"), ("ais://b", "b", 2, "c", "1")], schema
+    )
+    cs.write_chunked_catalog(first, path, n_chunks=2)
+
+    # plant an orphan writer file (uncommitted task output)
+    orphan = pa.table(
+        {
+            "bucket": ["ais://b"],
+            "name": ["zombie"],
+            "size": [99],
+            "checksum": ["x"],
+            "version": ["1"],
+        }
+    )
+    from pathlib import Path
+
+    pq.write_table(orphan, Path(path) / "chunks" / "part-wdeadbeef.parquet")
+
+    second = spark.createDataFrame([("ais://b", "c", 3, "c", "1")], schema)
+    manifest = cs.write_chunked_catalog(second, path, n_chunks=1, append=True)
+    names = {
+        r.name for r in cs.load_catalog(spark, path).collect()
+    }
+    assert "zombie" not in names
+    assert names == {"a", "b", "c"}
+    assert not any("part-w" in Path(c["file"]).name for c in manifest["chunks"])
+
+
+def test_manifest_range_survives_missing_parquet_stats(tmp_path):
+    """Regression (ADVICE r5): a chunk whose parquet footer lacks
+    min/max statistics must fall back to scanning the name column, not
+    crash on `.statistics.min` of None."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    md_dir = tmp_path / "nostats" / "chunks"
+    md_dir.mkdir(parents=True)
+    t = pa.table(
+        {
+            "bucket": ["ais://b", "ais://b"],
+            "name": ["mm", "aa"],
+            "size": [1, 2],
+            "checksum": ["c", "c"],
+            "version": ["1", "1"],
+        }
+    )
+    f = md_dir / "part-00000-nostats.parquet"
+    pq.write_table(t, f, write_statistics=False)
+    md = pq.read_metadata(f)
+    name_idx = md.schema.names.index("name")
+    assert md.row_group(0).column(name_idx).statistics is None
+    lo, hi = cs._name_range(md, name_idx, f)
+    assert (lo, hi) == ("aa", "mm")

@@ -4,6 +4,7 @@ consistency."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aistore_spark.operators import dedup, sampling, text
@@ -403,3 +404,50 @@ def test_media_dispatch_animated_gif_frames(spark):
     assert r.n_frames == nf and r.n_pixels == w * h * nf
     assert r.mean_index == sum(idxs) // (w * h * nf)
     assert r.mean_green == sum((2 * i) % 256 for i in idxs) // (w * h * nf)
+
+
+def test_truncated_gif_raises_value_error():
+    """Regression (ADVICE r5): every GIF block walk must raise the
+    ValueError('truncated GIF') contract on a cut-short container —
+    never a raw IndexError/struct.error — matching the hardened
+    lz4frame/_lzw_decode decoders."""
+    from aistore_spark.operators.multimodal import (
+        _gif_byte,
+        _gif_need,
+        synth_gif,
+    )
+
+    full = synth_gif(7, n_frames=3)
+    # exercise the primitives directly
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _gif_byte(b"ab", 2)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        _gif_need(b"abcd", 2, 3)
+    _gif_need(b"abcd", 2, 2)  # exact fit is fine
+
+    # every strict prefix of a real GIF must raise ValueError from the
+    # container walk (or decode cleanly if it happens to end at the
+    # trailer — only the full blob does)
+    for cut in range(6, len(full) - 1, max(1, len(full) // 40)):
+        blob = full[:cut]
+        try:
+            _walk_gif(blob)
+        except ValueError:
+            continue
+        raise AssertionError(f"prefix of len {cut} did not raise ValueError")
+
+
+def _walk_gif(data):
+    """Drive the same walk decode_gif_meta runs, via the public
+    mapInPandas-free path: reuse the pandas batch runner on one row."""
+    import pandas as pd
+
+    from aistore_spark.operators import multimodal as mm
+
+    # call the inner runner through a tiny fake batch iterator so the
+    # test doesn't need a SparkSession
+    class _FakeDF:
+        def mapInPandas(self, fn, schema):
+            return list(fn(iter([pd.DataFrame({"doc_id": [1], "img": [data]})])))
+
+    return mm.decode_gif_meta(_FakeDF())

@@ -257,8 +257,28 @@ def test_local_edge_budget_derived_from_driver_memory(spark):
     mem = spark.conf.get("spark.driver.memory", "2g") or "2g"
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     m = mem.strip().lower()
-    nbytes = int(float(m[:-1])) * units[m[-1]] if m[-1] in units else int(m)
+    # a unitless Spark memory string means MiB ("4096" == "4096m")
+    nbytes = (
+        int(float(m[:-1])) * units[m[-1]]
+        if m[-1] in units
+        else int(m) * (1 << 20)
+    )
     assert budget == max(500_000, min(8_000_000, nbytes // 256))
+
+
+def test_local_edge_budget_unitless_means_mib(spark, monkeypatch):
+    """Regression (ADVICE r5): '4096' is 4 GiB in Spark's memory-string
+    semantics, not 4096 bytes — the budget must hit the 8M ceiling,
+    not the 500k floor."""
+    real_get = spark.conf.get
+
+    def fake_get(key, default=None):
+        if key == "spark.driver.memory":
+            return "4096"
+        return real_get(key, default)
+
+    monkeypatch.setattr(spark.conf, "get", fake_get)
+    assert dedup._local_edge_budget(spark) == 8_000_000
 
 
 def test_jaccard_verify_equals_allpairs_on_candidates(spark):
