@@ -2285,6 +2285,78 @@ def mm8_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_gif_meta(multimodal.synth_gif_frame(ids))
 
 
+@register(
+    "mm10_jpeg_decode",
+    """
+    WITH ids AS (
+      SELECT doc_id,
+             2 + doc_id % 5 AS bx, 1 + doc_id % 4 AS by,
+             50 + doc_id % 45 AS qual,
+             CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END AS dri
+      FROM documents WHERE doc_id % 7 = 3
+    ),
+    qt AS (
+      SELECT *,
+             greatest(1, least(255, (16 * (200 - 2 * qual) + 50) // 100))
+               AS q00y,
+             greatest(1, least(255, (17 * (200 - 2 * qual) + 50) // 100))
+               AS q00c
+      FROM ids
+    ),
+    px AS (
+      SELECT doc_id, bx, by, dri, q00y, c.comp,
+             128 + (doc_id * 7 + b.bi * 13 + c.comp * 29) % 100 AS v,
+             CASE WHEN c.comp = 0 THEN q00y ELSE q00c END AS q00
+      FROM qt, range(0, 24) b(bi), range(0, 3) c(comp)
+      WHERE b.bi < bx * by
+    ),
+    rec AS (
+      SELECT doc_id, bx, by, dri, q00y, comp,
+             least(255, (((2 * (8 * (v - 128)) + q00) // (2 * q00)) * q00
+                         + 4) // 8 + 128) AS pix
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(8 * bx AS BIGINT) AS width,
+           CAST(8 * by AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_components,
+           CAST(bx * by AS BIGINT) AS n_blocks,
+           CAST(dri AS BIGINT) AS restart_interval,
+           CAST(q00y AS BIGINT) AS q00_luma,
+           CAST(sum(CASE WHEN comp = 0 THEN pix END) // (bx * by) AS BIGINT)
+             AS mean_y,
+           CAST(sum(CASE WHEN comp = 1 THEN pix END) // (bx * by) AS BIGINT)
+             AS mean_cb,
+           CAST(sum(CASE WHEN comp = 2 THEN pix END) // (bx * by) AS BIGINT)
+             AS mean_cr
+    FROM rec
+    GROUP BY doc_id, bx, by, dri, q00y
+    """,
+)
+def mm10_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-DCT image decode, no stub and no image library:
+    synthesize genuine baseline JFIF containers (YCbCr 4:4:4,
+    file-carried quant + complete canonical Huffman tables, byte
+    stuffing, restart markers on even ids) and decode them back with
+    the full pipeline — marker walk, DQT/DHT parse, Huffman entropy
+    decode with unstuffing + RSTn predictor resets, DC prediction,
+    dequant, un-zigzag, IDCT. The synthesis profile keeps every block
+    DC-only (per-block constant color), so the oracle re-derives the
+    decoded channel means through the EXACT closed form
+    ``clamp(((2*dc+Q00)//(2*Q00))*Q00 + 4)//8 + 128`` including the
+    libjpeg-style quality scaling of Q00 — a drift anywhere in
+    quantize/encode/Huffman/dequant/IDCT breaks the hash. The general
+    AC path (run/size, ZRL, EOB) is covered by round-trip and
+    property tests (tests/test_jpegcodec.py). Closes the one
+    mainstream image format that had no real codec; the reference's
+    image ETL operates on exactly these containers
+    (python/aistore/sdk/etl/etl_templates.py:3-380)."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 3
+    ).select("doc_id")
+    return multimodal.decode_jpeg_meta(multimodal.synth_jpeg_frame(ids))
+
+
 _DSV2_CACHE: dict[str, str] = {}
 
 
