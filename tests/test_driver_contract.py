@@ -1,10 +1,11 @@
 """Invariants of the driver contract in __spark_entry__.py.
 
 The driver's correctness ledger covers exactly the first 50 entries of
-queries() (observed rounds 1-4), so the curated front of the ordering
-IS the hard-signal surface. Round 5 rotates it: the front 50 are
-queries no driver round ever checked, so rounds 4+5 combined
-hard-verify every operator family including variants.
+queries() (observed rounds 1-5), so the curated front of the ordering
+IS the hard-signal surface. Round 6 finishes the rotation: the front
+50 are the 30 queries the r4/r5 ledgers never checked (new + residue)
+plus 20 high-risk re-checks, so rounds 4-6 combined hard-verify EVERY
+registered query's current implementation.
 """
 
 from __future__ import annotations
@@ -17,9 +18,9 @@ import __spark_entry__ as entry
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _ever_driver_checked() -> set[str]:
+def _checked_r4_r5() -> set[str]:
     names: set[str] = set()
-    for ledger in sorted(REPO.glob("CORRECTNESS_r0[1-4].json")):
+    for ledger in sorted(REPO.glob("CORRECTNESS_r0[4-5].json")):
         names |= set(json.loads(ledger.read_text()))
     return names
 
@@ -33,48 +34,64 @@ def test_priority_is_exactly_the_first_50():
     assert list(qs)[:50] == p
 
 
-def test_priority_is_the_rotation_set():
-    """Every front-50 entry must be a query NO previous driver round
-    checked — that is the whole point of the round-5 rotation."""
-    checked = _ever_driver_checked()
-    assert checked, "committed CORRECTNESS_r0*.json ledgers missing"
-    stale = [n for n in entry.DRIVER_CHECK_PRIORITY if n in checked]
-    assert stale == [], f"already driver-checked, wasting a slot: {stale}"
+def test_front_loads_every_query_r4_r5_never_checked():
+    """Part (a) of the round-6 rotation: every registered query absent
+    from BOTH the r4 and r5 ledgers must sit in the front 50 — after
+    this round there is no registered query whose CURRENT form lacks a
+    driver hard-check across rounds 4-6."""
+    checked = _checked_r4_r5()
+    assert checked, "committed CORRECTNESS_r04/r05.json ledgers missing"
+    never = set(entry.queries()) - checked
+    outside = sorted(never - set(entry.DRIVER_CHECK_PRIORITY))
+    assert outside == [], f"never-checked but not front-loaded: {outside}"
 
 
-def test_rounds_4_and_5_combined_cover_every_family():
-    """Union of past driver ledgers and the rotated front-50 covers a
-    representative of every SURVEY.md §2 family, and each family from
-    round 4's curated set keeps its hard-signal representative."""
-    covered = _ever_driver_checked() | set(entry.DRIVER_CHECK_PRIORITY)
-    representatives = {
-        "S": "s1_list_prefix_page",
-        "S-archive": "s4b_zip_listing",
-        "F": "f1_prefix_ext_breakdown",
-        "J": "j1_get_batch",
-        "J4": "j4b_hrw_md5",
-        "A": "a1_bucket_summary",
-        "D": "d1_sort_alphanumeric",
-        "T": "t1_inline_etl",
-        "P": "p1_pack_archive",
-        "M": "m1_copy_plan",
-        "M-placement": "m7_rebalance",
-        "G": "g1_assemble_batches",
-        "G-formats": "g3_output_formats",
-        "downloader": "ds1_download_plan",
-        "dedup": "dd1_exact_dedup",
-        "dedup-groups": "dd7_dup_groups",
-        "ann": "ann1_brute_topk",
-        "ann-ivfpq": "ann9_ivfpq_topk",
-        "text": "tx1_token_stats",
-        "multimodal": "mm1_decode_media",
-        "multimodal-real": "mm7_png_decode",
-        "sampling": "samp1_hash_split",
-        "pipelines": "pipe2_export_shards",
-        "events": "ev2_sessions",
+def test_recheck_slots_include_the_verdict_shortlist():
+    """Part (b): the slots left after the never-checked set must carry
+    the round-5 verdict's named high-risk re-checks."""
+    p = set(entry.DRIVER_CHECK_PRIORITY)
+    for name in (
+        "dd2_ngram_jaccard",
+        "g3_output_formats",
+        "dd7_dup_groups",
+        "dsort_pipeline",
+        "g1_assemble_batches",
+        "g1_mixed_batches",
+        "p1_pack_archive",
+    ):
+        assert name in p, f"verdict-r5 re-check missing from front 50: {name}"
+
+
+def test_rounds_4_to_6_cover_every_registered_query():
+    """The union of the r4/r5 ledgers and this round's front 50 is the
+    ENTIRE registration — the 'all 129 hard-verified across rounds
+    4-6' goal, machine-checked."""
+    covered = _checked_r4_r5() | set(entry.DRIVER_CHECK_PRIORITY)
+    missing = sorted(set(entry.queries()) - covered)
+    assert missing == [], f"queries with no driver check in r4-r6: {missing}"
+
+
+def test_no_stub_backed_registrations():
+    """Verdict-r5 item 8: the digest-stub plumbing rows (mm1-mm4) and
+    the tx5 regex approximation are retired from queries(); their
+    contracts live in tests/test_stub_plumbing.py."""
+    qs = set(entry.queries())
+    for name in (
+        "mm1_decode_media",
+        "mm2_resize",
+        "mm3_feature_extract",
+        "mm4_frame_sample",
+        "tx5_bpe_tokens",
+    ):
+        assert name not in qs
+    from aistore_spark.benchqueries import STUB_PLUMBING_QUERIES
+
+    assert set(STUB_PLUMBING_QUERIES) == {
+        "mm1_decode_media",
+        "mm2_resize",
+        "mm3_feature_extract",
+        "mm4_frame_sample",
     }
-    missing = {f for f, q in representatives.items() if q not in covered}
-    assert not missing, f"families without a driver-checked query: {missing}"
 
 
 def test_every_query_has_an_oracle():
@@ -83,44 +100,3 @@ def test_every_query_has_an_oracle():
     # placement.hrw_placement_xxhash / j4b_hrw_md5)
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(qs) - set(oracles) == set()
-
-
-def test_left_behind_names_ride_behind_a_driver_green_sibling():
-    """The never-checked names that don't fit the 50-cap must each have
-    an already-driver-green family sibling (they stay strictly checked
-    in the local ledger)."""
-    checked = _ever_driver_checked()
-    qs = entry.queries()
-    behind = [
-        n
-        for n in qs
-        if n not in checked and n not in entry.DRIVER_CHECK_PRIORITY
-    ]
-    siblings = {
-        "mm2_resize": "mm1_decode_media",
-        "mm3_feature_extract": "mm1_decode_media",
-        "mm4_frame_sample": "mm1_decode_media",
-        "s2b_atime_format": "s2_props_name_size",
-        "s2c_custom_props": "s2_props_name_size",
-        "m6_rename_bucket": "m6b_rename_objects",
-        "ev1_windowed_counts": "ev2_sessions",
-        "tx5_bpe_tokens": "tx1_token_stats",
-        # registered after the 50 rotation slots were fixed this round
-        "t8_direct_put": "t2_offline_pipeline",
-        "dd6b_simhash_prod": "dd6_simhash_pairs",
-        "tx8_bigram_familiarity": "tx1_token_stats",
-        "tx9_pii_redact": "tx1_token_stats",
-        "dd9_semantic_dedup": "dd5_embedding_neardup",
-        "samp3_source_mixture": "samp1_hash_split",
-        "mm8_gif_decode": "mm7_png_decode",
-        "mm9_media_dispatch": "mm1_decode_media",
-        "s7b_dsv2_listing": "s7_inventory_page",
-        "mm2b_png_thumbnail": "mm7_png_decode",
-        "mm3b_png_features": "mm7_png_decode",
-        "t9_media_transcode": "mm7_png_decode",
-        "tx10_heavy_phrases": "tx1_token_stats",
-        "mm4b_gif_frame_extract": "mm7_png_decode",
-    }
-    assert set(behind) == set(siblings)
-    for n, sib in siblings.items():
-        assert sib in checked or sib in entry.DRIVER_CHECK_PRIORITY

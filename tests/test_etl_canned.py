@@ -66,10 +66,48 @@ def test_tar2tf_roundtrip():
 
 
 def test_lib_gated_stubs_raise():
-    for name in ("keras_transform", "torchvision_transform",
-                 "ffmpeg_audio", "face_detection"):
+    # torchvision_transform / ffmpeg_audio became REAL code paths in
+    # round 6 (in-repo JPEG + WAV-resample codecs); only the heavy-ML
+    # hooks stay gated
+    for name in ("keras_transform", "face_detection"):
         with pytest.raises(NotImplementedError):
             CANNED[name](b"x", "p", "")
+
+
+def test_torchvision_canned_is_real_jpeg_resize():
+    """decode → nearest-neighbor resize → re-encode with the in-repo
+    baseline-JPEG codec; the output is a decodable JPEG at the target
+    dims whose pixels equal the source sampled at the floor mapping
+    (within re-quantization error)."""
+    import numpy as np
+
+    from aistore_spark.functions.jpegcodec import decode_jpeg, synth_jpeg
+
+    src = synth_jpeg(24)  # 48x8, 4:4:4
+    out = CANNED["torchvision_transform"](src, "a/b.jpg", "16x8")
+    info, planes = decode_jpeg(out)
+    assert (info["width"], info["height"], info["n_components"]) == (16, 8, 3)
+    src_info, src_planes = decode_jpeg(src)
+    ys = (np.arange(8) * src_info["height"]) // 8
+    xs = (np.arange(16) * src_info["width"]) // 16
+    for got, sp in zip(planes, src_planes):
+        want = sp[np.ix_(ys, xs)]
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+    with pytest.raises(ValueError, match="multiples of 8"):
+        CANNED["torchvision_transform"](src, "p", "10x6")
+
+
+def test_ffmpeg_audio_canned_resamples_container():
+    import io
+    import wave
+
+    from aistore_spark.operators.multimodal import synth_wav
+
+    src = synth_wav(13)  # 813 frames @ 8 kHz
+    out = CANNED["ffmpeg_audio"](src, "a/b.wav", "16000")
+    with wave.open(io.BytesIO(out)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnframes() == 813 * 2  # exact 1:2 upsample length
 
 
 def test_compress_lz4_round_trip_and_pipeline():
@@ -124,3 +162,24 @@ def test_direct_put_single_exchange_and_routing(spark):
             want.get(owner(f"etl/d/{i:04d}.txt"), 0) + 1
         )
     assert {r.dst_target: r.n_objects for r in rows} == want
+
+
+def test_resample_two_rate_roundtrip_is_exact():
+    """Integer-exact rational resample: upsampling by 2 inserts
+    interpolated samples at odd indices and KEEPS the originals at
+    even ones, so 8k->16k->8k must be the identity bit-for-bit; and
+    the truncate-toward-zero contract must hold on negative samples."""
+    import numpy as np
+
+    from aistore_spark.operators.multimodal import resample_pcm
+
+    rng = np.random.RandomState(5)
+    pcm = rng.randint(-32768, 32768, size=1501).astype(np.int64)
+    up = resample_pcm(pcm, 8000, 16000)
+    assert len(up) == 3002
+    assert (up[::2] == pcm).all()
+    back = resample_pcm(up, 16000, 8000)
+    assert (back == pcm).all()
+    # trunc-toward-zero (SQL semantics), not floor: (-100+? ) case
+    out = resample_pcm(np.array([100, -100]), 2, 3)
+    assert out.tolist() == [100, -33, -100]  # floor would give -34
