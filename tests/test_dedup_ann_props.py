@@ -343,3 +343,44 @@ def test_semantic_cell_pairs_subset_of_all_pairs(spark):
     }
     assert cell == want
     assert cell  # non-vacuous on this corpus
+
+
+def test_ann_recall_floors_and_monotonicity(spark, sf_dir):
+    """Recall@10 at the registered economy parameters, pinned at fixed
+    data (verdict-r5 item 6): floors hold, IVF recall is monotone in
+    nprobe and reaches EXACT at full probe. Measured values are in
+    SCALE.md; the fixture embeddings are i.i.d. (no cluster structure),
+    the worst case for ANN."""
+    from tools.ann_recall import recall_table
+
+    rt = recall_table(spark, sf_dir, k=10)
+    assert rt["ivf (16 cells, nprobe=2)"] >= 0.25
+    assert rt["pq-adc (m=4, 16 codes)"] >= 0.12
+    assert rt["ivf-pq (nprobe=2, m=4)"] >= 0.05
+    # quantization can only lose accuracy vs the same probe set
+    assert rt["ivf-pq (nprobe=2, m=4)"] <= rt["ivf (16 cells, nprobe=2)"]
+
+    from pyspark.sql import functions as F
+
+    from aistore_spark.operators import simsearch
+    from aistore_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = emb.filter(F.col("vec_id") < 16)
+    truth = simsearch.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    nt = truth.count()
+    last = -1.0
+    for nprobe in (1, 4, 16):
+        r = (
+            simsearch.ivf_topk(emb, cents, queries, k=10, nprobe=nprobe)
+            .select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+            / nt
+        )
+        assert r >= last, f"recall not monotone at nprobe={nprobe}"
+        last = r
+    assert last == 1.0  # full probe == brute force

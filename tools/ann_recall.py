@@ -1,0 +1,83 @@
+"""Recall@k harness for the approximate ANN read paths vs exact brute
+force (verdict-r5 item 6).
+
+Measures, at the REGISTERED parameters (ann3/ann5/ann8/ann9: k=10,
+n_bits=8, 16 coarse cells, nprobe=2, PQ m=4 over dim 64), what share
+of each query's true top-10 the approximate index returns. The
+existing property tests prove exactness at full probe / on codewords;
+this measures the accuracy/probe trade at the shipped settings.
+
+Usage: python tools/ann_recall.py [sf_dir ...]
+Prints one markdown table per sf_dir (pasted into SCALE.md).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from aistore_spark.operators import simsearch
+from aistore_spark.session import get_spark
+from aistore_spark.sources.tables import load_table
+
+
+def recall_table(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
+    """{method: recall@k} for the four approximate paths at the
+    registered parameters, against brute_force_topk ground truth."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") < 16)
+    truth = (
+        simsearch.brute_force_topk(emb, queries, k=k)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_truth = truth.count()
+
+    approx = {
+        "lsh (n_bits=8)": simsearch.lsh_topk(emb, queries, k=k, n_bits=8),
+        "ivf (16 cells, nprobe=2)": simsearch.ivf_topk(
+            emb, centroids, queries, k=k, nprobe=2
+        ),
+        "pq-adc (m=4, 16 codes)": simsearch.pq_adc_topk(
+            emb, centroids, queries, k=k, m=4, dim=64
+        ),
+        "ivf-pq (nprobe=2, m=4)": simsearch.ivfpq_topk(
+            emb, centroids, centroids, queries, k=k, nprobe=2, m=4, dim=64
+        ),
+    }
+    out = {}
+    for name, df in approx.items():
+        hit = df.select("query_id", "neighbor_id").join(
+            truth, ["query_id", "neighbor_id"]
+        )
+        out[name] = hit.count() / n_truth
+    emb.unpersist()
+    truth.unpersist()
+    return out
+
+
+def main() -> int:
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    spark = get_spark("ann_recall", cpus=8)
+    for sf_dir in dirs:
+        rt = recall_table(spark, sf_dir)
+        n_q = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 100 == 0)
+            .count()
+        )
+        print(f"\n{sf_dir} ({n_q} queries, recall@10 vs brute force):\n")
+        print("| method | recall@10 |")
+        print("|---|---|")
+        for name, r in rt.items():
+            print(f"| {name} | {r:.3f} |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
