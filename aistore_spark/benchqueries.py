@@ -3728,7 +3728,7 @@ def s8_range_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN substr(md5(word), CAST(j AS INT) + 1, 1)
                       IN ('8','9','a','b','c','d','e','f')
                  THEN 1 ELSE -1 END) AS s
-      FROM wd, range(0, 16) t(j)
+      FROM wd, range(0, 32) t(j)
       GROUP BY doc_id, j
     ),
     fp AS (
@@ -3739,7 +3739,7 @@ def s8_range_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     banded AS (
       SELECT doc_id, CAST(b AS INT) AS band,
-             substr(simhash, CAST(b AS INT) * 4 + 1, 4) AS band_val
+             substr(simhash, CAST(b AS INT) * 8 + 1, 8) AS band_val
       FROM fp, range(0, 4) t(b)
     ),
     cand AS (
@@ -3754,7 +3754,7 @@ def s8_range_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS BIGINT) AS hamming
     FROM cand c
     JOIN fp fa ON fa.doc_id = c.doc_a
-    JOIN fp fb ON fb.doc_id = c.doc_b, range(0, 16) t(j)
+    JOIN fp fb ON fb.doc_id = c.doc_b, range(0, 32) t(j)
     GROUP BY 1, 2
     HAVING CAST(sum(CASE WHEN substr(fa.simhash, CAST(j AS INT) + 1, 1)
                           <> substr(fb.simhash, CAST(j AS INT) + 1, 1)
@@ -3762,13 +3762,24 @@ def s8_range_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd6_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded candidates (4x4-bit) + exact
+    """SimHash near-dup pairs: banded candidates (4x8-bit) + exact
     Hamming verify <= 3 on candidates only. Pigeonhole-complete recall
-    (3 < 4 bands); shuffle keys are (band, band_val) only. 16-bit
-    oracle sizing keeps the DuckDB twin cheap; the production 64-bit
-    sizing is the separately-registered dd6b."""
+    (3 < 4 bands); shuffle keys are (band, band_val) only. 32-bit
+    oracle sizing: one md5 digest still supplies every vote nibble, so
+    the DuckDB twin stays cheap, but band values carry 8 bits — the
+    sf1 gate showed the old 16-bit sizing was degenerate ABOVE sf0.1
+    (4-bit band values put n_docs/16 docs in an average bucket and
+    ~28% of ALL pairs verified at Hamming <= 3: quadratic OUTPUT, so
+    no plan shape could carry it to 10x data). The production 64-bit
+    sizing is the separately-registered dd6b. max_bucket bounds any
+    residual hot buckets losslessly (complete block grid — identical
+    output, no single-task pair-product knee)."""
     return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), bits=16, bands=4, max_hamming=3
+        load_table(spark, sf_dir, "documents"),
+        bits=32,
+        bands=4,
+        max_hamming=3,
+        max_bucket=512,
     )
 
 
@@ -3826,9 +3837,15 @@ def dd6b_simhash_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets mean 16 agreeing bits, so the candidate set is tiny and
     the band join cost collapses vs dd6's dense 4-bit oracle sizing.
     Same plan shape (shift+mask band extraction, bit_count(xor)
-    verify), pigeonhole-complete recall for d <= 3 < 4 bands."""
+    verify), pigeonhole-complete recall for d <= 3 < 4 bands.
+    max_bucket guards the near-dup-clique hot buckets (identical
+    output — the split grid is complete)."""
     return dedup.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), bits=64, bands=4, max_hamming=3
+        load_table(spark, sf_dir, "documents"),
+        bits=64,
+        bands=4,
+        max_hamming=3,
+        max_bucket=1024,
     )
 
 
@@ -4589,9 +4606,23 @@ def m8b_ec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE wp AS ({_WP_SQL}),
     sh AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    mh AS (
+      SELECT doc_id, CAST(r AS INT) AS band,
+             min(md5(CAST(r AS VARCHAR) || '|' || shingle)) AS minhash
+      FROM sh, range(0, 8) t(r)
+      GROUP BY doc_id, r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM mh a
+      JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
+                AND a.doc_id < b.doc_id
+    ),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -4621,13 +4652,25 @@ def m8b_ec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd7_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group assembly: connected components over the
-    Jaccard-verified near-dup pairs (transitive closure via iterative
-    min-label propagation), one canonical doc (min id) per group —
-    the keep/drop decision stage of corpus dedup. Membership
-    fingerprinted per group."""
-    pairs = dedup.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold_num=1,
-        threshold_den=20,
+    near-dup pairs (transitive closure), one canonical doc (min id)
+    per group — the keep/drop decision stage of corpus dedup.
+    Membership fingerprinted per group.
+
+    Edges come from the COMPOSED pipeline (LSH candidates → exact
+    Jaccard verify, same as dd2) — the sf1 gate caught the previous
+    all-pairs shingle self-join edge source: Σ_shingle c² is
+    corpus-quadratic on hot shingles (a shingle held by O(N) docs
+    alone contributes O(N²) rows), while the composed form's work
+    tracks the actual near-dup mass. Recall is the LSH recall
+    (1-(1-J)^8 per pair), mirrored exactly by the oracle's identical
+    candidate CTE."""
+    from aistore_spark.util import pin
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = pin(dedup.shingles(docs, n=3))
+    cands = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
+    pairs = dedup.jaccard_verify(
+        docs, cands, n=3, threshold_num=1, threshold_den=20, shingles_df=sh
     )
     groups = dedup.dup_groups(pairs)
     return groups.groupBy("group_id").agg(

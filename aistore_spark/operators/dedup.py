@@ -340,6 +340,7 @@ def simhash_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: band the *bits*-bit fingerprint
     into *bands* equal slices, candidate pairs share at least one
@@ -354,6 +355,19 @@ def simhash_pairs(
     Scale shape: the only shuffle keys are (band, band_val) — O(docs x
     bands) short rows; the Hamming verify runs on candidates only,
     entirely in codegen (no Python).
+
+    ``max_bucket`` is the hot-bucket bound, and — unlike the LSH
+    variant's lossy cell split — it is LOSSLESS here because simhash
+    advertises pigeonhole-complete recall: a (band, band_val) bucket
+    of c > max_bucket docs is split into nb = ceil(c/max_bucket)
+    blocks by a hash of doc_id and the bucket's pair product is
+    covered by the complete nb x nb upper-triangular cell grid (the
+    2-D blocked self-join of the embedding scorer): side A replicates
+    a block-i row into cells (i, i..nb), side B into cells (0..i, i),
+    so every cross pair meets in exactly one cell. Output pairs are
+    IDENTICAL to the unsplit join; what changes is that a hot
+    bucket's O(c²) join output is produced by nb(nb+1)/2 bounded
+    tasks instead of one — no single-task sort/spill knee at scale.
     """
     if bits > 64:
         raise ValueError(f"simhash fingerprint is one bigint; bits={bits} > 64")
@@ -386,22 +400,82 @@ def simhash_pairs(
             f"shiftright(fp, ({bands} - 1 - band) * {width}) & {mask}"
         ).alias("band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
+    if max_bucket is not None:
+        # Lossless hot-bucket split: block-i rows cover cells (i, j>=i)
+        # on side A and (i<=j, j) on side B; a pair in blocks (i, j)
+        # with i <= j meets exactly once, in cell (i, j). Off-diagonal
+        # cells keep every A x B pair (normalized via least/greatest);
+        # the diagonal orders by doc_id as before. The count agg +
+        # join-back shuffles only the O(docs x bands) banded rows, on
+        # the same key the join itself needs.
+        # Only the HOT keys join back, as a broadcast: there are at
+        # most (docs x bands) / max_bucket of them by definition, so
+        # the table is always small, and the cold path stays the
+        # original shuffle-free banded frame (a left broadcast join
+        # adds no exchange).
+        hot = (
+            banded.groupBy("band", "band_val")
+            .agg(F.count("*").alias("_bk"))
+            .filter(F.col("_bk") > max_bucket)
+            .withColumn(
+                "_nb_h", F.ceil(F.col("_bk") / max_bucket).cast("int")
+            )
+            .drop("_bk")
+        )
+        blocked = (
+            banded.join(F.broadcast(hot), ["band", "band_val"], "left")
+            .withColumn("_nb", F.coalesce(F.col("_nb_h"), F.lit(1)))
+            .withColumn(
+                "_blk",
+                F.pmod(F.xxhash64("doc_id"), F.col("_nb")).cast("int"),
+            )
+            .drop("_nb_h")
+        )
+        a = (
+            blocked.withColumn(
+                "_j", F.explode(F.expr("sequence(_blk, _nb - 1)"))
+            )
+            .withColumnRenamed("_blk", "_i")
+            .alias("a")
+        )
+        b = (
+            blocked.withColumn("_i", F.explode(F.expr("sequence(0, _blk)")))
+            .withColumnRenamed("_blk", "_j")
+            .alias("b")
+        )
+        pairs = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._i") == F.col("b._i"))
+            & (F.col("a._j") == F.col("b._j"))
+            & (
+                (F.col("a._i") < F.col("a._j"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        ).select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
             .cast("bigint")
             .alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
+    return (
+        pairs.filter(F.col("hamming") <= max_hamming)
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
     )

@@ -64,6 +64,30 @@ def test_simhash_pairs_pigeonhole_recall(spark):
     assert got == want
 
 
+def test_simhash_pairs_max_bucket_lossless(spark):
+    """Unlike the LSH cell split (lossy, multi-band-justified), the
+    simhash hot-bucket split is a COMPLETE block grid: with
+    max_bucket small enough to force multi-block splits on every
+    bucket, the (doc_a, doc_b, hamming) output must be identical to
+    the unsplit join — pigeonhole completeness survives the split."""
+    docs = load_table(spark, SF_SMALL, "documents").limit(150)
+    base = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(
+            docs, bits=16, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert base, "witness set empty — sizing produced no pairs"
+    for mb in (1, 2, 7):
+        split = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(
+                docs, bits=16, bands=4, max_hamming=3, max_bucket=mb
+            ).collect()
+        }
+        assert split == base, f"max_bucket={mb} changed the output"
+
+
 def test_kmeans_step_conserves_vectors(spark):
     """Every corpus vector lands in exactly one cell: n_vecs summed
     over one dim equals the corpus size, and each (centroid, dim) mean
