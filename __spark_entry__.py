@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round — their plumbing contracts live in
 # tests/test_stub_plumbing.py — so no slot validates a stub.)
 DRIVER_CHECK_PRIORITY = [
-    # (a) never checked in r4/r5 — new + residue, 30 names
+    # (a) never checked in r4/r5 — new + residue, 32 names
     "mm10_jpeg_decode",
     "tx5b_bpe_learned",
     "tx5c_bpe_doc_tokens",
@@ -71,10 +71,12 @@ DRIVER_CHECK_PRIORITY = [
     "t1b_inline_etl_args",
     "t8_direct_put",
     "t9_media_transcode",
+    "t11_keras_augment",
+    "t12_ws_etl_channel",
     "tx10_heavy_phrases",
     "tx8_bigram_familiarity",
     "tx9_pii_redact",
-    # (b) high-risk re-checks, 20 names (verdict-r5 shortlist first)
+    # (b) high-risk re-checks, 18 names (verdict-r5 shortlist first)
     "dd2_ngram_jaccard",
     "g3_output_formats",
     "dd7_dup_groups",
@@ -92,9 +94,7 @@ DRIVER_CHECK_PRIORITY = [
     "pipe1_curation",
     "pipe2_export_shards",
     "ann1_brute_topk",
-    "d6_pack_shards",
     "t2_offline_pipeline",
-    "j4b_hrw_md5",
 ]
 
 

@@ -2368,6 +2368,182 @@ def t10_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t11_keras_augment",
+    """
+    WITH ids AS (
+      SELECT doc_id,
+             2 + doc_id % 5 AS bx, 1 + doc_id % 4 AS by,
+             50 + doc_id % 45 AS qual
+      FROM documents WHERE doc_id % 11 = 5
+    ),
+    qt AS (
+      SELECT *,
+             greatest(1, least(255, (16 * (200 - 2 * qual) + 50) // 100))
+               AS q00y,
+             greatest(1, least(255, (17 * (200 - 2 * qual) + 50) // 100))
+               AS q00c
+      FROM ids
+    ),
+    px AS (
+      SELECT doc_id, bx, by, c.comp,
+             128 + (doc_id * 7 + b.bi * 13 + c.comp * 29) % 100 AS v,
+             CASE WHEN c.comp = 0 THEN q00y ELSE q00c END AS q00
+      FROM qt, range(0, 24) b(bi), range(0, 3) c(comp)
+      WHERE b.bi < bx * by
+    ),
+    rec1 AS (
+      SELECT doc_id, bx, by, comp,
+             least(255, (((2 * (8 * (v - 128)) + q00) // (2 * q00)) * q00
+                         + 4) // 8 + 128) AS p1
+      FROM px
+    ),
+    rec2 AS (
+      SELECT doc_id, bx, by, comp,
+             least(255, (((2 * (8 * (least(255, (p1 * 5) // 4) - 128)) + 3)
+                          // 6) * 3 + 4) // 8 + 128) AS pix
+      FROM rec1
+    )
+    SELECT doc_id,
+           CAST(8 * bx AS BIGINT) AS width,
+           CAST(8 * by AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS n_components,
+           CAST(bx * by AS BIGINT) AS n_blocks,
+           CAST(0 AS BIGINT) AS restart_interval,
+           CAST(3 AS BIGINT) AS q00_luma,
+           CAST(sum(CASE WHEN comp = 0 THEN pix END) // (bx * by) AS BIGINT)
+             AS mean_y,
+           CAST(sum(CASE WHEN comp = 1 THEN pix END) // (bx * by) AS BIGINT)
+             AS mean_cb,
+           CAST(sum(CASE WHEN comp = 2 THEN pix END) // (bx * by) AS BIGINT)
+             AS mean_cr
+    FROM rec2
+    GROUP BY doc_id, bx, by
+    """,
+)
+def t11_keras_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL keras-transform ETL, no stub (converts the keras_transform
+    canned surface into a live code path — the reference ships it as a
+    keras ImageDataGenerator ETL template, etl_templates.py): decode
+    the synthesized baseline JPEG with the in-repo codec, apply
+    theta=180 + horizontal flip + 5/4 brightness (the keras
+    apply_transform parameter shape) and re-encode at quality 90,
+    all through the actual T1 inline-ETL Pandas-UDF plumbing; then a
+    second full decode of the TRANSFORMED container reports the meta.
+    Rotation/flip are block permutations of the DC-only synthesis
+    profile and brightness is a per-block rational, so the oracle
+    chases the decoded means through BOTH quantization generations in
+    closed form: rec1 = dequant(quant(dc, Q(qual))), brightened
+    v2 = min(255, 5*rec1/4), rec2 = dequant(quant(8*(v2-128), Q00=3))
+    — any drift in decode, augment order, or re-encode breaks the
+    hash. Shifts (tx/ty zero-fill) and theta=90 dim swap are covered
+    by exact unit tests (test_etl_canned.py)."""
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 5
+    ).select("doc_id")
+    frames = multimodal.synth_jpeg_frame(ids)
+    udf = etl.transform_udf(
+        ["keras_transform"], "theta=180,flip_horizontal=1,brightness=5/4"
+    )
+    out = frames.select(
+        "doc_id",
+        udf(
+            F.col("img"),
+            F.concat(
+                F.lit("img/"), F.col("doc_id").cast("string"), F.lit(".jpg")
+            ),
+        ).alias("img"),
+    )
+    return multimodal.decode_jpeg_meta(out)
+
+
+@register(
+    "t12_ws_etl_channel",
+    """
+    WITH tasks AS (
+      SELECT doc_id AS seq,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'dst/' || CAST(doc_id AS VARCHAR) || '.txt'
+                  ELSE 'obj/' || CAST(doc_id AS VARCHAR) || '.txt'
+             END AS path,
+             text
+      FROM documents
+    ),
+    fan AS (
+      SELECT seq,
+             CAST(CAST(('0x' || substr(md5(path), 1, 8)) AS BIGINT) % 4
+                  AS INT) AS conn_id,
+             (seq % 3 = 0) AS acked,
+             CASE WHEN seq % 3 = 0 THEN 'ACK' ELSE md5(md5(text)) END AS d
+      FROM tasks
+    )
+    SELECT conn_id,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST(sum(CASE WHEN acked THEN 1 ELSE 0 END) AS BIGINT) AS n_acked,
+           CAST(32 * count(*) AS BIGINT) AS bytes_written,
+           'md5' AS ctrl,
+           md5(string_agg(d, ',' ORDER BY seq)) AS chain_md5
+    FROM fan GROUP BY conn_id
+    """,
+)
+def t12_ws_etl_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebSocket ETL control-channel session (the reference's stateful
+    communicator, ext/etl/websocket_comm.go — the last §2.7 surface
+    with no analogue): fan the task stream over 4 connections
+    (md5_bucket of the object path — the engine-portable primitive),
+    run the packed pipeline per control message, ack dst/-routed tasks
+    as direct puts, and roll up per connection. The order-preservation
+    guarantee IS the oracle: chain_md5 concatenates each response
+    digest in the EXECUTED per-connection response order (resp_order,
+    stamped inside the mapInPandas worker), while the DuckDB twin
+    concatenates in SEND order (seq) — the hashes agree only if every
+    connection matched responses to requests in order, exactly the
+    property WebSocket's message ordering provides the reference
+    (websocket_comm.go:351-359). Direct-put acks ride the chain as
+    'ACK' sentinels (TextMessage ack / ErrSkip,
+    websocket_comm.go:418-421); abort-drain and the long-lived
+    streaming form are covered by tests/test_ws_etl_channel.py."""
+    from aistore_spark.streaming.etl_channel import ws_etl_session
+
+    tasks = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("seq"),
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("dst/")).otherwise(
+                F.lit("obj/")
+            ),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.col("text").cast("binary").alias("data"),
+    )
+    resp = ws_etl_session(
+        tasks, ["md5"], multiplier=4, direct_put_prefix="dst/"
+    )
+    digest = F.when(F.col("acked"), F.lit("ACK")).otherwise(F.md5("out"))
+    return resp.groupBy("conn_id").agg(
+        F.count("*").alias("n_tasks"),
+        F.sum(F.col("acked").cast("bigint")).alias("n_acked"),
+        F.sum("written").alias("bytes_written"),
+        F.min("ctrl").alias("ctrl"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("resp_order").alias("o"),
+                                digest.alias("d"),
+                            )
+                        )
+                    ),
+                    lambda s: s["d"],
+                ),
+                ",",
+            )
+        ).alias("chain_md5"),
+    )
+
+
+@register(
     "mm10_jpeg_decode",
     """
     WITH ids AS (

@@ -197,10 +197,11 @@ def t_tar2tf(data: bytes, path: str, args: str) -> bytes:
 
 
 def _stub(template: str, needs: str) -> TransformFn:
-    """KERAS/TORCHVISION/FFMPEG/FACE_DETECTION need image/audio libs
-    not present in this environment — STUBBED: the UDF plumbing
-    (batching, 3-arg contract, pipeline composition) is identical to
-    the real thing; only the codec call raises."""
+    """FACE_DETECTION needs a trained detector model not present in
+    this environment — STUBBED: the UDF plumbing (batching, 3-arg
+    contract, pipeline composition) is identical to the real thing;
+    only the model call raises. (torchvision/ffmpeg/keras each have
+    real in-repo codec-backed implementations above.)"""
 
     def fn(data: bytes, path: str, args: str) -> bytes:
         raise NotImplementedError(
@@ -233,6 +234,91 @@ def t_torchvision(data: bytes, path: str, args: str) -> bytes:
     return encode_jpeg([p[np.ix_(ys, xs)] for p in planes], quality=90)
 
 
+def keras_apply_planes(
+    planes,
+    theta: int = 0,
+    tx: int = 0,
+    ty: int = 0,
+    flip_h: bool = False,
+    flip_v: bool = False,
+    bright: tuple[int, int] = (1, 1),
+):
+    """keras ``ImageDataGenerator.apply_transform`` analogue on
+    decoded planes, integer-exact: rotate (right angles only — the
+    arbitrary-theta path needs interpolation, which has no
+    cross-engine-exact contract) → shift (zero fill, the keras
+    ``fill_mode='constant', cval=0`` shape) → flips → brightness as a
+    num/den rational with truncating division and [0, 255] clamp.
+    Fixed application order, documented so pipelines compose
+    deterministically."""
+    import numpy as np
+
+    if theta % 90:
+        raise ValueError("theta must be a multiple of 90")
+    num, den = bright
+    if den <= 0 or num < 0:
+        raise ValueError("brightness must be a non-negative rational")
+    out = []
+    for p in planes:
+        q = np.rot90(p, (theta // 90) % 4)
+        if tx or ty:
+            h, w = q.shape
+            r = np.zeros_like(q)
+            dy0, dy1 = max(ty, 0), h - max(-ty, 0)
+            dx0, dx1 = max(tx, 0), w - max(-tx, 0)
+            if dy1 > dy0 and dx1 > dx0:
+                r[dy0:dy1, dx0:dx1] = q[
+                    max(-ty, 0) : h - max(ty, 0),
+                    max(-tx, 0) : w - max(tx, 0),
+                ]
+            q = r
+        if flip_h:
+            q = q[:, ::-1]
+        if flip_v:
+            q = q[::-1, :]
+        if (num, den) != (1, 1):
+            q = np.clip(
+                (q.astype(np.int64) * num) // den, 0, 255
+            ).astype(p.dtype)
+        out.append(np.ascontiguousarray(q))
+    return out
+
+
+def t_keras(data: bytes, path: str, args: str) -> bytes:
+    """REAL keras_transform analogue, no stub and no keras/PIL: decode
+    the baseline JPEG with the in-repo codec, apply the
+    ``apply_transform``-style augmentation parsed from *args*
+    (``theta=90,tx=8,ty=-8,flip_horizontal=1,flip_vertical=1,
+    brightness=5/4`` — any subset), re-encode baseline JFIF at
+    quality 90. The reference's ``keras_transform`` ETL template is
+    exactly this decode→augment→re-encode loop
+    (python/aistore/sdk/etl/etl_templates.py)."""
+    from aistore_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    kv: dict[str, str] = {}
+    for part in (args or "").split(","):
+        if part.strip():
+            k, _, v = part.partition("=")
+            kv[k.strip()] = v.strip()
+    bright = (1, 1)
+    if "brightness" in kv:
+        n_s, _, d_s = kv["brightness"].partition("/")
+        bright = (int(n_s), int(d_s or "1"))
+    _, planes = decode_jpeg(data)
+    return encode_jpeg(
+        keras_apply_planes(
+            planes,
+            theta=int(kv.get("theta", "0")),
+            tx=int(kv.get("tx", "0")),
+            ty=int(kv.get("ty", "0")),
+            flip_h=kv.get("flip_horizontal", "0") == "1",
+            flip_v=kv.get("flip_vertical", "0") == "1",
+            bright=bright,
+        ),
+        quality=90,
+    )
+
+
 def t_ffmpeg_audio(data: bytes, path: str, args: str) -> bytes:
     """REAL ``ffmpeg -ar`` analogue, no stub: rational integer-exact
     WAV resample to the target rate in *args* (default 16000) — see
@@ -255,7 +341,7 @@ CANNED: dict[str, TransformFn] = {
     "prepend": t_prepend,
     "path_info": t_path_info,
     "tar2tf": t_tar2tf,
-    "keras_transform": _stub("keras_transform", "keras/PIL"),
+    "keras_transform": t_keras,
     "torchvision_transform": t_torchvision,
     "ffmpeg_audio": t_ffmpeg_audio,
     "face_detection": _stub("face_detection", "opencv"),

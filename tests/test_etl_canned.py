@@ -66,10 +66,10 @@ def test_tar2tf_roundtrip():
 
 
 def test_lib_gated_stubs_raise():
-    # torchvision_transform / ffmpeg_audio became REAL code paths in
-    # round 6 (in-repo JPEG + WAV-resample codecs); only the heavy-ML
-    # hooks stay gated
-    for name in ("keras_transform", "face_detection"):
+    # torchvision_transform / ffmpeg_audio / keras_transform became
+    # REAL code paths in round 6 (in-repo JPEG + WAV-resample codecs);
+    # only the heavy-ML face hook stays gated
+    for name in ("face_detection",):
         with pytest.raises(NotImplementedError):
             CANNED[name](b"x", "p", "")
 
@@ -95,6 +95,70 @@ def test_torchvision_canned_is_real_jpeg_resize():
         assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
     with pytest.raises(ValueError, match="multiples of 8"):
         CANNED["torchvision_transform"](src, "p", "10x6")
+
+
+def test_keras_apply_planes_exact():
+    """The augmentation kernel is integer-exact numpy: right-angle
+    rotations compose to identity, flips are involutions, shifts
+    zero-fill with the keras constant mode, brightness truncates and
+    clamps."""
+    import numpy as np
+
+    from aistore_spark.operators.etl import keras_apply_planes
+
+    rng = np.random.default_rng(7)
+    p = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    r = p
+    for _ in range(4):
+        r = keras_apply_planes([r], theta=90)[0]
+    assert np.array_equal(r, p)
+    assert np.array_equal(
+        keras_apply_planes(
+            keras_apply_planes([p], flip_h=True), flip_h=True
+        )[0],
+        p,
+    )
+    s = keras_apply_planes([p], tx=3, ty=-2)[0]
+    assert np.array_equal(s[: 16 - 2, 3:], p[2:, : 24 - 3])
+    assert (s[16 - 2 :, :] == 0).all() and (s[:, :3] == 0).all()
+    b = keras_apply_planes([p], bright=(5, 4))[0]
+    assert np.array_equal(
+        b, np.clip((p.astype(np.int64) * 5) // 4, 0, 255).astype(np.uint8)
+    )
+    with pytest.raises(ValueError, match="multiple of 90"):
+        keras_apply_planes([p], theta=45)
+    with pytest.raises(ValueError, match="rational"):
+        keras_apply_planes([p], bright=(1, 0))
+
+
+def test_keras_canned_is_real_decode_augment_encode():
+    """The canned keras_transform must BE decode → keras_apply_planes
+    → encode at quality 90 (byte-identical to composing those calls),
+    and theta=90 must swap the container dims through the full
+    re-encode round trip."""
+    from aistore_spark.functions.jpegcodec import decode_jpeg, synth_jpeg
+    from aistore_spark.operators.etl import keras_apply_planes
+
+    src = synth_jpeg(24)
+    args = "theta=180,flip_horizontal=1,brightness=5/4"
+    out = CANNED["keras_transform"](src, "a/b.jpg", args)
+    from aistore_spark.functions.jpegcodec import encode_jpeg
+
+    _, src_planes = decode_jpeg(src)
+    want = encode_jpeg(
+        keras_apply_planes(
+            src_planes, theta=180, flip_h=True, bright=(5, 4)
+        ),
+        quality=90,
+    )
+    assert out == want
+    src_info, _ = decode_jpeg(src)
+    rot = CANNED["keras_transform"](src, "a/b.jpg", "theta=90")
+    info, _ = decode_jpeg(rot)
+    assert (info["width"], info["height"]) == (
+        src_info["height"],
+        src_info["width"],
+    )
 
 
 def test_ffmpeg_audio_canned_resamples_container():
