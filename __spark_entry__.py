@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # this round — their plumbing contracts live in
 # tests/test_stub_plumbing.py — so no slot validates a stub.)
 DRIVER_CHECK_PRIORITY = [
-    # (a) never checked in r4/r5 — new + residue, 32 names
+    # (a) never checked in r4/r5 — new + residue, 33 names
     "mm10_jpeg_decode",
     "tx5b_bpe_learned",
     "tx5c_bpe_doc_tokens",
@@ -73,10 +73,11 @@ DRIVER_CHECK_PRIORITY = [
     "t9_media_transcode",
     "t11_keras_augment",
     "t12_ws_etl_channel",
+    "t13_face_detect",
     "tx10_heavy_phrases",
     "tx8_bigram_familiarity",
     "tx9_pii_redact",
-    # (b) high-risk re-checks, 18 names (verdict-r5 shortlist first)
+    # (b) high-risk re-checks, 17 names (verdict-r5 shortlist first)
     "dd2_ngram_jaccard",
     "g3_output_formats",
     "dd7_dup_groups",
@@ -85,7 +86,6 @@ DRIVER_CHECK_PRIORITY = [
     "g1_mixed_batches",
     "p1_pack_archive",
     "tok1_pack_sequences",
-    "dd1_exact_dedup",
     "dd3_lsh_candidates",
     "dd4_simhash",
     "dd5_embedding_neardup",

@@ -2544,6 +2544,85 @@ def t12_ws_etl_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t13_face_detect",
+    """
+    WITH ids AS (
+      SELECT doc_id,
+             32 + 8 * (doc_id % 3) AS w,
+             32 AS h,
+             (doc_id % 4 <> 1) AS has,
+             8 * (doc_id % (3 + doc_id % 3)) AS fx,
+             8 * (doc_id % 3) AS fy
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN has THEN 1 ELSE 0 END AS BIGINT) AS n_faces,
+           CAST(CASE WHEN has THEN fx ELSE -1 END AS BIGINT) AS face_x,
+           CAST(CASE WHEN has THEN fy ELSE -1 END AS BIGINT) AS face_y,
+           CAST((200 * w * h - CASE WHEN has THEN 6060 ELSE 0 END) // (w * h)
+                AS BIGINT) AS mean_gray
+    FROM ids
+    """,
+)
+def t13_face_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL face-detection ETL, no stub (closes the LAST canned stub —
+    the reference ships it as an OpenCV Haar-cascade transformer pod,
+    etl_templates.py:341-375): synthesize gray BMPs where 3 of 4 ids
+    carry a 16x16 face pattern at an id-derived position, run the
+    Viola-Jones-core detector (ONE integral image; Haar rectangular
+    contrasts in O(1) per window; cascade rejection) through the
+    canned face_detection transform which draws white box outlines and
+    re-encodes, then RE-DETECT on the transformed container and report
+    box position + channel mean. The oracle recomputes every output in
+    closed form: box coords from the synthesis formula, and the
+    post-draw mean as 200·w·h − 10560 (face pattern vs background) +
+    4500 (60 outline px of skin 180 → 255), exact under integer
+    division — a drift in detect, draw, either codec direction, or a
+    spurious/lost detection window breaks the hash."""
+    from aistore_spark.functions import facedetect
+
+    ids = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    ).select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_faces", "face_x", "face_y",
+                "mean_gray",
+            )}
+            for i in pdf["doc_id"]:
+                boxed = etl.CANNED["face_detection"](
+                    facedetect.synth_face_bmp(int(i)), f"img/{i}.bmp", ""
+                )
+                gray = facedetect.decode_bmp_gray(boxed)
+                hits = facedetect.detect_faces(gray)
+                rows["doc_id"].append(int(i))
+                rows["height"].append(gray.shape[0])
+                rows["width"].append(gray.shape[1])
+                rows["n_faces"].append(len(hits))
+                rows["face_x"].append(hits[0][0] if hits else -1)
+                rows["face_y"].append(hits[0][1] if hits else -1)
+                rows["mean_gray"].append(
+                    int(gray.astype(np.int64).sum()) // gray.size
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id bigint, width bigint, height bigint, n_faces bigint, "
+            "face_x bigint, face_y bigint, mean_gray bigint"
+        ),
+    )
+
+
+@register(
     "mm10_jpeg_decode",
     """
     WITH ids AS (

@@ -196,23 +196,6 @@ def t_tar2tf(data: bytes, path: str, args: str) -> bytes:
     return out.getvalue()
 
 
-def _stub(template: str, needs: str) -> TransformFn:
-    """FACE_DETECTION needs a trained detector model not present in
-    this environment — STUBBED: the UDF plumbing (batching, 3-arg
-    contract, pipeline composition) is identical to the real thing;
-    only the model call raises. (torchvision/ffmpeg/keras each have
-    real in-repo codec-backed implementations above.)"""
-
-    def fn(data: bytes, path: str, args: str) -> bytes:
-        raise NotImplementedError(
-            f"canned transform {template!r} requires {needs} "
-            "(not available in this environment); plug a real decoder "
-            "into CANNED[...] — the Spark-side plumbing is unchanged"
-        )
-
-    return fn
-
-
 def t_torchvision(data: bytes, path: str, args: str) -> bytes:
     """REAL torchvision-Resize analogue, no stub and no torch: decode
     the baseline JPEG with the in-repo codec
@@ -328,6 +311,19 @@ def t_ffmpeg_audio(data: bytes, path: str, args: str) -> bytes:
     return resample_wav_bytes(data, int(args or "16000"))
 
 
+def t_face_detection(data: bytes, path: str, args: str) -> bytes:
+    """REAL face-detection transform, no stub: Viola-Jones-core
+    sliding-window Haar cascade over the in-repo BMP codec, detections
+    drawn as box outlines — the reference transformer's image-in →
+    boxed-image-out contract (etl_templates.py:341-375). The feature
+    table is hand-specified (tuned to the synthetic face prior) rather
+    than learned; a trained cascade swaps the table, not the
+    machinery — see functions/facedetect.py."""
+    from aistore_spark.functions.facedetect import t_face
+
+    return t_face(data, path, args)
+
+
 CANNED: dict[str, TransformFn] = {
     "echo": t_echo,
     "hello_world": t_hello_world,
@@ -344,7 +340,7 @@ CANNED: dict[str, TransformFn] = {
     "keras_transform": t_keras,
     "torchvision_transform": t_torchvision,
     "ffmpeg_audio": t_ffmpeg_audio,
-    "face_detection": _stub("face_detection", "opencv"),
+    "face_detection": t_face_detection,
 }
 
 

@@ -65,13 +65,34 @@ def test_tar2tf_roundtrip():
     assert parse_tfrecords(tfstream) == payloads
 
 
-def test_lib_gated_stubs_raise():
-    # torchvision_transform / ffmpeg_audio / keras_transform became
-    # REAL code paths in round 6 (in-repo JPEG + WAV-resample codecs);
-    # only the heavy-ML face hook stays gated
-    for name in ("face_detection",):
-        with pytest.raises(NotImplementedError):
-            CANNED[name](b"x", "p", "")
+def test_face_detection_canned_boxes_faces():
+    """Round 6 closed the last canned stub: face_detection is the
+    Viola-Jones-core detector (integral image + Haar contrasts +
+    cascade rejection) over the in-repo BMP codec. A synthetic face
+    must come back boxed at its exact synthesis position; a faceless
+    image must round-trip unboxed; truncated input must raise."""
+    import numpy as np
+
+    from aistore_spark.functions.facedetect import (
+        decode_bmp_gray,
+        detect_faces,
+        synth_face_bmp,
+    )
+
+    face_id, blank_id = 24, 25  # 24 % 4 == 0 has a face, 25 % 4 == 1 not
+    boxed = CANNED["face_detection"](synth_face_bmp(face_id), "p", "")
+    gray = decode_bmp_gray(boxed)
+    w = 32 + 8 * (face_id % 3)
+    fx = 8 * (face_id % ((w - 16) // 8 + 1))
+    fy = 8 * (face_id % 3)
+    assert (gray[fy, fx : fx + 16] == 255).all()
+    assert (gray[fy + 15, fx : fx + 16] == 255).all()
+    assert detect_faces(decode_bmp_gray(synth_face_bmp(face_id))) == [(fx, fy)]
+    blank = synth_face_bmp(blank_id)
+    assert CANNED["face_detection"](blank, "p", "") == blank
+    assert detect_faces(np.full((32, 48), 200, dtype=np.uint8)) == []
+    with pytest.raises(ValueError, match="not a BMP"):
+        CANNED["face_detection"](b"nope", "p", "")
 
 
 def test_torchvision_canned_is_real_jpeg_resize():
