@@ -263,7 +263,14 @@ def encode_jpeg(
     planes: list[np.ndarray], quality: int = 75, restart_interval: int = 0
 ) -> bytes:
     """Encode 1 (grayscale) or 3 (YCbCr 4:4:4) uint8 planes of equal
-    shape (h, w), h and w multiples of 8, into a baseline JFIF blob."""
+    shape (h, w), h and w multiples of 8, into a baseline JFIF blob.
+
+    Bound: the shipped Annex-K-style AC Huffman table carries
+    categories 1-10 only. At quality 99-100 the quant entries clamp to
+    1, and extreme high-contrast content (e.g. a full-amplitude
+    checkerboard) can produce |AC| >= 1024 (category 11), which raises
+    ValueError rather than emitting an undecodable symbol. Quality
+    <= 98, or any natural-image content, never hits it."""
     n_comp = len(planes)
     if n_comp not in (1, 3):
         raise ValueError("1 or 3 planes")
@@ -353,6 +360,9 @@ def decode_jpeg(data: bytes) -> tuple[dict, list[np.ndarray]]:
         _need(data, pos, 2)
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        while data[pos + 1] == 0xFF:  # T.81 B.1.1.2 fill bytes
+            pos += 1
+            _need(data, pos, 2)
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
@@ -548,6 +558,9 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
         _need(data, pos, 4)
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        while data[pos + 1] == 0xFF:  # T.81 B.1.1.2 fill bytes
+            pos += 1
+            _need(data, pos, 4)
         marker = data[pos + 1]
         if marker == 0xC0:
             _need(data, pos, 9)

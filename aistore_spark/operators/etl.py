@@ -279,10 +279,16 @@ def t_keras(data: bytes, path: str, args: str) -> bytes:
     from aistore_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
 
     kv: dict[str, str] = {}
+    known = {"theta", "tx", "ty", "flip_horizontal", "flip_vertical", "brightness"}
     for part in (args or "").split(","):
         if part.strip():
             k, _, v = part.partition("=")
-            kv[k.strip()] = v.strip()
+            k = k.strip()
+            if k not in known:
+                # a typo ('rotation=90') must not silently no-op the
+                # whole augmentation
+                raise ValueError(f"keras_transform: unknown arg {k!r} (known: {sorted(known)})")
+            kv[k] = v.strip()
     bright = (1, 1)
     if "brightness" in kv:
         n_s, _, d_s = kv["brightness"].partition("/")

@@ -654,6 +654,62 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_refine_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    dim: int = 64,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with an exact-rerank refine stage — the QUALITY tier of
+    the production ANN read path (FAISS ``IndexRefineFlat`` shape):
+    the compressed index shortlists ``shortlist`` candidates per query
+    by ADC, then ONLY those candidates' raw vectors are re-read and
+    ranked by exact integer MIPS. PQ's ranking error (the recall
+    ceiling of :func:`ivfpq_topk` at economy settings) is repaired by
+    the refine, so recall ≈ IVF recall at the same nprobe.
+
+    Scale shape: the ADC stage is :func:`ivfpq_topk` unchanged (corpus
+    bytes move zero times); the refine joins the queries×shortlist
+    frame (tiny, broadcast) against the corpus raw vectors — the
+    corpus is scanned once more but never shuffled, and only
+    shortlisted rows survive the join to be scored.
+    """
+    adc = ivfpq_topk(
+        corpus, centroids, codebook, queries,
+        k=shortlist, nprobe=nprobe, m=m, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv")
+    )
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("nv")
+    )
+    scored = (
+        v.join(F.broadcast(adc.join(F.broadcast(q), "query_id")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            int_dot(F.col("qv"), F.col("nv")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dot")
+    )
+
+
 def semantic_cell_pairs(
     corpus: DataFrame,
     centroids: DataFrame,

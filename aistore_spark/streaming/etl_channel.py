@@ -146,8 +146,11 @@ def ws_etl_stream(
 ):
     """The long-lived communicator: a file-source stream of task
     batches, each micro-batch run through :func:`ws_etl_session` via
-    ``foreachBatch`` (exactly-once per batch, single source of truth
-    in the batch operator — the repo's established streaming shape).
+    ``foreachBatch`` (single source of truth in the batch operator —
+    the repo's established streaming shape). Delivery is AT-LEAST-ONCE:
+    a failure after the append but before the checkpoint commit replays
+    the batch, so a consumer of ``out_table`` must dedupe on
+    ``(conn_id, seq)`` (or read a downstream view that does).
     ``Trigger.AvailableNow`` gives the session's run-to-drain finish.
     Returns the started StreamingQuery."""
     stream = spark.readStream.schema(schema).parquet(tasks_dir)

@@ -87,6 +87,37 @@ def test_double_replace_is_exact_on_adjacent_runs(spark):
         assert got == form.replace(pat, rep).replace(pat, rep) == want
 
 
+def test_local_learning_matches_distributed(spark, sf_dir):
+    """The production path (bpe_learn_local: one collect of the
+    vocabulary-sized word-frequency table, merges driver-side) must be
+    bit-identical to the distributed K-iteration loop — merges AND
+    final vocabulary forms — at K=8, and must agree with the Python
+    reference at K=64 (where the distributed form would cost 64 driver
+    round-trips)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dist_forms, dist_merges = text.bpe_learn(docs, 8)
+    loc_forms, loc_merges = text.bpe_learn_local(docs, 8)
+    assert loc_merges == dist_merges
+    assert {r.word: (r.freq, r.form) for r in loc_forms.collect()} == {
+        r.word: (r.freq, r.form) for r in dist_forms.collect()
+    }
+
+    texts = [r.text for r in docs.select("text").collect()]
+    exp_merges, exp_forms, _ = _py_bpe(texts, 64)
+    loc_forms64, loc_merges64 = text.bpe_learn_local(docs, 64)
+    assert loc_merges64 == exp_merges
+    assert {r.word: r.form for r in loc_forms64.collect()} == exp_forms
+
+
+def test_local_top_v_truncates_vocabulary(spark, sf_dir):
+    """top_v bounds the driver transfer: learning runs on the top-V
+    words by (freq DESC, word) only."""
+    docs = load_table(spark, sf_dir, "documents")
+    forms, merges = text.bpe_learn_local(docs, 4, top_v=10)
+    assert forms.count() == 10
+    assert len(merges) == 4
+
+
 def test_merge_table_shape_and_monotone_freq(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     rows = text.bpe_merge_table(docs, 6).orderBy("merge_idx").collect()

@@ -172,3 +172,67 @@ def test_missing_shards_policies(spark, sf_dir):
     assert miss.count() == 72  # 128..199
     good = "shard-{00000..00127}.tar"
     assert check_missing_shards(members, good, reaction="abort").count() == 0
+
+
+def test_estimate_pack_ratio_hits_output_shard_size(spark, sf_dir):
+    """SURVEY §4's last custom step (ext/dsort/dsort.go:113-123): the
+    sample-based compression-ratio feedback must make on-disk
+    compressed shards land near OutputShardSize. Trial-pack estimate →
+    pack → build EVERY shard's real tgz → every non-final shard's
+    on-disk size within ±25% of the target (the final shard is the
+    partial remainder)."""
+    import pandas as pd
+
+    from aistore_spark.operators import archive
+
+    members = _members(spark, sf_dir)
+    shard_size = 1 << 14
+    ratio = dsort.estimate_pack_ratio(
+        members, ["member", "size"], "size", shard_size, fmt="tgz", n_sample=2
+    )
+    assert ratio > 1.0  # synthetic catalog sizes >> compressed bytes
+
+    packed = dsort.pack_shards(
+        members, ["member", "size"], "size", shard_size,
+        compression_ratio=ratio,
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["member", "size"], kind="mergesort")
+        payloads = [
+            archive.synth_payload(m, k)
+            for m, k in zip(pdf["member"], pdf["key_str"])
+        ]
+        blob = archive.build_tgz(list(pdf["member"]), payloads)
+        return pd.DataFrame(
+            {"shard_id": [pdf["shard_id"].iloc[0]], "disk": [len(blob)]}
+        )
+
+    rows = (
+        packed.groupBy("shard_id")
+        .applyInPandas(build, schema="shard_id bigint, disk bigint")
+        .orderBy("shard_id")
+        .collect()
+    )
+    assert len(rows) >= 3  # enough shards for the property to bite
+    for r in rows[:-1]:
+        assert 0.75 <= r["disk"] / shard_size <= 1.25, (
+            f"shard {r['shard_id']} on-disk {r['disk']} vs target {shard_size}"
+        )
+
+
+def test_estimate_pack_ratio_converges(spark, sf_dir):
+    """The fixpoint iteration must converge: one extra refinement
+    round beyond the default budget moves the estimate < 10% (tar —
+    the format whose per-member block overhead drifts hardest with
+    composition)."""
+    members = _members(spark, sf_dir)
+    r8 = dsort.estimate_pack_ratio(
+        members, ["member", "size"], "size", 1 << 14, fmt="tar", n_sample=2
+    )
+    r9 = dsort.estimate_pack_ratio(
+        members, ["member", "size"], "size", 1 << 14, fmt="tar",
+        n_sample=2, n_rounds=9,
+    )
+    assert r8 > 0 and r9 > 0
+    assert abs(r9 - r8) / r8 < 0.10

@@ -152,6 +152,21 @@ def test_keras_apply_planes_exact():
         keras_apply_planes([p], bright=(1, 0))
 
 
+def test_keras_unknown_arg_raises():
+    """A typo like 'rotation=90' must raise, not silently no-op the
+    augmentation (ADVICE r6)."""
+    from aistore_spark.functions.jpegcodec import synth_jpeg
+    from aistore_spark.operators.etl import t_keras
+
+    src = synth_jpeg(3)
+    with pytest.raises(ValueError, match="unknown arg 'rotation'"):
+        t_keras(src, "p", "rotation=90")
+    with pytest.raises(ValueError, match="unknown arg 'flip_h'"):
+        t_keras(src, "p", "theta=90,flip_h=1")
+    # the known-keys path is unaffected
+    assert isinstance(t_keras(src, "p", "theta=90,flip_horizontal=1"), bytes)
+
+
 def test_keras_canned_is_real_decode_augment_encode():
     """The canned keras_transform must BE decode → keras_apply_planes
     → encode at quality 90 (byte-identical to composing those calls),

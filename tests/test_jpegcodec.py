@@ -135,6 +135,20 @@ def test_truncation_raises_value_error_at_every_prefix():
             jc.decode_jpeg(full[:cut])
 
 
+def test_fill_bytes_between_markers_are_skipped():
+    """T.81 B.1.1.2 permits any number of 0xFF fill bytes before a
+    marker; a spec-legal padded file must parse identically."""
+    full = jc.synth_jpeg(7)
+    _, want = jc.decode_jpeg(full)
+    # pad before APP0 (right after SOI) and before the SOF0 marker
+    sof = full.find(b"\xff\xc0")
+    padded = full[:2] + b"\xff" * 3 + full[2:sof] + b"\xff" * 2 + full[sof:]
+    info, got = jc.decode_jpeg(padded)
+    assert all((a == b).all() for a, b in zip(want, got))
+    w, h, nc = jc.jpeg_dims(padded)
+    assert (w, h, nc) == (info["width"], info["height"], info["n_components"])
+
+
 def test_out_of_profile_rejection():
     with pytest.raises(ValueError, match="SOI"):
         jc.decode_jpeg(b"\x89PNG")

@@ -9,13 +9,24 @@ import pytest
 from aistore_spark.benchqueries import ORACLES, QUERIES
 
 
+def _scalar(v):
+    # The driver canonicalizer requires hashable scalar cells; a
+    # LIST/ndarray (e.g. DuckDB map['k'] without [1]) crashes it
+    # (the r6 s2c incident). Fail loudly here so local-green implies
+    # driver-green.
+    if isinstance(v, (list, tuple, dict, set, bytearray)) or (
+        type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0
+    ):
+        raise TypeError(f"non-scalar cell {type(v).__name__}: {v!r}")
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    return v
+
+
 def canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
     rows = [
-        tuple(
-            None if v is None or (isinstance(v, float) and pd.isna(v)) else v
-            for v in tup
-        )
+        tuple(_scalar(v) for v in tup)
         for tup in df.itertuples(index=False, name=None)
     ]
     rows.sort(key=repr)

@@ -49,6 +49,21 @@ def recall_table(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         "ivf-pq (nprobe=2, m=4)": simsearch.ivfpq_topk(
             emb, centroids, centroids, queries, k=k, nprobe=2, m=4, dim=64
         ),
+        # quality tier (ann5b/ann9b, verdict-r6 item 3)
+        "ivf quality (nprobe=12)": simsearch.ivf_topk(
+            emb, centroids, queries, k=k, nprobe=12
+        ),
+        "ivf-pq refined (nprobe=12, m=8, cb=64, sl=100)": simsearch.ivfpq_refine_topk(
+            emb,
+            centroids,
+            emb.filter(F.col("vec_id") < 64),
+            queries,
+            k=k,
+            nprobe=12,
+            m=8,
+            dim=64,
+            shortlist=100,
+        ),
     }
     out = {}
     for name, df in approx.items():

@@ -30,18 +30,25 @@ from aistore_spark.sources.tables import TABLES
 from aistore_spark.util import release_cached
 
 
+def _scalar(v):
+    # The driver's canonicalizer (sort_values -> Categorical) requires
+    # hashable scalars; a LIST/ndarray cell (e.g. DuckDB map extraction
+    # without [1]) crashes it. Raise here so local-green implies
+    # driver-green — the r6 s2c incident.
+    if isinstance(v, (list, tuple, dict, set, bytearray)) or type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0:
+        raise TypeError(f"non-scalar cell {type(v).__name__}: {v!r}")
+    if v is None or (isinstance(v, float) and pd.isna(v)):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    return v
+
+
 def canon(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)]
     rows = []
     for tup in df.itertuples(index=False, name=None):
-        rows.append(
-            tuple(
-                None
-                if v is None or (isinstance(v, float) and pd.isna(v))
-                else (pd.Timestamp(v).to_pydatetime() if isinstance(v, pd.Timestamp) else v)
-                for v in tup
-            )
-        )
+        rows.append(tuple(_scalar(v) for v in tup))
     rows.sort(key=repr)
     return rows
 
@@ -131,7 +138,13 @@ def main() -> int:
             print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
             failed.append(name)
             continue
-        a, b = canon(sdf), canon(odf)
+        try:
+            a, b = canon(sdf), canon(odf)
+        except TypeError as exc:
+            print(f"FAIL  {name}: non-scalar cell would crash the driver canonicalizer: {exc}")
+            rec["err"] = f"non-scalar: {exc}"[:300]
+            failed.append(name)
+            continue
         if a != b:
             bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
             print(f"FAIL  {name}: values differ at sorted-row {bad}:")
