@@ -1612,16 +1612,12 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only — work is O(candidates × shingles/doc), never
     the corpus-wide shingle self-join (that all-pairs form,
     dedup.ngram_jaccard_pairs, stays as the test-only oracle of the
-    verifier; see tests/test_dedup_ann_props.py)."""
-    from aistore_spark.util import pin
-
+    verifier; see tests/test_dedup_ann_props.py). A pipeline wanting
+    pairs AND groups builds dedup.dup_pipeline instead — the shared
+    verified-pairs frame executes once."""
     docs = load_table(spark, sf_dir, "documents")
-    # one pinned shingle frame feeds BOTH the LSH stage and the verify
-    # stage — the split+explode+distinct chain runs once
-    sh = pin(dedup.shingles(docs, n=3))
-    cands = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
-    return dedup.jaccard_verify(
-        docs, cands, n=3, threshold_num=1, threshold_den=20, shingles_df=sh
+    return dedup.verified_pairs(
+        docs, bands=8, n=3, threshold_num=1, threshold_den=20
     )
 
 
@@ -4903,9 +4899,9 @@ def m8b_ec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dd7_dup_groups",
-    f"""
+# CTE chain shared by dd7 (groups) and pipe3 (groups + pair stats):
+# composed LSH candidates -> exact Jaccard verify -> recursive closure
+_DUP_GROUPS_CTES = f"""
     WITH RECURSIVE wp AS ({_WP_SQL}),
     sh AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -4946,6 +4942,13 @@ def m8b_ec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
     ),
     comp AS (SELECT src AS doc_id, min(dst) AS group_id FROM reach GROUP BY src)
+"""
+
+
+@register(
+    "dd7_dup_groups",
+    _DUP_GROUPS_CTES
+    + """
     SELECT group_id,
            count(*) AS n_docs,
            md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), ','
@@ -4967,13 +4970,9 @@ def dd7_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     tracks the actual near-dup mass. Recall is the LSH recall
     (1-(1-J)^8 per pair), mirrored exactly by the oracle's identical
     candidate CTE."""
-    from aistore_spark.util import pin
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = pin(dedup.shingles(docs, n=3))
-    cands = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
-    pairs = dedup.jaccard_verify(
-        docs, cands, n=3, threshold_num=1, threshold_den=20, shingles_df=sh
+    pairs = dedup.verified_pairs(
+        docs, bands=8, n=3, threshold_num=1, threshold_den=20
     )
     groups = dedup.dup_groups(pairs)
     return groups.groupBy("group_id").agg(
@@ -4987,6 +4986,59 @@ def dd7_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("docs_md5"),
     )
+
+
+@register(
+    "pipe3_dedup_report",
+    _DUP_GROUPS_CTES
+    + """
+    , gagg AS (
+      SELECT group_id,
+             count(*) AS n_docs,
+             md5(string_agg(lpad(CAST(doc_id AS VARCHAR), 8, '0'), ','
+                            ORDER BY doc_id)) AS docs_md5
+      FROM comp GROUP BY group_id
+    ),
+    gpairs AS (
+      SELECT c.group_id, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+      GROUP BY 1
+    )
+    SELECT g.group_id, g.n_docs, g.docs_md5, gp.n_pairs
+    FROM gagg g JOIN gpairs gp USING (group_id)
+    """,
+)
+def pipe3_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline context for "pairs AND groups" (verdict-r6 item 6):
+    dedup.dup_pipeline materializes the verified-pairs frame ONCE
+    (pinned) and both consumers — the connected-components grouping
+    and the per-group pair stats — read it, instead of re-running the
+    LSH+verify stage (the most expensive sf1 dedup stage) per
+    consumer. Single-execution is pinned by executed metrics (source-
+    scan accumulator) in tests/test_curation_extras.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs, groups = dedup.dup_pipeline(
+        docs, bands=8, n=3, threshold_num=1, threshold_den=20
+    )
+    gstats = groups.groupBy("group_id").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.lpad(F.col("doc_id").cast("string"), 8, "0"))
+                ),
+                ",",
+            )
+        ).alias("docs_md5"),
+    )
+    gpairs = (
+        pairs.join(
+            groups.select(F.col("doc_id").alias("doc_a"), "group_id"), "doc_a"
+        )
+        .groupBy("group_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    return gstats.join(gpairs, "group_id")
 
 
 @register(

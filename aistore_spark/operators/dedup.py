@@ -291,6 +291,69 @@ def lsh_candidate_pairs(
     )
 
 
+def verified_pairs(
+    documents: DataFrame,
+    bands: int = 8,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The composed scale dedup pipeline — MinHash-LSH candidate
+    generation → exact n-gram Jaccard verify — as ONE reusable frame.
+    This is the shared edge/pair source for both the pair report (dd2)
+    and connected-components grouping (dd7): a curation pipeline that
+    wants both should build THIS once (see :func:`dup_pipeline`)
+    rather than compose the two stages twice.
+
+    One pinned shingle frame feeds the LSH stage and the verify stage,
+    so the split+explode+distinct chain executes once.
+    """
+    sh = pin(shingles(documents, n=n))
+    cands = lsh_candidate_pairs(
+        documents, bands=bands, n=n, max_bucket=max_bucket, shingles_df=sh
+    )
+    return jaccard_verify(
+        documents,
+        cands,
+        n=n,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        shingles_df=sh,
+    )
+
+
+def dup_pipeline(
+    documents: DataFrame,
+    bands: int = 8,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 20,
+    max_bucket: int | None = None,
+    max_iter: int = 25,
+) -> tuple[DataFrame, DataFrame]:
+    """Pipeline context for "pairs AND groups" consumers: returns
+    ``(pairs, groups)`` where *pairs* is the PINNED
+    :func:`verified_pairs` frame and *groups* is
+    :func:`dup_groups` over that same materialized frame — the
+    LSH+verify stage (the most expensive dedup stage at scale)
+    executes exactly once, verified by executed-metrics test
+    (tests/test_curation_extras.py). Call
+    ``aistore_spark.util.release_cached()`` when done."""
+    pairs = pin(
+        verified_pairs(
+            documents,
+            bands=bands,
+            n=n,
+            threshold_num=threshold_num,
+            threshold_den=threshold_den,
+            max_bucket=max_bucket,
+        )
+    )
+    groups = dup_groups(pairs, max_iter=max_iter)
+    return pairs, groups
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash fingerprint: for nibble position j of md5(word), each
     word occurrence votes +1 if the hex digit >= 8 else -1; bit j is 1

@@ -451,3 +451,54 @@ def _walk_gif(data):
             return list(fn(iter([pd.DataFrame({"doc_id": [1], "img": [data]})])))
 
     return mm.decode_gif_meta(_FakeDF())
+
+
+def test_dup_pipeline_shares_verified_pairs_one_execution(spark, sf_dir):
+    """Pipeline context (verdict-r6 item 6): when a curation pipeline
+    wants pairs AND groups, dedup.dup_pipeline must execute the
+    LSH+verify stage exactly once. EXECUTED metric, not plan text: an
+    accumulator on the documents source counts every row actually
+    scanned; with the shared pinned pairs frame, the source feeds the
+    (pinned) shingle chain once — consuming BOTH outputs scans the
+    source no more than the one-shot dd2 run does, while the unshared
+    form (pairs built twice) scans it ~2x."""
+    from aistore_spark.util import release_cached
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    schema = docs.schema
+
+    def instrument():
+        acc = spark.sparkContext.accumulator(0)
+
+        def bump(it):
+            for pdf in it:
+                acc.add(len(pdf))
+                yield pdf
+
+        return acc, docs.mapInPandas(bump, schema=schema)
+
+    # shared pipeline: pairs + groups from ONE verified-pairs frame
+    acc_shared, d1 = instrument()
+    pairs, groups = dedup.dup_pipeline(d1, bands=8, n=3)
+    n_groups = groups.count()
+    n_pairs = pairs.count()
+    shared_scans = acc_shared.value
+    release_cached()
+    assert n_groups > 0 and n_pairs > 0
+
+    # baseline: the same two outputs built WITHOUT sharing
+    acc_base, d2 = instrument()
+    p1 = dedup.verified_pairs(d2, bands=8, n=3)
+    p1.count()
+    release_cached()
+    p2 = dedup.verified_pairs(d2, bands=8, n=3)
+    dedup.dup_groups(p2).count()
+    base_scans = acc_base.value
+    release_cached()
+
+    assert shared_scans <= n_docs, (
+        f"shared pipeline scanned the source {shared_scans} rows "
+        f"(> corpus {n_docs}): verified-pairs executed more than once"
+    )
+    assert base_scans >= 2 * shared_scans, (shared_scans, base_scans)

@@ -1,11 +1,12 @@
 """Invariants of the driver contract in __spark_entry__.py.
 
 The driver's correctness ledger covers exactly the first 50 entries of
-queries() (observed rounds 1-5), so the curated front of the ordering
-IS the hard-signal surface. Round 6 finishes the rotation: the front
-50 are the 30 queries the r4/r5 ledgers never checked (new + residue)
-plus 20 high-risk re-checks, so rounds 4-6 combined hard-verify EVERY
-registered query's current implementation.
+queries() (observed rounds 1-6), so the curated front of the ordering
+IS the hard-signal surface. Rounds 4-6 hard-verified every registered
+query at least once; from round 7 on the standing contract is the
+FINGERPRINT rotation: any query whose implementation or oracle changed
+since its last driver-green row (or that never had one) must be in the
+front 50, pinned against tests/driver_green_fps.json.
 """
 
 from __future__ import annotations
@@ -18,9 +19,9 @@ import __spark_entry__ as entry
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _checked_r4_r5() -> set[str]:
+def _checked_prior_rounds() -> set[str]:
     names: set[str] = set()
-    for ledger in sorted(REPO.glob("CORRECTNESS_r0[4-5].json")):
+    for ledger in sorted(REPO.glob("CORRECTNESS_r0[4-6].json")):
         names |= set(json.loads(ledger.read_text()))
     return names
 
@@ -34,13 +35,12 @@ def test_priority_is_exactly_the_first_50():
     assert list(qs)[:50] == p
 
 
-def test_front_loads_every_query_r4_r5_never_checked():
-    """Part (a) of the round-6 rotation: every registered query absent
-    from BOTH the r4 and r5 ledgers must sit in the front 50 — after
-    this round there is no registered query whose CURRENT form lacks a
-    driver hard-check across rounds 4-6."""
-    checked = _checked_r4_r5()
-    assert checked, "committed CORRECTNESS_r04/r05.json ledgers missing"
+def test_front_loads_every_query_never_checked():
+    """Every registered query absent from ALL prior committed driver
+    ledgers (r4-r6) must sit in the front 50 — no registered query may
+    lack a driver hard-check for more than the round that added it."""
+    checked = _checked_prior_rounds()
+    assert checked, "committed CORRECTNESS_r04-06.json ledgers missing"
     never = set(entry.queries()) - checked
     outside = sorted(never - set(entry.DRIVER_CHECK_PRIORITY))
     assert outside == [], f"never-checked but not front-loaded: {outside}"
@@ -62,13 +62,13 @@ def test_recheck_slots_include_the_verdict_shortlist():
         assert name in p, f"verdict-r5 re-check missing from front 50: {name}"
 
 
-def test_rounds_4_to_6_cover_every_registered_query():
-    """The union of the r4/r5 ledgers and this round's front 50 is the
-    ENTIRE registration — the 'all 129 hard-verified across rounds
-    4-6' goal, machine-checked."""
-    covered = _checked_r4_r5() | set(entry.DRIVER_CHECK_PRIORITY)
+def test_prior_rounds_plus_front_50_cover_every_registered_query():
+    """The union of the committed r4-r6 ledgers and this round's front
+    50 is the ENTIRE registration — every query keeps at least one
+    driver hard-check across rounds 4-7, machine-checked."""
+    covered = _checked_prior_rounds() | set(entry.DRIVER_CHECK_PRIORITY)
     missing = sorted(set(entry.queries()) - covered)
-    assert missing == [], f"queries with no driver check in r4-r6: {missing}"
+    assert missing == [], f"queries with no driver check in r4-r7: {missing}"
 
 
 def test_no_stub_backed_registrations():
@@ -92,6 +92,29 @@ def test_no_stub_backed_registrations():
         "mm3_feature_extract",
         "mm4_frame_sample",
     }
+
+
+def test_changed_queries_are_front_loaded():
+    """Rotation contract (verdict-r6 item 7): any query whose
+    implementation or oracle differs from the fingerprint recorded at
+    its last driver-green round — or that has never been driver-green —
+    must sit in the front 50, so a re-implementation can never ride on
+    a stale hard-green row. tests/driver_green_fps.json is refreshed
+    per round via tools/query_fps.py --update-green CORRECTNESS_r0N.json."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from query_fps import current_fps
+
+    snap = json.loads((REPO / "tests" / "driver_green_fps.json").read_text())
+    fps = current_fps()
+    stale = sorted(
+        n for n, fp in fps.items() if snap.get(n) != fp
+    )
+    outside = sorted(set(stale) - set(entry.DRIVER_CHECK_PRIORITY))
+    assert outside == [], (
+        f"changed-or-never-green queries missing from the front 50: {outside}"
+    )
 
 
 def test_every_query_has_an_oracle():
