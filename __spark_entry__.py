@@ -37,7 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tier + pipe3 shared-pairs pipeline); (b) the remaining slots re-check
 # the single-green r6 block (freshest code, one hard row each) and the
 # verdict-r5 high-risk shortlist. Dropped vs r6 to make room for the
-# three new queries: ann1/t2_offline/dd8 (each double-green in r4-r6).
+# four new queries: ann1/t2_offline/dd8/dd4 (each double-green in
+# r4-r6).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
     "s2c_custom_props",
@@ -49,6 +50,7 @@ DRIVER_CHECK_PRIORITY = [
     "dsort_pipeline",
     "ann5b_ivf_quality",
     "ann9b_ivfpq_refined",
+    "ann6b_kmeans_train",
     "pipe3_dedup_report",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
@@ -86,7 +88,6 @@ DRIVER_CHECK_PRIORITY = [
     "p1_pack_archive",
     "tok1_pack_sequences",
     "dd3_lsh_candidates",
-    "dd4_simhash",
     "dd5_embedding_neardup",
     "dd6_simhash_pairs",
     "pipe1_curation",

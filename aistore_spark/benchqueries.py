@@ -4693,6 +4693,72 @@ def ann6_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.kmeans_step(emb, centroids)
 
 
+def _kmeans_train_sql(iters: int) -> str:
+    """DuckDB twin of simsearch.kmeans_train: the identical
+    assign→floor-mean loop unrolled as MATERIALIZED CTEs (each c{i} is
+    referenced twice in iteration i+1, so inlining would be
+    exponential in depth, as with the BPE chain)."""
+    parts = [
+        """qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS centroid_id, vq AS cvec FROM qz WHERE vec_id < 16
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""sc{i} AS MATERIALIZED (
+      SELECT v.vec_id, c.centroid_id,
+             sum(v.vq[CAST(j AS INT)] * c.cvec[CAST(j AS INT)]) AS cdot
+      FROM qz v, c{i - 1} c, range(1, 65) t(j)
+      GROUP BY 1, 2
+    ),
+    asg{i} AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM sc{i}
+      ) WHERE rn = 1
+    ),
+    mn{i} AS MATERIALIZED (
+      SELECT a.centroid_id AS centroid_id, CAST(j AS BIGINT) AS dim,
+             CAST(sum(v.vq[CAST(j AS INT)]) // count(*) AS BIGINT) AS mean_q,
+             CAST(count(*) AS BIGINT) AS n_vecs
+      FROM asg{i} a JOIN qz v USING (vec_id), range(1, 65) t(j)
+      GROUP BY 1, 2
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT centroid_id, list(mean_q ORDER BY dim) AS cvec
+      FROM mn{i} GROUP BY 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\n    SELECT centroid_id, dim, mean_q, n_vecs FROM mn{iters}"
+    )
+
+
+@register("ann6b_kmeans_train", _kmeans_train_sql(3))
+def ann6b_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated k-means (3 passes) — the full IVF index BUILD loop,
+    feeding each pass's floor-div integer means back as the next
+    centroid set (simsearch.kmeans_train). The oracle re-runs the
+    identical loop in DuckDB, so assignment ties, empty-cell drops,
+    and the integer mean arithmetic are value-checked through all
+    iterations. Per pass: one k-row broadcast + one combiner row per
+    corpus vector — the corpus never shuffles, and the plan depth
+    stays constant (k-row localCheckpoint between passes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16)
+    return simsearch.kmeans_train(emb, centroids, iters=3)
+
+
 @register(
     "s2b_atime_format",
     oracles.with_catalogs(

@@ -464,6 +464,86 @@ def kmeans_step(
     )
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterated k-means for the IVF coarse quantizer — the index BUILD
+    loop (:func:`kmeans_step` is one pass; this feeds the means back
+    as the next centroid set for *iters* passes and returns the final
+    step's output in the same long form ``(centroid_id, dim, mean_q,
+    n_vecs)``).
+
+    All arithmetic stays in the exact integer domain: the initial
+    centroids are quantized once, every subsequent centroid is the
+    floor-div mean of already-quantized vectors, so the whole training
+    loop is engine-portable and oracle-checkable bit-for-bit.
+
+    Scale shape per iteration: ONE broadcast of the (k-row) centroid
+    table, one partial-aggregable min(struct) per corpus vector (no
+    window over the vector×centroid product), one (centroid, dim) agg.
+    The corpus never shuffles; the k-row centroid frame is
+    localCheckpoint-ed each pass so the plan stays iteration-shallow
+    (empty cells drop out, exactly as the SQL twin's GROUP BY does).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vec"), quantized(vec_col).alias("vq")
+    )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
+    )
+    out = None
+    for _ in range(max(1, iters)):
+        scored = v.crossJoin(F.broadcast(c)).select(
+            "vec",
+            "vq",
+            "centroid_id",
+            int_dot(F.col("vq"), F.col("cvec")).alias("cdot"),
+        )
+        assigned = (
+            scored.groupBy("vec")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cdot")).alias("nd"), F.col("centroid_id"))
+                ).alias("best"),
+                F.first("vq").alias("vq"),
+            )
+            .select(F.col("best.centroid_id").alias("centroid_id"), "vq")
+        )
+        out = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col("vq")).alias("dim0", "q")
+            )
+            .groupBy("centroid_id", (F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.expr("sum(q) div count(*)").alias("mean_q"),
+                F.count("*").alias("n_vecs"),
+            )
+            .select(
+                "centroid_id",
+                F.col("dim").cast("bigint").alias("dim"),
+                "mean_q",
+                "n_vecs",
+            )
+        )
+        c = (
+            out.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("dim"), F.col("mean_q")))
+                    ),
+                    lambda s: s["mean_q"],
+                ).alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
 # ---- Product quantization (PQ) — the ANN compression path -------------------
 
 

@@ -136,7 +136,17 @@ def with_catalogs(query: str, *names: str) -> str:
 
     A *query* that already starts with ``WITH`` has its own CTEs merged
     into the catalog CTE list.
+
+    When ``AISTORE_ORACLE_MATERIALIZED`` is set in the environment (the
+    sf1 strict gate: tools/check_oracle.py --materialize), the catalog
+    CTEs are omitted — the harness pre-creates DuckDB temp tables with
+    the same names from the same SQL, so every oracle reuses one
+    materialization instead of re-deriving the catalog per query.
     """
+    import os
+
+    if os.environ.get("AISTORE_ORACLE_MATERIALIZED"):
+        return query
     parts = [f"{n} AS ({_CATALOGS[n]})" for n in names]
     stripped = query.lstrip()
     if stripped.upper().startswith("WITH"):

@@ -33,6 +33,32 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def test_canon_rejects_non_scalar_cells():
+    """The guard itself (r6 s2c incident): a LIST/ndarray cell — what
+    DuckDB map['k'] emits without [1] — must raise here and in
+    tools/check_oracle.py, never silently compare truthy."""
+    import numpy as np
+
+    with pytest.raises(TypeError, match="non-scalar"):
+        canon(pd.DataFrame({"a": [np.array(["x"])]}))
+    with pytest.raises(TypeError, match="non-scalar"):
+        canon(pd.DataFrame({"a": [["x"]]}))
+    # scalars (incl. bytes and numpy 0-d scalars) still pass
+    assert canon(pd.DataFrame({"a": [b"x"], "b": [np.int64(3)]}))
+
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod",
+        Path(__file__).resolve().parent.parent / "tools" / "check_oracle.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(TypeError, match="non-scalar"):
+        mod.canon(pd.DataFrame({"a": [np.array(["x"])]}))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, oracle, sf_dir):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
