@@ -413,3 +413,48 @@ def test_ann_recall_floors_and_monotonicity(spark, sf_dir):
         assert r >= last, f"recall not monotone at nprobe={nprobe}"
         last = r
     assert last == 1.0  # full probe == brute force
+
+
+def test_kmeans_train_one_iter_equals_step_and_converges(spark, sf_dir):
+    """kmeans_train(iters=1) must be bit-identical to kmeans_step (the
+    loop is the step iterated), and iterating must not increase the
+    total assignment distortion: the exact integer objective
+    sum(max-dot) is non-decreasing over passes (MIPS form of the
+    k-means descent argument, up to the floor-div quantization of the
+    means — assert non-strict monotonicity with that 1-ulp slack)."""
+    from pyspark.sql import functions as F
+
+    from aistore_spark.operators import simsearch
+    from aistore_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16)
+
+    one = simsearch.kmeans_train(emb, cents, iters=1)
+    step = simsearch.kmeans_step(emb, cents)
+    key = ["centroid_id", "dim"]
+    a = {tuple(r[k] for k in key): (r["mean_q"], r["n_vecs"]) for r in one.collect()}
+    b = {tuple(r[k] for k in key): (r["mean_q"], r["n_vecs"]) for r in step.collect()}
+    assert a == b
+
+    def objective(centroid_long):
+        c = centroid_long.groupBy("centroid_id").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "mean_q"))),
+                lambda s: s["mean_q"],
+            ).alias("cvec")
+        )
+        v = emb.select("vec_id", simsearch.quantized("embedding").alias("vq"))
+        scored = v.crossJoin(F.broadcast(c)).select(
+            "vec_id", simsearch.int_dot(F.col("vq"), F.col("cvec")).alias("d")
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.max("d").alias("m"))
+            .agg(F.sum("m"))
+            .collect()[0][0]
+        )
+
+    o1 = objective(simsearch.kmeans_train(emb, cents, iters=1))
+    o3 = objective(simsearch.kmeans_train(emb, cents, iters=3))
+    assert o3 >= o1 - 16 * 64  # floor-div slack: <=1 per (cell, dim)
