@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tier + pipe3 shared-pairs pipeline); (b) the remaining slots re-check
 # the single-green r6 block (freshest code, one hard row each) and the
 # verdict-r5 high-risk shortlist. Dropped vs r6 to make room for the
-# four new queries: ann1/t2_offline/dd8/dd4 (each double-green in
+# five new queries: ann1/t2_offline/dd8/dd4/dd3 (each double-green in
 # r4-r6).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
@@ -51,6 +51,7 @@ DRIVER_CHECK_PRIORITY = [
     "ann5b_ivf_quality",
     "ann9b_ivfpq_refined",
     "ann6b_kmeans_train",
+    "ann3b_lsh_multiprobe",
     "pipe3_dedup_report",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
@@ -87,7 +88,6 @@ DRIVER_CHECK_PRIORITY = [
     "g1_mixed_batches",
     "p1_pack_archive",
     "tok1_pack_sequences",
-    "dd3_lsh_candidates",
     "dd5_embedding_neardup",
     "dd6_simhash_pairs",
     "pipe1_curation",

@@ -109,18 +109,44 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_bits: int = 8,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact MIPS rerank within it. Recall grows with fewer
     bits / multi-probe; the shuffle is only on bucket id.
+
+    ``multiprobe=1`` additionally probes every Hamming-1 neighbor
+    bucket (flip each of the *n_bits* in turn) — the classic
+    multi-probe LSH trade: n_bits+1 probe rows per query instead of a
+    coarser table. The PLAN is unchanged: the probe set is still a
+    tiny broadcast frame joined on bucket id; the corpus side is
+    untouched (bucket computed in codegen, never shuffled).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantized(vec_col).alias("qvec"),
         sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
+    if multiprobe:
+        if multiprobe != 1:
+            raise ValueError("multiprobe: only Hamming radius 0 or 1 supported")
+        # bucket itself (i=0) plus each single-bit flip (i=1..n_bits)
+        b = F.col("bucket")
+        flips = F.transform(
+            F.sequence(F.lit(0), F.lit(n_bits)),
+            lambda i: F.when(i == F.lit(0), b).otherwise(
+                F.concat(
+                    b.substr(F.lit(1), (i - 1).cast("int")),
+                    F.when(
+                        b.substr(i.cast("int"), F.lit(1)) == "1", F.lit("0")
+                    ).otherwise(F.lit("1")),
+                    b.substr((i + 1).cast("int"), F.lit(n_bits)),
+                )
+            ),
+        )
+        q = q.select("query_id", "qvec", F.explode(flips).alias("bucket"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         quantized(vec_col).alias("cvec"),

@@ -458,3 +458,26 @@ def test_kmeans_train_one_iter_equals_step_and_converges(spark, sf_dir):
     o1 = objective(simsearch.kmeans_train(emb, cents, iters=1))
     o3 = objective(simsearch.kmeans_train(emb, cents, iters=3))
     assert o3 >= o1 - 16 * 64  # floor-div slack: <=1 per (cell, dim)
+
+
+def test_lsh_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of the single-probe
+    bucket, so per query the rank-1 dot can only improve and recall vs
+    brute force can only rise; every returned dot is still the exact
+    integer MIPS value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    single = simsearch.lsh_topk(emb, queries, k=10, n_bits=8)
+    multi = simsearch.lsh_topk(emb, queries, k=10, n_bits=8, multiprobe=1)
+    brute = simsearch.brute_force_topk(emb, queries, k=10)
+
+    s1 = {r["query_id"]: r["dot"] for r in single.filter("rank = 1").collect()}
+    m1 = {r["query_id"]: r["dot"] for r in multi.filter("rank = 1").collect()}
+    for q, d in s1.items():
+        assert m1[q] >= d
+    assert set(s1) <= set(m1)  # multi can only add answered queries
+
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    rs = {(r["query_id"], r["neighbor_id"]) for r in single.collect()} & truth
+    rm = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()} & truth
+    assert len(rm) >= len(rs)

@@ -49,6 +49,9 @@ def recall_table(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
         "ivf-pq (nprobe=2, m=4)": simsearch.ivfpq_topk(
             emb, centroids, centroids, queries, k=k, nprobe=2, m=4, dim=64
         ),
+        "lsh multiprobe r=1 (n_bits=8)": simsearch.lsh_topk(
+            emb, queries, k=k, n_bits=8, multiprobe=1
+        ),
         # quality tier (ann5b/ann9b, verdict-r6 item 3)
         "ivf quality (nprobe=12)": simsearch.ivf_topk(
             emb, centroids, queries, k=k, nprobe=12
