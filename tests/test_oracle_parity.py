@@ -59,6 +59,45 @@ def test_canon_rejects_non_scalar_cells():
         mod.canon(pd.DataFrame({"a": [np.array(["x"])]}))
 
 
+def test_vectorized_frame_compare_matches_canon_semantics():
+    """check_oracle's big-frame fast path (sort_values + equals) must
+    be the same exact order-insensitive multiset compare as canon:
+    permutations equal, NaN == NaN, any value delta or non-scalar cell
+    detected — at sizes where the Python canon would take minutes."""
+    import importlib.util
+    from pathlib import Path
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod2",
+        Path(__file__).resolve().parent.parent / "tools" / "check_oracle.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    n = mod._VECTOR_COMPARE_ROWS + 7
+    rng = np.random.RandomState(5)
+    a = pd.DataFrame(
+        {
+            "k": rng.randint(0, 1000, n).astype("int64"),
+            "s": [f"v{i % 97}" for i in range(n)],
+            "f": rng.randn(n),
+        }
+    )
+    a.loc[3, "f"] = float("nan")
+    b = a.sample(frac=1.0, random_state=9).reset_index(drop=True)  # permuted
+    assert mod.frames_equal(a, b)
+    c = b.copy()
+    c.loc[0, "k"] = -1
+    assert not mod.frames_equal(a, c)
+    d = b.copy()
+    d["s"] = d["s"].astype(object)
+    d["s"].values[5] = ["not", "scalar"]
+    with pytest.raises(TypeError, match="non-scalar"):
+        mod.frames_equal(a, d)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, oracle, sf_dir):
     sdf = QUERIES[name](spark, sf_dir).toPandas()

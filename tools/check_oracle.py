@@ -66,6 +66,40 @@ def canon(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _guard_scalars(df: pd.DataFrame) -> None:
+    """Vectorized form of the _scalar cell rejection for big frames."""
+    bad = (list, tuple, dict, set, bytearray)
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            mask = col.map(
+                lambda v: isinstance(v, bad)
+                or (type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0)
+            )
+            if mask.any():
+                raise TypeError(f"non-scalar cell in column {c!r}")
+
+
+# Above this row count the per-row Python canon becomes the gate's
+# bottleneck (measured: 1M rows ≈ 15 min repr-sort at sf1); the
+# vectorized path is the same exact order-insensitive multiset compare
+# (stable lexicographic sort on every column, then DataFrame.equals —
+# NaN == NaN, dtype equality already enforced upstream).
+_VECTOR_COMPARE_ROWS = 50_000
+
+
+def frames_equal(sdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
+    cols = sorted(sdf.columns)
+    if len(sdf) > _VECTOR_COMPARE_ROWS:
+        a, b = sdf[cols], odf[cols]
+        _guard_scalars(a)
+        _guard_scalars(b)
+        a = a.sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
+        b = b.sort_values(cols, kind="mergesort", na_position="last").reset_index(drop=True)
+        return a.equals(b)
+    return canon(sdf) == canon(odf)
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
@@ -209,17 +243,21 @@ def main() -> int:
             failed.append(name)
             continue
         try:
-            a, b = canon(sdf), canon(odf)
+            same = frames_equal(sdf, odf)
         except TypeError as exc:
             print(f"FAIL  {name}: non-scalar cell would crash the driver canonicalizer: {exc}")
             rec["err"] = f"non-scalar: {exc}"[:300]
             failed.append(name)
             continue
-        if a != b:
-            bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
-            print(f"FAIL  {name}: values differ at sorted-row {bad}:")
-            print(f"      spark : {a[bad]}")
-            print(f"      duckdb: {b[bad]}")
+        if not same:
+            if len(sdf) <= _VECTOR_COMPARE_ROWS:
+                a, b = canon(sdf), canon(odf)
+                bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+                print(f"FAIL  {name}: values differ at sorted-row {bad}:")
+                print(f"      spark : {a[bad]}")
+                print(f"      duckdb: {b[bad]}")
+            else:
+                print(f"FAIL  {name}: value multiset differs (vectorized compare)")
             rec["err"] = "value mismatch"
             failed.append(name)
             continue
