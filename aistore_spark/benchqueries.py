@@ -5024,9 +5024,14 @@ def m8b_ec_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # CTE chain shared by dd7 (groups) and pipe3 (groups + pair stats):
-# composed LSH candidates -> exact Jaccard verify -> recursive closure
-_DUP_GROUPS_CTES = f"""
-    WITH RECURSIVE wp AS ({_WP_SQL}),
+# composed LSH candidates -> exact Jaccard verify -> recursive closure.
+# The pairs prefix (everything BEFORE the closure) is split out so
+# tools/cc_twin.py can reuse the identical edge derivation with an
+# independent non-SQL closure — the recursive `reach` CTE is
+# O(Σ component²) rows and infeasible at sf1 (>66 GB, measured r6),
+# while the pairs prefix is dd2's oracle shape, proven feasible there.
+_DUP_PAIRS_CTES = f"""
+    WITH wp AS ({_WP_SQL}),
     sh AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     mh AS (
@@ -5054,7 +5059,12 @@ _DUP_GROUPS_CTES = f"""
       JOIN sizes sa ON doc_a = sa.doc_id
       JOIN sizes sb ON doc_b = sb.doc_id
       WHERE common * 20 >= (sa.n_sh + sb.n_sh - common) * 1
-    ),
+    )
+"""
+
+_DUP_GROUPS_CTES = _DUP_PAIRS_CTES.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+).rstrip() + """,
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
