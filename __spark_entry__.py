@@ -37,8 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tier + pipe3 shared-pairs pipeline); (b) the remaining slots re-check
 # the single-green r6 block (freshest code, one hard row each) and the
 # verdict-r5 high-risk shortlist. Dropped vs r6 to make room for the
-# five new queries: ann1/t2_offline/dd8/dd4/dd3 (each double-green in
-# r4-r6).
+# six new queries: ann1/t2_offline/dd8/dd4/dd3/dd5 (each double-green
+# in r4-r6; dd5 also hash-exact at sf1).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
     "s2c_custom_props",
@@ -53,6 +53,7 @@ DRIVER_CHECK_PRIORITY = [
     "ann6b_kmeans_train",
     "ann3b_lsh_multiprobe",
     "pipe3_dedup_report",
+    "tx11_bm25_topk",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
     "t10_audio_resample",
@@ -88,7 +89,6 @@ DRIVER_CHECK_PRIORITY = [
     "g1_mixed_batches",
     "p1_pack_archive",
     "tok1_pack_sequences",
-    "dd5_embedding_neardup",
     "dd6_simhash_pairs",
     "pipe1_curation",
     "pipe2_export_shards",

@@ -1458,6 +1458,66 @@ def tx10_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tx11_bm25_topk",
+    """
+    WITH wp AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM wp GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    tf AS (
+      SELECT w.doc_id, d.dl, w.word, CAST(count(*) AS BIGINT) AS tf
+      FROM wp w JOIN dl d ON d.doc_id = w.doc_id
+      WHERE w.word IN ('join', 'merge', 'sort', 'dup')
+      GROUP BY 1, 2, 3
+    ),
+    dfreq AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    contrib AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               1e6 *
+               ((2 * s.n_docs - 2 * f.df + 1) / (2 * f.df + 1)
+                * (CAST(44 AS DOUBLE) * t.tf * s.t_tokens)
+                / (CAST(20 AS DOUBLE) * t.tf * s.t_tokens
+                   + CAST(6 AS DOUBLE) * s.t_tokens
+                   + CAST(18 AS DOUBLE) * t.dl * s.n_docs))
+             ) AS BIGINT) AS c_e6
+      FROM tf t JOIN dfreq f ON f.word = t.word CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(c_e6) AS BIGINT) AS score_e6
+    FROM contrib GROUP BY doc_id
+    ORDER BY score_e6 DESC, doc_id LIMIT 10
+    """,
+)
+def tx11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX11: BM25-style top-k retrieval (k1=1.2, b=0.75; Robertson-odds
+    idf — see operators/text.py:bm25_topk) for probe queries over the
+    corpus: the relevance primitive behind decontamination triage and
+    corpus inspection. Cross-engine hash parity by construction: the
+    per-(doc, term) contribution is one fixed double expression floored
+    to integer micro-units BEFORE the per-doc sum, so the only
+    aggregation is an order-free BIGINT sum; the final global top-10
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort). 100 TB shape: one corpus scan with the IN-filter applied at
+    the explode, a terms-sized broadcast (df), a 1-row broadcast
+    (N, T), one doc_id shuffle."""
+    return text.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        terms=["join", "merge", "sort", "dup"],
+        k=10,
+    )
+
+
+@register(
     "tx9_pii_redact",
     f"""
     WITH d AS (

@@ -618,3 +618,75 @@ def bpe_doc_token_counts(
             F.sum("nt").alias("n_bpe_tokens"),
         )
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25-style top-k retrieval over the corpus (k1=1.2, b=0.75) —
+    the "find the docs most relevant to this probe query" primitive of
+    corpus inspection / decontamination triage.
+
+    Hash-exact across engines by construction, per the repo's no-raw-
+    float-sums rule: the per-(doc, term) contribution is ONE fixed
+    double expression (identical parenthesization in the DuckDB twin),
+    floored to integer micro-units BEFORE the per-doc sum, so the only
+    aggregation is an order-free integer sum. The idf factor is the
+    Robertson odds ratio itself rather than its log — monotone in df,
+    so ranking semantics match BM25 while staying a pure rational:
+
+        idf_t    = (2N - 2df + 1) / (2df + 1)
+        tfnorm_t = 44*tf*T / (20*tf*T + 6*T + 18*dl*N)
+                   (k1=6/5, b=3/4 folded into integers; T = total
+                   corpus tokens so avgdl = T/N never divides early)
+        score    = sum_t floor(1e6 * idf_t * tfnorm_t)
+
+    Scale shape: one corpus scan for (dl, tf) with the term filter
+    pushed to the scan (``word IN terms`` after explode — Catalyst
+    prunes ``text`` to the only read column), a words-sized broadcast
+    of per-term df, a 1-row broadcast of (N, T), one integer-sum
+    shuffle on doc_id, and TakeOrderedAndProject for the global top-k
+    (no single-partition window). Returns
+    (doc_id, n_terms_hit, score_e6), best first.
+    """
+    words = F.split(F.col("text"), " ")
+    docs = documents.select(
+        "doc_id", F.size(words).cast("bigint").alias("dl"), words.alias("w")
+    )
+    stats = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("w").alias("word"))
+        .where(F.col("word").isin(list(terms)))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "word").crossJoin(F.broadcast(stats))
+    contrib = (
+        (2 * F.col("n_docs") - 2 * F.col("df") + 1)
+        / (2 * F.col("df") + 1)
+        * (F.lit(44.0) * F.col("tf") * F.col("t_tokens"))
+        / (
+            F.lit(20.0) * F.col("tf") * F.col("t_tokens")
+            + F.lit(6.0) * F.col("t_tokens")
+            + F.lit(18.0) * F.col("dl") * F.col("n_docs")
+        )
+    )
+    per_term = scored.select(
+        "doc_id",
+        F.floor(F.lit(1e6) * contrib).cast("bigint").alias("c_e6"),
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.sum("c_e6").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -502,3 +502,70 @@ def test_dup_pipeline_shares_verified_pairs_one_execution(spark, sf_dir):
         f"(> corpus {n_docs}): verified-pairs executed more than once"
     )
     assert base_scans >= 2 * shared_scans, (shared_scans, base_scans)
+
+
+# ---- TX11: BM25 top-k retrieval ------------------------------------------------
+
+
+def _py_bm25(rows, terms, k=10):
+    """Independent pure-Python BM25 twin (same rational-idf/int-floor
+    contract as operators/text.py:bm25_topk, implemented from the
+    formula, not the Spark code)."""
+    import math
+
+    docs = {doc_id: text.split(" ") for doc_id, text in rows}
+    n = len(docs)
+    t = sum(len(w) for w in docs.values())
+    df = {
+        term: sum(1 for w in docs.values() if term in w) for term in terms
+    }
+    scores = {}
+    for doc_id, w in docs.items():
+        dl = len(w)
+        total, hits = 0, 0
+        for term in terms:
+            tf = w.count(term)
+            if not tf:
+                continue
+            hits += 1
+            idf = (2 * n - 2 * df[term] + 1) / (2 * df[term] + 1)
+            tfn = (44.0 * tf * t) / (20.0 * tf * t + 6.0 * t + 18.0 * dl * n)
+            total += math.floor(1e6 * idf * tfn)
+        if hits:
+            scores[doc_id] = (hits, total)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    return [(d, h, s) for d, (h, s) in ranked[:k]]
+
+
+def test_bm25_topk_matches_python_reference(spark, sf_dir):
+    from aistore_spark.operators import text as textops
+    from aistore_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["join", "merge", "sort", "dup"]
+    got = [
+        (r.doc_id, r.n_terms_hit, r.score_e6)
+        for r in textops.bm25_topk(docs, terms, k=10).collect()
+    ]
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    assert got == _py_bm25(rows, terms, k=10)
+
+
+def test_bm25_rare_term_outranks_common(spark, sf_dir):
+    # a doc containing the rare probe term must outrank a same-length
+    # doc with only the common term at equal tf — idf ordering
+    from aistore_spark.operators import text as textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "dup alpha beta gamma"),
+            (2, "join alpha beta gamma"),
+            (3, "join join join join"),
+            (4, "alpha beta gamma delta"),
+        ]
+        + [(10 + i, "join filler filler filler") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    out = textops.bm25_topk(df, ["join", "dup"], k=3).collect()
+    assert out[0].doc_id == 1  # rare term wins
+    assert all(r.score_e6 > 0 for r in out)
