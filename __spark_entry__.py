@@ -34,11 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # against tests/driver_green_fps.json — must be in the front 50 (this
 # round: the s2c oracle fix, the K=64 driver-side BPE trio, the
 # refactored dd2/dd7/dsort_pipeline, and the new ann5b/ann9b quality
-# tier + pipe3 shared-pairs pipeline); (b) the remaining slots re-check
-# the single-green r6 block (freshest code, one hard row each) and the
-# verdict-r5 high-risk shortlist. Dropped vs r6 to make room for the
-# six new queries: ann1/t2_offline/dd8/dd4/dd3/dd5 (each double-green
-# in r4-r6; dd5 also hash-exact at sf1).
+# tier + pipe3 shared-pairs pipeline, plus the new tx11 BM25, dd10
+# substring spans, dd11 Bloom probe, tx12 hashed classifier); (b) the
+# remaining slots re-check the single-green r6 block (freshest code,
+# one hard row each) and the verdict-r5 high-risk shortlist. Dropped
+# vs r6 to make room for the new queries: ann1/t2_offline/dd8/dd4/dd3/
+# dd5/dd6/pipe1/pipe2/tok1/ds1/ds2 (each driver-green in r4-r6 with
+# unchanged fingerprints; most also hash-exact at sf1 in
+# CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
     "s2c_custom_props",
@@ -54,14 +57,18 @@ DRIVER_CHECK_PRIORITY = [
     "ann3b_lsh_multiprobe",
     "pipe3_dedup_report",
     "tx11_bm25_topk",
+    "dd10_substring_spans",
+    "dd11_bloom_probe",
+    "tx12_hashed_classifier",
+    "samp4_temperature_mixture",
+    "tok3_sliding_windows",
+    "ann7b_pq_train",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
     "t10_audio_resample",
     "d5_reshard",
     "dd6b_simhash_prod",
     "dd9_semantic_dedup",
-    "ds1_download_plan",
-    "ds2_download_exec",
     "ev1_windowed_counts",
     "j1b_mixed_entries",
     "m6_rename_bucket",
@@ -85,13 +92,9 @@ DRIVER_CHECK_PRIORITY = [
     "tx8_bigram_familiarity",
     "tx9_pii_redact",
     "g3_output_formats",
-    "g1_assemble_batches",
     "g1_mixed_batches",
+    "g1_assemble_batches",
     "p1_pack_archive",
-    "tok1_pack_sequences",
-    "dd6_simhash_pairs",
-    "pipe1_curation",
-    "pipe2_export_shards",
 ]
 
 

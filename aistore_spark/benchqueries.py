@@ -5836,3 +5836,348 @@ def s12_mpu_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("content"),
     )
     return movement.mpu_plan(content, part_size=100)
+
+
+@register(
+    "dd10_substring_spans",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    docs AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+    g AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS gh
+      FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+      WHERE dl >= 8
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    occ AS (SELECT doc_id, i FROM g JOIN dup USING (gh)),
+    fl AS (
+      SELECT doc_id, i,
+             CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                    OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+                  THEN 1 ELSE 0 END AS f
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(f) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    sp AS (
+      SELECT doc_id, island, max(i) - min(i) + 8 AS span_len
+      FROM isl GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+             CAST(max(span_len) AS BIGINT) AS max_span
+      FROM sp GROUP BY 1
+    )
+    SELECT docs.doc_id, docs.dl,
+           CAST(COALESCE(per.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(per.max_span, 0) AS BIGINT) AS max_span
+    FROM docs LEFT JOIN per USING (doc_id)
+    """,
+)
+def dd10_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD10: exact duplicate-substring spans (ExactSubstr dedup, Lee et
+    al. 2022 shape): word 8-grams occurring >= 2x corpus-wide, merged
+    per document into maximal duplicated spans — catches boilerplate
+    document-level digests (dd1) and shingle Jaccard (dd2) both miss.
+    One row per doc with (dl, n_spans, dup_tokens, max_span), exact
+    integers. 100 TB shape: map-side gram hashing (posexplode — the
+    position column costs nothing), gram-digest-keyed agg + join
+    (uniform 128-bit keys), per-doc window for the span merge — see
+    operators/dedup.py:dup_substring_spans."""
+    return dedup.dup_substring_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_count=2
+    )
+
+
+@register(
+    "dd11_bloom_probe",
+    """
+    WITH c AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % 13 = 0
+                      THEN 'shared-' || CAST(doc_id % 5 AS VARCHAR)
+                      ELSE text END) AS digest
+      FROM documents
+    ),
+    build AS (SELECT digest FROM c WHERE len(source) = 4),
+    probe AS (SELECT doc_id, digest FROM c WHERE len(source) = 5),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || digest),
+                             1, 8))::BIGINT % 1024 AS pos
+      FROM build, LATERAL (SELECT unnest(generate_series(0, 4)) AS j) t
+    ),
+    pp AS (
+      SELECT doc_id, digest,
+             ('0x' || substr(md5('b' || CAST(j AS VARCHAR) || ':' || digest),
+                             1, 8))::BIGINT % 1024 AS pos
+      FROM probe, LATERAL (SELECT unnest(generate_series(0, 4)) AS j) t
+    ),
+    hits AS (
+      SELECT pp.doc_id, pp.digest,
+             CAST(min(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS bloom_hit
+      FROM pp LEFT JOIN bits b ON b.pos = pp.pos
+      GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.bloom_hit,
+           CAST(CASE WHEN s.digest IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS actual_dup
+    FROM hits h
+    LEFT JOIN (SELECT DISTINCT digest FROM build) s USING (digest)
+    """,
+)
+def dd11_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD11: Bloom-filter "seen before?" probe — incremental-ingest
+    dedup: a 1024-bit/5-hash filter built over the already-ingested
+    half of the corpus (sources src0-src9) answers membership for every
+    new document (src10-src19); the exact digest join alongside is
+    ground truth, so false positives are visible as (bloom_hit=1,
+    actual_dup=0) and false negatives are provably absent. Real shared
+    content is injected deterministically (doc_id % 13 docs collapse to
+    5 sentinel texts on both sides — same synthetic-injection pattern
+    as tx9's PII). The filter is deliberately small (m=1024) so the FP
+    regime is exercised at test SF. 100 TB shape: build side collapses
+    to <= m distinct positions regardless of corpus size (broadcast),
+    probe pays k codegen hashes + one broadcast join; only
+    Bloom-positive docs would pay the exact-verify join — see
+    operators/dedup.py:bloom_probe."""
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("shared-"), (F.col("doc_id") % 5).cast("string")),
+    ).otherwise(F.col("text"))
+    c = docs.select("doc_id", "source", F.md5(content).alias("digest"))
+    build = c.where(F.length("source") == 4).select("digest")
+    probe = c.where(F.length("source") == 5).select("doc_id", "digest")
+    return dedup.bloom_probe(build, probe, m_bits=1024, k=5)
+
+
+@register(
+    "tx12_hashed_classifier",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT doc_id, 'u:' || unnest(w) AS feat FROM d),
+    bi AS (
+      SELECT doc_id, 'b:' || w[i] || ' ' || w[i + 1] AS feat
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+      WHERE len(w) >= 2
+    ),
+    f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    sc AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS bucket
+      FROM f
+    ),
+    ws AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('w0:' || CAST(bucket AS VARCHAR)), 1, 8))
+               ::BIGINT % 2001 - 1000 AS w_e3
+      FROM sc
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(w_e3) AS BIGINT) AS score_e3,
+           CAST(CASE WHEN sum(w_e3) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+    FROM ws GROUP BY doc_id
+    """,
+)
+def tx12_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX12: fastText-style hashed bag-of-ngrams linear classifier —
+    the quality-classifier pass of a curation pipeline with the model
+    as data. Word unigrams+bigrams hash into 4096 buckets (hashing
+    trick); the weight table stands in for a trained model and is
+    rebuilt bit-identically by both engines (md5-derived milli-unit
+    integers), so scoring is exact: score_e3 = sum count x w_e3, label
+    = sign. 100 TB shape: featurization is one corpus scan (map-side
+    explode, no join); the model is a 4096-row broadcast; the only
+    shuffle is the doc-keyed integer sum — see
+    operators/text.py:hashed_linear_score."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = text.hashed_weights(spark, n_buckets=4096, seed="w0")
+    return text.hashed_linear_score(docs, weights, n_buckets=4096)
+
+
+@register(
+    "samp4_temperature_mixture",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INT) AS srcnum
+      FROM documents
+    ),
+    skewed AS (
+      SELECT doc_id, source FROM base
+      WHERE doc_id % (1 + srcnum % 3) = 0
+    ),
+    cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_source
+      FROM skewed GROUP BY 1
+    ),
+    sq AS (
+      SELECT source, n_source,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= n_source THEN s0 + 1
+                  WHEN s0 * s0 > n_source THEN s0 - 1
+                  ELSE s0 END AS sqrt_n
+      FROM (SELECT source, n_source,
+                   CAST(floor(sqrt(CAST(n_source AS DOUBLE))) AS BIGINT) AS s0
+            FROM cnt)
+    ),
+    rows_ AS (
+      SELECT d.source, d.doc_id, s.n_source, s.sqrt_n,
+             (4 * s.sqrt_n) // s.n_source
+             + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                         ::BIGINT % s.n_source < (4 * s.sqrt_n) % s.n_source
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM skewed d JOIN sq s USING (source)
+    )
+    SELECT source, doc_id, n_source, sqrt_n, CAST(j AS BIGINT) AS copy_idx
+    FROM rows_, LATERAL (
+      SELECT unnest(generate_series(0, CAST(n_copies - 1 AS BIGINT))) AS j
+    ) t
+    WHERE n_copies > 0
+    """,
+)
+def samp4_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMP4: temperature-based source rebalancing at alpha = 1/2 —
+    the multilingual sampling standard (source share proportional to
+    sqrt(n_s)), with the weights DERIVED FROM DATA: one per-source
+    count, an exact ±1-corrected integer sqrt, then the same
+    zero-randomness rational-replication contract as samp3 (whole part
+    guaranteed, fractional part keyed on the doc's md5 bucket). The
+    input is deterministically skewed (sources keep 25/13/9 docs by
+    srcnum mod 3) so the flattening is visible: small sources get
+    relatively more copies per doc. 100 TB shape: one tiny count agg,
+    a sources-sized broadcast join, map-side explode — the corpus
+    never shuffles — see operators/sampling.py:temperature_mixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcnum = F.substring("source", 4, 8).cast("int")
+    skewed = docs.where(
+        F.col("doc_id") % (F.lit(1) + srcnum % 3) == 0
+    ).select("doc_id", "source")
+    return sampling.temperature_mixture(skewed, scale=4)
+
+
+@register(
+    "tok3_sliding_windows",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, dl,
+             CASE WHEN dl <= 32 THEN 1
+                  ELSE (dl - 32 + 23) // 24 + 1 END AS n_win
+      FROM d
+    ),
+    win AS (
+      SELECT doc_id, dl, n_win, CAST(i AS BIGINT) AS win_idx,
+             CAST(CASE WHEN dl <= 32 THEN 1
+                       WHEN i = n_win - 1 THEN dl - 32 + 1
+                       ELSE i * 24 + 1 END AS BIGINT) AS start
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(0, CAST(n_win - 1 AS BIGINT))) AS i
+      ) t
+    )
+    SELECT doc_id, win_idx, start,
+           least(start + 31, dl) AS "end",
+           least(start + 31, dl) - start + 1 AS win_len
+    FROM win
+    """,
+)
+def tok3_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOK3: overlapping context-window chunking (window=32 tokens,
+    stride=24 — 8-token overlap): long documents split into
+    model-context-sized pieces, last window clamped to the document
+    end so coverage is total and all windows of long docs are full —
+    the standard tokenizer-chunking contract next to tok1's
+    concat-and-chunk packing. Exact integers throughout. 100 TB
+    shape: pure column math + explode(sequence) over the corpus scan;
+    zero joins, zero shuffles — see
+    operators/sampling.py:sliding_windows."""
+    return sampling.sliding_windows(
+        load_table(spark, sf_dir, "documents"), window=32, stride=24
+    )
+
+
+def _pq_train_sql(iters: int) -> str:
+    """DuckDB twin of simsearch.pq_train: per-subspace L2 k-means
+    unrolled as MATERIALIZED CTEs (same exponential-inlining guard as
+    the kmeans/BPE chains). Codebook held as (m, code, cw16)."""
+    parts = [
+        """qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    cb0 AS MATERIALIZED (
+      SELECT CAST(s.m AS INT) AS m, vec_id AS code,
+             list_transform(generate_series(1, 16),
+                            i -> vq[CAST(s.m * 16 + i AS INT)]) AS cw
+      FROM qz, range(0, 4) s(m) WHERE vec_id < 8
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""sc{i} AS MATERIALIZED (
+      SELECT v.vec_id, c.m, c.code,
+             sum( (v.vq[CAST(c.m * 16 + j AS INT)] - c.cw[CAST(j AS INT)])
+                * (v.vq[CAST(c.m * 16 + j AS INT)] - c.cw[CAST(j AS INT)]) )
+               AS dist
+      FROM qz v, cb{i - 1} c, range(1, 17) t(j)
+      GROUP BY 1, 2, 3
+    ),
+    asg{i} AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM sc{i}
+      ) WHERE rn = 1
+    ),
+    mn{i} AS MATERIALIZED (
+      SELECT a.m, a.code, CAST(j AS BIGINT) AS dim,
+             CAST(sum(v.vq[CAST(a.m * 16 + j AS INT)]) // count(*) AS BIGINT)
+               AS mean_q,
+             CAST(count(*) AS BIGINT) AS n_vecs
+      FROM asg{i} a JOIN qz v USING (vec_id), range(1, 17) t(j)
+      GROUP BY 1, 2, 3
+    ),
+    cb{i} AS MATERIALIZED (
+      SELECT m, code, list(mean_q ORDER BY dim) AS cw
+      FROM mn{i} GROUP BY 1, 2
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\n    SELECT m, code, dim, mean_q, n_vecs FROM mn{iters}"
+    )
+
+
+@register("ann7b_pq_train", _pq_train_sql(2))
+def ann7b_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN7b: PQ codebook TRAINING (2 passes of per-subspace k-means,
+    exact integer L2 assignment with ties -> lower code, floor-div
+    integer means) — with ann6b's coarse-quantizer training this
+    completes the IVF-PQ index BUILD story: every learned component of
+    the ann9/ann9b read path now has a from-data training loop. All 4
+    subspace books train in ONE plan per pass (codebook = one
+    (m, code, cw16) frame, broadcast each pass); the oracle re-runs
+    the identical loop in DuckDB through MATERIALIZED CTEs. 100 TB
+    shape: per pass one m×k-row broadcast, a partial-aggregable
+    min(struct) per (vector, subspace), one (m, code, dim) agg —
+    corpus never shuffles — see operators/simsearch.py:pq_train."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return simsearch.pq_train(
+        emb, emb.filter(F.col("vec_id") < 8), m=4, dim=64, iters=2
+    )

@@ -693,3 +693,177 @@ def dup_groups(
             "checkpoint intermediate labels"
         )
     return labels.select("doc_id", F.col("label").alias("group_id"))
+
+
+def dup_substring_spans(
+    documents: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-substring detection: find every word ``k``-gram
+    occurring at least ``min_count`` times corpus-wide, then merge each
+    document's duplicated gram positions into maximal spans — the
+    substring-level dedup pass (ExactSubstr in the training-data-dedup
+    literature) that catches boilerplate shared between otherwise
+    distinct documents, which document-level digests (dd1) and shingle
+    Jaccard (dd2) both miss.
+
+    Returns one row per document: (doc_id, dl, n_spans, dup_tokens,
+    max_span) — all exact integers, docs with no duplicated substring
+    included with zeros.
+
+    Mechanics: an occurrence at 1-based word position ``i`` covers
+    tokens ``[i, i+k-1]``; occurrences sorted per doc merge into one
+    span whenever the next start is within ``k`` of the previous
+    (equal-length intervals make the lag test exact — interval ends are
+    monotone in starts). Gaps-and-islands with a per-doc window, same
+    shape as ev2 sessionization.
+
+    Scale (100 TB): gram hashing is a map-side flatMap over the corpus
+    scan (positions come from ``posexplode``, no join against a
+    position table); the only wide shuffles are the gram-frequency agg
+    and the occurrence⋈duplicated-gram join, both keyed by the 128-bit
+    gram digest (uniform — no skew); the span merge is a window
+    partitioned by doc_id, bounded by document length. Nothing is
+    quadratic in corpus size: cost tracks total token count plus the
+    (by-definition small) duplicated-occurrence set.
+    """
+    ws = F.split(F.col(text_col), " ")
+    docs = documents.select(
+        "doc_id", F.size(ws).cast("bigint").alias("dl"), ws.alias("w")
+    )
+    grams = (
+        docs.where(F.col("dl") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("dl") - k + 1).cast("int")),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, k))),
+                )
+            ).alias("i0", "gh"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+        .select("gh")
+    )
+    occ = grams.join(dup, "gh").select("doc_id", "i")
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    flagged = occ.withColumn(
+        "f",
+        F.when(
+            F.lag("i").over(w_doc).isNull()
+            | (F.col("i") > F.lag("i").over(w_doc) + k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("f").over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        (F.max("i") - F.min("i") + k).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("dup_tokens"),
+        F.max("span_len").cast("bigint").alias("max_span"),
+    )
+    return (
+        docs.select("doc_id", "dl")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dl",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce("max_span", F.lit(0)).cast("bigint").alias("max_span"),
+        )
+    )
+
+
+def bloom_bits(
+    df: DataFrame, digest_col: str = "digest", m_bits: int = 1024, k: int = 5
+) -> DataFrame:
+    """Distinct Bloom-filter bit positions set by ``df``'s digests:
+    position_j(d) = md5_bucket(f"b{j}:" + d, m_bits) for j in [0, k).
+    Kept as a (pos) frame rather than a packed bitmap so membership is
+    a join — the engine-portable formulation; a deployment would fold
+    the same positions into an m-bit bitmap via bit_or aggregation and
+    broadcast it (m = 2^33 bits is 1 GiB at billion-document scale)."""
+    from aistore_spark.util import md5_bucket
+
+    pos = F.array(
+        *[
+            md5_bucket(F.concat(F.lit(f"b{j}:"), F.col(digest_col)), m_bits)
+            for j in range(k)
+        ]
+    )
+    return df.select(F.explode(pos).alias("pos")).distinct()
+
+
+def bloom_probe(
+    build: DataFrame,
+    probe: DataFrame,
+    digest_col: str = "digest",
+    id_col: str = "doc_id",
+    m_bits: int = 1024,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-filter "seen before?" probe — the incremental-ingest dedup
+    primitive: a compact filter built over the already-ingested corpus
+    answers membership for every new document with zero false
+    negatives and a bounded false-positive rate, so only Bloom-positive
+    docs pay the exact-verification join.
+
+    Returns (doc_id, bloom_hit, actual_dup) for every probe row, both
+    flags 0/1 BIGINT: ``bloom_hit`` = all k positions present in the
+    build-side filter, ``actual_dup`` = digest exactly present in the
+    build side (ground truth, so the false-positive behavior is
+    visible: bloom_hit=1, actual_dup=0).
+
+    Scale: the build side is one distinct-positions pass (≤ m_bits
+    rows however large the corpus); probe membership is a
+    positions-sized broadcast join + an all-k min agg per probe doc;
+    the exact-verify join runs on digests (128-bit keys, uniform).
+    """
+    bits = bloom_bits(build, digest_col, m_bits, k).withColumn(
+        "hit", F.lit(1)
+    )
+    from aistore_spark.util import md5_bucket
+
+    probe_pos = probe.select(
+        id_col,
+        digest_col,
+        F.explode(
+            F.array(
+                *[
+                    md5_bucket(
+                        F.concat(F.lit(f"b{j}:"), F.col(digest_col)), m_bits
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        probe_pos.join(F.broadcast(bits), "pos", "left")
+        .groupBy(id_col, digest_col)
+        .agg(F.min(F.coalesce("hit", F.lit(0))).cast("bigint").alias("bloom_hit"))
+    )
+    seen = build.select(F.col(digest_col).alias("_seen")).distinct()
+    return (
+        hits.join(seen, hits[digest_col] == seen["_seen"], "left")
+        .select(
+            id_col,
+            "bloom_hit",
+            F.when(F.col("_seen").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("actual_dup"),
+        )
+    )

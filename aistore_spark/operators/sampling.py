@@ -171,3 +171,125 @@ def source_mixture(
             F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1)
         ).alias("copy_idx"),
     )
+
+
+def _isqrt_exact(n):
+    """Exact integer sqrt as a column expression: float sqrt, then a
+    ±1 integer correction so FP rounding can never change the result —
+    engine-portable (the DuckDB twin applies the same correction)."""
+    s0 = F.floor(F.sqrt(n.cast("double"))).cast("bigint")
+    return (
+        F.when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+        .when(s0 * s0 > n, s0 - 1)
+        .otherwise(s0)
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    scale: int = 4,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing at alpha = 1/2 — the
+    multilingual/multi-source sampling standard (sample source s with
+    probability proportional to n_s^alpha, flattening the head and
+    boosting the tail). Each row of source s gets
+    ``scale * isqrt(n_s) / n_s`` copies as an exact rational: whole
+    part guaranteed, fractional part keyed on the row's md5 bucket —
+    the same zero-randomness replication contract as
+    :func:`source_mixture`, but with the weights DERIVED FROM DATA
+    (one tiny per-source count aggregate) instead of caller-supplied.
+
+    sqrt stays in the exact integer domain via a ±1-corrected isqrt,
+    so both engines agree bit-for-bit at any count magnitude.
+
+    Output: one row per copy ``(source, doc_id, copy_idx, n_source,
+    sqrt_n)``. Scale shape: one map-side-combinable count per source,
+    a sources-sized broadcast join back, then pure column math +
+    ``explode(sequence)`` — no corpus shuffle.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").cast("bigint").alias("n_source"))
+    counts = counts.select(
+        source_col, "n_source", _isqrt_exact(F.col("n_source")).alias("sqrt_n")
+    )
+    from aistore_spark.util import md5_bucket
+
+    num = F.lit(scale).cast("bigint") * F.col("sqrt_n")
+    den = F.col("n_source")
+    bucket = md5_bucket(F.col(key_col).cast("string"), den)
+    whole = F.expr(f"({scale} * sqrt_n) div n_source").cast("bigint")
+    n_copies = whole + F.when(bucket < num % den, 1).otherwise(0)
+    out = (
+        df.join(F.broadcast(counts), source_col)
+        .withColumn("n_copies", n_copies.cast("bigint"))
+        .filter(F.col("n_copies") > 0)
+    )
+    return out.select(
+        source_col,
+        key_col,
+        "n_source",
+        "sqrt_n",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_copies") - 1)
+        ).alias("copy_idx"),
+    )
+
+
+def sliding_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping context-window chunking — the "split long documents
+    into model-context-sized pieces with overlap" step of training-data
+    prep. Windows are ``window`` tokens wide starting every ``stride``
+    tokens; the LAST window is clamped to end exactly at the document
+    end (so every token is covered and every window except a short
+    doc's single window is full) — the standard tokenizer-chunking
+    contract.
+
+    For dl <= window: one window [1, dl]. Else n_windows =
+    ceil((dl - window) / stride) + 1, start_i = 1 + i*stride for
+    i < n-1, last start = dl - window + 1.
+
+    Output: one row per window ``(doc_id, win_idx, start, end,
+    win_len)``, exact integers. Scale: pure column math +
+    ``explode(sequence)`` over the corpus scan — zero shuffles,
+    zero joins.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    dl = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    n_win = F.when(dl <= window, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"(size(split({text_col}, ' ')) - {window} + {stride} - 1) "
+               f"div {stride}").cast("bigint") + 1
+    )
+    base = df.select(
+        id_col, dl.alias("dl"), n_win.alias("n_win")
+    )
+    win = base.select(
+        id_col,
+        "dl",
+        "n_win",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_win") - 1)
+        ).alias("win_idx"),
+    )
+    start = (
+        F.when(F.col("dl") <= window, F.lit(1).cast("bigint"))
+        .when(
+            F.col("win_idx") == F.col("n_win") - 1,
+            F.col("dl") - window + 1,
+        )
+        .otherwise(F.col("win_idx") * stride + 1)
+    )
+    return win.select(
+        id_col,
+        F.col("win_idx"),
+        start.alias("start"),
+        F.least(start + window - 1, F.col("dl")).alias("end"),
+        (F.least(start + window - 1, F.col("dl")) - start + 1).alias("win_len"),
+    )

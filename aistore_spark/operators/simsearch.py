@@ -874,3 +874,99 @@ def semantic_cell_pairs(
         )
 
     return cells.groupBy("centroid_id").applyInPandas(pairs, schema=schema)
+
+
+def pq_train(
+    corpus: DataFrame,
+    codebook0: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codebook TRAINING: per-subspace k-means with exact integer L2
+    assignment (ties → lower code, matching :func:`pq_encode`) and
+    floor-div integer means — completing the index-build story next to
+    :func:`kmeans_train` (IVF coarse quantizer): together they produce
+    every learned component of the IVF-PQ read path (ann9/ann9b) from
+    data alone.
+
+    The codebook is held as one (m, code, cw16) frame — all ``m``
+    subspace books train in the SAME plan per pass, not m driver
+    loops. Seed = ``codebook0``'s vectors sliced per subspace.
+
+    Returns the final pass's long form ``(m, code, dim, mean_q,
+    n_vecs)`` with ``dim`` 1..dim/m within the subspace.
+
+    Scale shape per pass: the codebook (m×k rows of 16 ints)
+    broadcasts; assignment is a partial-aggregable min(struct) per
+    (vector, subspace); means are one (m, code, dim) agg. The corpus
+    never shuffles; the codebook frame is localCheckpoint-ed between
+    passes so plan depth stays constant.
+    """
+    sub = dim // m
+    spark = corpus.sparkSession
+    ms = spark.range(m).select(F.col("id").cast("int").alias("m"))
+    v = (
+        corpus.select(F.col(id_col).alias("vec"), quantized(vec_col).alias("vq"))
+        .crossJoin(ms)
+        .select("vec", "m", F.slice("vq", F.col("m") * sub + 1, sub).alias("sv"))
+    )
+    cb = (
+        codebook0.select(
+            F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
+        )
+        .crossJoin(ms)
+        .select("m", "code", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw"))
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    out = None
+    for _ in range(max(1, iters)):
+        scored = v.join(F.broadcast(cb), "m").select(
+            "vec", "m", "sv", "code", l2.alias("dist")
+        )
+        assigned = (
+            scored.groupBy("vec", "m")
+            .agg(
+                F.min(F.struct(F.col("dist"), F.col("code"))).alias("best"),
+                F.first("sv").alias("sv"),
+            )
+            .select("m", F.col("best.code").alias("code"), "sv")
+        )
+        out = (
+            assigned.select(
+                "m", "code", F.posexplode(F.col("sv")).alias("dim0", "q")
+            )
+            .groupBy("m", "code", (F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.expr("sum(q) div count(*)").alias("mean_q"),
+                F.count("*").cast("bigint").alias("n_vecs"),
+            )
+            .select(
+                "m",
+                "code",
+                F.col("dim").cast("bigint").alias("dim"),
+                F.col("mean_q").cast("bigint").alias("mean_q"),
+                "n_vecs",
+            )
+        )
+        cb = (
+            out.groupBy("m", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean_q")))
+                ).alias("pairs")
+            )
+            .select(
+                "m",
+                "code",
+                F.transform(F.col("pairs"), lambda p: p.mean_q).alias("cw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return out

@@ -690,3 +690,96 @@ def bm25_topk(
         .orderBy(F.desc("score_e6"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def hashed_ngram_features(
+    documents: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick bag-of-ngrams featurizer (the fastText input
+    layer): every word unigram and bigram is hashed into one of
+    ``n_buckets`` buckets; returns (doc_id, bucket, n) counts. Pure
+    map-side explode + one doc-keyed agg — the feature extraction
+    never joins anything, so at 100 TB it is a single corpus scan."""
+    from aistore_spark.util import md5_bucket
+
+    ws = F.split(F.col(text_col), " ")
+    uni = F.transform(ws, lambda w: F.concat(F.lit("u:"), w))
+    bi = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (F.size(ws) - 1).cast("int")),
+            lambda i: F.concat(
+                F.lit("b:"),
+                F.element_at(ws, i),
+                F.lit(" "),
+                F.element_at(ws, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = documents.select(
+        "doc_id", F.explode(F.concat(uni, bi)).alias("feat")
+    )
+    return (
+        feats.select("doc_id", md5_bucket(F.col("feat"), n_buckets).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def hashed_weights(spark, n_buckets: int = 4096, seed: str = "w0") -> DataFrame:
+    """Deterministic synthetic weight table (bucket, w_e3) standing in
+    for a trained linear quality model: w_e3 = md5-derived integer in
+    [-1000, 1000]. In production this frame IS the trained model
+    (n_buckets rows — always broadcastable); the synthetic derivation
+    exists so both engines can rebuild it bit-identically."""
+    from aistore_spark.util import md5_bucket
+
+    buckets = spark.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    return buckets.select(
+        "bucket",
+        (
+            md5_bucket(
+                F.concat(F.lit(f"{seed}:"), F.col("bucket").cast("string")), 2001
+            )
+            - 1000
+        )
+        .cast("bigint")
+        .alias("w_e3"),
+    )
+
+
+def hashed_linear_score(
+    documents: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style hashed linear classifier scoring: score_e3 =
+    Σ_buckets count × w_e3 (exact integers, milli-units), label =
+    sign(score). This is the quality-classifier pass of a curation
+    pipeline (wiki-ref-style filtering) with the model as data: the
+    ``weights`` frame is broadcast (n_buckets rows), so scoring a
+    100 TB corpus is one scan + one broadcast join + one doc-keyed
+    integer-sum shuffle — no Python, all codegen.
+
+    Returns (doc_id, n_feats, score_e3, label)."""
+    feats = hashed_ngram_features(documents, n_buckets, text_col)
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("w_e3")).cast("bigint").alias("score_e3"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "score_e3",
+            F.when(F.col("score_e3") >= 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("label"),
+        )
+    )

@@ -569,3 +569,102 @@ def test_bm25_rare_term_outranks_common(spark, sf_dir):
     out = textops.bm25_topk(df, ["join", "dup"], k=3).collect()
     assert out[0].doc_id == 1  # rare term wins
     assert all(r.score_e6 > 0 for r in out)
+
+
+def test_substring_spans_hand_corpus(spark):
+    # doc 1 and 2 share the 10-word run w1..w10 (3 duplicated 8-gram
+    # starts -> ONE merged span of 10 tokens); doc 3 is unique; doc 4
+    # shares w1..w8 only (1 start, span of 8).
+    run = " ".join(f"w{i}" for i in range(1, 11))
+    rows = [
+        (1, "a b c " + run + " x y"),
+        (2, run + " p q r s t u"),
+        (3, " ".join(f"z{i}" for i in range(40))),
+        (4, "k m " + " ".join(f"w{i}" for i in range(1, 9)) + " n o p q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.dup_substring_spans(df, k=8, min_count=2).collect()
+    }
+    assert len(out) == 4
+    # doc 1: starts at words 4,5,6 (w1..w8, w2..w9, w3..w10) merge into
+    # one span covering w1..w10 = 10 tokens
+    assert (out[1].n_spans, out[1].dup_tokens, out[1].max_span) == (1, 10, 10)
+    assert (out[2].n_spans, out[2].dup_tokens, out[2].max_span) == (1, 10, 10)
+    assert (out[3].n_spans, out[3].dup_tokens, out[3].max_span) == (0, 0, 0)
+    assert (out[4].n_spans, out[4].dup_tokens, out[4].max_span) == (1, 8, 8)
+    assert out[1].dl == 15 and out[4].dl == 14
+
+
+def test_substring_spans_two_disjoint_spans(spark):
+    # one doc carries TWO separated duplicated runs -> two islands
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(9))
+    gap = " ".join(f"g{i}" for i in range(5))
+    rows = [
+        (1, a + " " + gap + " " + b),
+        (2, a + " q r s t u v w x"),
+        (3, "m n o p q r s t " + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.dup_substring_spans(df, k=8, min_count=2).collect()
+    }
+    assert (out[1].n_spans, out[1].dup_tokens, out[1].max_span) == (2, 17, 9)
+
+
+def test_bloom_probe_no_false_negatives_and_exact_fp(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    c = docs.select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    build = c.filter(F.col("doc_id") % 2 == 0).select("digest")
+    # force true duplicates: even docs probe their own digests
+    probe = c.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    ).select("doc_id", "digest")
+    out = dedup.bloom_probe(build, probe, m_bits=512, k=4).collect()
+    # Bloom contract: zero false negatives, at this tiny m some FPs
+    assert all(r.bloom_hit == 1 for r in out if r.actual_dup == 1)
+    assert any(r.actual_dup == 1 for r in out)
+    # independent python replay of the filter
+    import hashlib
+
+    def bucket(s: str, m: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+    build_digests = [r.digest for r in c.filter(F.col("doc_id") % 2 == 0).collect()]
+    bits = {bucket(f"b{j}:{d}", 512) for d in build_digests for j in range(4)}
+    probe_rows = {r.doc_id: r for r in out}
+    for r in c.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)).collect():
+        want = 1 if all(bucket(f"b{j}:{r.digest}", 512) in bits for j in range(4)) else 0
+        assert probe_rows[r.doc_id].bloom_hit == want
+
+
+def test_hashed_classifier_python_replay(spark):
+    import hashlib
+
+    rows = [(i, f"alpha beta w{i} gamma") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    weights = text.hashed_weights(spark, n_buckets=64, seed="w0")
+    out = {
+        r.doc_id: r
+        for r in text.hashed_linear_score(df, weights, n_buckets=64).collect()
+    }
+
+    def bucket(s: str, m: int) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % m
+
+    for i, t in rows:
+        ws = t.split(" ")
+        feats = [f"u:{w}" for w in ws] + [
+            f"b:{a} {b}" for a, b in zip(ws, ws[1:])
+        ]
+        score = sum(
+            bucket(f"w0:{bucket(f, 64)}", 2001) - 1000 for f in feats
+        )
+        assert out[i].n_feats == len(feats)
+        assert out[i].score_e3 == score
+        assert out[i].label == (1 if score >= 0 else 0)

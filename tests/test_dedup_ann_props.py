@@ -481,3 +481,51 @@ def test_lsh_multiprobe_dominates_single_probe(spark, sf_dir):
     rs = {(r["query_id"], r["neighbor_id"]) for r in single.collect()} & truth
     rm = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()} & truth
     assert len(rm) >= len(rs)
+
+
+def test_pq_train_first_assignment_matches_pq_encode(spark, sf_dir):
+    """pq_train's pass-1 statistics must be the group means of
+    pq_encode's codes under the same seed codebook — same L2, same
+    tie rule — pinning the two PQ components to one assignment
+    semantics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < 8)
+    trained = simsearch.pq_train(emb, seed, m=4, dim=64, iters=1).collect()
+    codes = simsearch.pq_encode(emb, seed, m=4, dim=64).collect()
+    vq = {
+        r.vec_id: [int(round(float(x) * 10000)) for x in r.embedding]
+        for r in emb.collect()
+    }
+    # group the encoded corpus by (m, code); replay floor-div means
+    groups = {}
+    for r in codes:
+        groups.setdefault((r.m, r.code), []).append(r.vec_id)
+    want = {}
+    for (m, code), vecs in groups.items():
+        for j in range(16):
+            qs = [vq[v][m * 16 + j] for v in vecs]
+            s = sum(qs)
+            want[(m, code, j + 1)] = (
+                s // len(qs) if s >= 0 or s % len(qs) == 0 else -((-s) // len(qs)),
+                len(qs),
+            )
+    got = {(r.m, r.code, r.dim): (r.mean_q, r.n_vecs) for r in trained}
+    assert got.keys() == want.keys()
+    mismatch = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert not mismatch, list(mismatch.items())[:5]
+
+
+def test_pq_train_partitions_corpus_every_subspace(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = simsearch.pq_train(
+        emb, emb.filter(F.col("vec_id") < 8), m=4, dim=64, iters=2
+    )
+    per_sub = (
+        out.filter(F.col("dim") == 1)
+        .groupBy("m")
+        .agg(F.sum("n_vecs").alias("tot"))
+        .collect()
+    )
+    assert len(per_sub) == 4
+    assert all(r.tot == n for r in per_sub)

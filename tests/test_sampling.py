@@ -120,3 +120,76 @@ def test_md5_bucket_matches_duckdb_twin(spark, oracle):
         ).fetchall()
     }
     assert got == want
+
+
+def test_temperature_mixture_python_replay(spark, sf_dir):
+    import hashlib
+    import math
+
+    from aistore_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = sampling.temperature_mixture(docs, scale=4).collect()
+    rows = docs.collect()
+    counts = {}
+    for r in rows:
+        counts[r.source] = counts.get(r.source, 0) + 1
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(r)
+    for r in rows:
+        n = counts[r.source]
+        s = math.isqrt(n)
+        num, den = 4 * s, n
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % den
+        copies = num // den + (1 if bucket < num % den else 0)
+        have = got.get(r.doc_id, [])
+        assert len(have) == copies, (r.doc_id, copies, len(have))
+        if have:
+            assert sorted(h.copy_idx for h in have) == list(range(copies))
+            assert have[0].sqrt_n == s and have[0].n_source == n
+
+
+def test_isqrt_exact_matches_math(spark):
+    import math
+
+    from aistore_spark.operators.sampling import _isqrt_exact
+    from pyspark.sql import functions as F
+
+    ns = list(range(0, 200)) + [10**6 - 1, 10**6, 10**6 + 1, 10**12, 10**12 + 10**6]
+    df = spark.createDataFrame([(n,) for n in ns], "n long")
+    out = df.select("n", _isqrt_exact(F.col("n")).alias("s")).collect()
+    for r in out:
+        assert r.s == math.isqrt(r.n), (r.n, r.s)
+
+
+def test_sliding_windows_coverage_and_replay(spark, sf_dir):
+    from aistore_spark.sources.tables import load_table
+
+    W, S = 32, 24
+    docs = load_table(spark, sf_dir, "documents")
+    dls = {
+        r.doc_id: len(r.text.split(" ")) for r in docs.collect()
+    }
+    out = {}
+    for r in sampling.sliding_windows(docs, window=W, stride=S).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    for doc_id, dl in dls.items():
+        wins = sorted(out[doc_id], key=lambda r: r.win_idx)
+        if dl <= W:
+            assert len(wins) == 1
+            assert (wins[0].start, wins[0].end, wins[0].win_len) == (1, dl, dl)
+            continue
+        n = -(-(dl - W) // S) + 1
+        assert len(wins) == n
+        covered = set()
+        for i, w in enumerate(wins):
+            assert w.win_idx == i
+            assert w.win_len == W  # long docs: every window full
+            assert w.end == w.start + W - 1 <= dl
+            if i < n - 1:
+                assert w.start == i * S + 1
+            else:
+                assert w.start == dl - W + 1
+            covered.update(range(w.start, w.end + 1))
+        assert covered == set(range(1, dl + 1))  # total coverage
