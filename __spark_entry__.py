@@ -39,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining slots re-check the single-green r6 block (freshest code,
 # one hard row each) and the verdict-r5 high-risk shortlist. Dropped
 # vs r6 to make room for the new queries: ann1/t2_offline/dd8/dd4/dd3/
-# dd5/dd6/pipe1/pipe2/tok1/ds1/ds2 (each driver-green in r4-r6 with
-# unchanged fingerprints; most also hash-exact at sf1 in
+# dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b (each driver-green in
+# r4-r6 with unchanged fingerprints; most also hash-exact at sf1 in
 # CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
@@ -63,21 +63,21 @@ DRIVER_CHECK_PRIORITY = [
     "samp4_temperature_mixture",
     "tok3_sliding_windows",
     "ann7b_pq_train",
+    "mm11_dhash_neardup",
+    "ev4_late_events",
+    "pipe4_quality_gate",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
     "t10_audio_resample",
     "d5_reshard",
     "dd6b_simhash_prod",
     "dd9_semantic_dedup",
-    "ev1_windowed_counts",
     "j1b_mixed_entries",
-    "m6_rename_bucket",
     "mm2b_png_thumbnail",
     "mm3b_png_features",
     "mm4b_gif_frame_extract",
     "mm8_gif_decode",
     "mm9_media_dispatch",
-    "s2b_atime_format",
     "s4_archive_listing",
     "s5b_dirs_first_page",
     "s7b_dsv2_listing",

@@ -6181,3 +6181,280 @@ def ann7b_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.pq_train(
         emb, emb.filter(F.col("vec_id") < 8), m=4, dim=64, iters=2
     )
+
+
+@register(
+    "mm11_dhash_neardup",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id - doc_id % 3 AS img_id,
+             4 + (doc_id - doc_id % 3) % 29 AS w,
+             5 + (doc_id - doc_id % 3) % 17 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    g AS (
+      SELECT i.doc_id, u.r AS u, v.r AS v,
+             (299 * ((i.img_id + (u.r * i.w) // 9) % 256)
+            + 587 * ((3 * i.img_id + 7 * ((v.r * i.h) // 8)) % 256)
+            + 114 * (((u.r * i.w) // 9 + (v.r * i.h) // 8) % 256)) // 1000
+               AS gray
+      FROM ids i, range(0, 9) u(r), range(0, 8) v(r)
+    ),
+    bits AS (
+      SELECT g1.doc_id, g1.v * 8 + g1.u AS idx,
+             CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+      FROM g g1 JOIN g g2 ON g2.doc_id = g1.doc_id AND g2.v = g1.v
+                         AND g2.u = g1.u + 1
+      WHERE g1.u < 8
+    ),
+    bands AS (
+      SELECT doc_id, CAST(idx // 16 AS INT) AS band,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(idx % 16 AS INT)))
+                  AS BIGINT) AS val
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                               AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(bit_count(xor(x.val, y.val))) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bands x ON x.doc_id = c.doc_a
+      JOIN bands y ON y.doc_id = c.doc_b AND y.band = x.band
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def mm11_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM11: image near-duplicate detection via perceptual dHash over
+    REALLY-decoded PNGs — the multimodal counterpart of simhash text
+    dedup: decode (full CRC/inflate/unfilter path) -> 9x8
+    nearest-neighbor resample -> integer BT.601 luminance ->
+    64 adjacent-comparison bits held as four 16-bit bands -> banded
+    candidate join (pigeonhole-complete for Hamming <= 3) -> exact
+    bit_count(xor) verify. The fixture groups odd docs onto shared
+    image content (img_id = doc_id - doc_id%3), so true duplicate
+    pairs exist; the oracle re-derives every bit analytically from the
+    synth pixel formula, so a defect ANYWHERE in the decode/resample/
+    luminance/banding chain breaks the hash. 100 TB shape: the only
+    Python is the Arrow-batched decode; candidates key on (band, val),
+    verify re-keys the small candidate set — no all-pairs product —
+    see operators/multimodal.py:png_dhash/dhash_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("img_id")
+    )
+    frames = multimodal.synth_png_frame(ids, content_col="img_id")
+    bands = multimodal.png_dhash(frames)
+    return multimodal.dhash_pairs(bands, max_hamming=3)
+
+
+@register(
+    "ev4_late_events",
+    """
+    WITH t AS (
+      SELECT user_id, event_id,
+             CAST(epoch_us(ts) AS BIGINT)
+             - CASE WHEN event_id % 17 = 0 THEN 86400000000 ELSE 0 END AS t_us
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, t_us,
+             max(t_us) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS run_max
+      FROM t
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN run_max - t_us > 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(coalesce(max(CASE WHEN run_max - t_us > 600000000
+                                  THEN run_max - t_us END), 0) AS BIGINT)
+             AS max_late_us
+    FROM r GROUP BY user_id
+    """,
+)
+def ev4_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV4: per-key watermark lateness accounting — the deterministic
+    batch mirror of Structured Streaming's withWatermark drop rule:
+    an event is LATE when it arrives (event_id = arrival order) more
+    than 10 minutes behind its user's running max event-time, i.e.
+    exactly the rows a 10-minute watermark on a user-keyed stateful op
+    would drop. Per user: event count, late count, worst lateness in
+    exact micros. Streaming parity belongs to
+    streaming/ingest.py's watermarked ops; this query pins the SAME
+    semantics as a hash-checkable batch plan. The fixture back-dates
+    every 17th event by 24 hours (the synthetic stream arrives in
+    perfect time order, so out-of-order rows are injected
+    deterministically, same pattern as tx9's PII). 100 TB shape: one
+    user-partitioned running-max window (bounded per key), one agg —
+    no global ordering anywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (
+            F.expr(ntz_micros_sql("ts"))
+            - F.when(F.col("event_id") % 17 == 0, 86_400_000_000).otherwise(0)
+        ).alias("t_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = ev.select(
+        "user_id", "t_us", F.max("t_us").over(w).alias("run_max")
+    )
+    late = F.col("run_max") - F.col("t_us") > 600_000_000
+    return r.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.coalesce(
+            F.max(F.when(late, F.col("run_max") - F.col("t_us"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_late_us"),
+    )
+
+
+@register(
+    "pipe4_quality_gate",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             CASE WHEN min(doc_id) OVER (PARTITION BY md5(text)) = doc_id
+                  THEN 1 ELSE 0 END AS is_canonical
+      FROM documents
+    ),
+    d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    uni AS (SELECT doc_id, 'u:' || unnest(w) AS feat FROM d),
+    bi AS (
+      SELECT doc_id, 'b:' || w[i] || ' ' || w[i + 1] AS feat
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+      WHERE len(w) >= 2
+    ),
+    f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    sc AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('w0:' || CAST(
+                ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w_e3
+      FROM f
+    ),
+    cls AS (
+      SELECT doc_id,
+             CASE WHEN sum(w_e3) >= 0 THEN 1 ELSE 0 END AS label
+      FROM sc GROUP BY doc_id
+    ),
+    docs AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM d),
+    g AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS gh
+      FROM docs, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i) t
+      WHERE dl >= 8
+    ),
+    dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+    occ AS (SELECT doc_id, i FROM g JOIN dup USING (gh)),
+    fl AS (
+      SELECT doc_id, i,
+             CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                    OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + 8
+                  THEN 1 ELSE 0 END AS nf
+      FROM occ
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(nf) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    sp AS (
+      SELECT doc_id, island, max(i) - min(i) + 8 AS span_len
+      FROM isl GROUP BY 1, 2
+    ),
+    dupt AS (
+      SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_tokens
+      FROM sp GROUP BY 1
+    ),
+    joined AS (
+      SELECT c.doc_id, c.is_canonical, l.label, dd.dl,
+             CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+      FROM canon c
+      JOIN cls l USING (doc_id)
+      JOIN docs dd USING (doc_id)
+      LEFT JOIN dupt p USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(is_canonical AS BIGINT) AS is_canonical,
+           CAST(label AS BIGINT) AS label,
+           dup_tokens, dl,
+           CAST(CASE WHEN is_canonical = 1 AND label = 1
+                      AND dup_tokens * 5 <= dl
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           CAST((1 - is_canonical)
+                + 2 * (1 - label)
+                + 4 * (CASE WHEN dup_tokens * 5 > dl THEN 1 ELSE 0 END)
+             AS BIGINT) AS reason
+    FROM joined
+    """,
+)
+def pipe4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIPE4: the full curation DECISION for every document — exact
+    dedup canonicality (dd1), hashed-classifier quality label (tx12),
+    and duplicated-substring share (dd10, drop when > 20% of tokens
+    sit in cross-corpus duplicated spans) folded into one keep bit
+    plus a reason bitmask (1 = duplicate, 2 = low quality, 4 = too
+    much boilerplate) — the per-doc audit artifact a curation team
+    ships next to the cleaned corpus. One Catalyst plan: the three
+    verdicts are independent subplans joined on doc_id; at 100 TB
+    each keeps its own shuffle key (digest / doc / gram-digest) and
+    the final join is doc-keyed."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        "doc_id",
+        F.when(
+            F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+            == F.col("doc_id"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_canonical"),
+    )
+    weights = text.hashed_weights(spark, n_buckets=4096, seed="w0")
+    cls = text.hashed_linear_score(docs, weights, n_buckets=4096).select(
+        "doc_id", F.col("label").cast("bigint").alias("label")
+    )
+    spans = dedup.dup_substring_spans(docs, k=8, min_count=2).select(
+        "doc_id", "dl", "dup_tokens"
+    )
+    joined = canon.join(cls, "doc_id").join(spans, "doc_id")
+    too_dupey = F.col("dup_tokens") * 5 > F.col("dl")
+    return joined.select(
+        "doc_id",
+        "is_canonical",
+        "label",
+        "dup_tokens",
+        "dl",
+        F.when(
+            (F.col("is_canonical") == 1)
+            & (F.col("label") == 1)
+            & ~too_dupey,
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("keep"),
+        (
+            (1 - F.col("is_canonical"))
+            + 2 * (1 - F.col("label"))
+            + 4 * F.when(too_dupey, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("reason"),
+    )

@@ -636,15 +636,22 @@ def decode_png_meta(
     return df.mapInPandas(run, schema=PNG_META_SCHEMA)
 
 
-def synth_png_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Attach a real synthesized PNG binary column per id row."""
+def synth_png_frame(
+    ids: DataFrame, id_col: str = "doc_id", content_col: str | None = None
+) -> DataFrame:
+    """Attach a real synthesized PNG binary column per id row.
+    ``content_col`` (default: the id itself) picks the column that
+    seeds the PIXEL CONTENT — distinct rows can carry identical
+    images, which is how near-duplicate image fixtures are built
+    (mm11)."""
+    src = content_col or id_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "img": [synth_png(int(i)) for i in pdf[id_col]],
+                    "img": [synth_png(int(i)) for i in pdf[src]],
                 }
             )
 
@@ -1489,3 +1496,86 @@ def resample_wav(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=RESAMPLE_SCHEMA)
+
+
+DHASH_SCHEMA = "doc_id bigint, band int, val bigint"
+
+
+def png_dhash(
+    df: DataFrame, id_col: str = "doc_id", data_col: str = "img"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REALLY-decoded PNG
+    pixels: nearest-neighbor-resample to a 9x8 grid (the canonical
+    ``u*w div 9`` floor mapping, same contract as png_thumbnail),
+    integer BT.601 luminance ``(299R + 587G + 114B) div 1000``, one
+    bit per horizontally-adjacent comparison ``gray(u+1,v) >
+    gray(u,v)`` — 64 bits held as FOUR 16-bit band values (long form
+    ``(doc_id, band, val)``), which keeps every value unsigned-exact
+    in a BIGINT and is already the shape the LSH band join wants.
+
+    Scale: Arrow-batched mapInPandas decode (the only Python stage);
+    everything downstream is band-keyed DataFrame joins.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "band": [], "val": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[data_col]):
+                w, h, _n, rgb = decode_png_pixels(bytes(blob))
+                ux = np.array([u * w // 9 for u in range(9)])
+                vy = np.array([v * h // 8 for v in range(8)])
+                sample = rgb[np.ix_(vy, ux)]
+                gray = (
+                    299 * sample[:, :, 0]
+                    + 587 * sample[:, :, 1]
+                    + 114 * sample[:, :, 2]
+                ) // 1000
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                flat = bits.reshape(-1)  # idx = v*8 + u, row-major
+                for band in range(4):
+                    val = 0
+                    for i in range(16):
+                        val |= int(flat[band * 16 + i]) << i
+                    out["doc_id"].append(int(doc_id))
+                    out["band"].append(band)
+                    out["val"].append(val)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs from dHash bands: candidates share
+    at least one identical 16-bit band (pigeonhole: any pair within
+    Hamming distance 3 of a 4-band 64-bit hash must agree on >= 1
+    band — the same banding argument as simhash_pairs), then the
+    EXACT Hamming distance is verified band-wise
+    (``bit_count(xor)``) and thresholded.
+
+    Returns ``(doc_a, doc_b, hamming)`` with doc_a < doc_b. Scale:
+    the candidate join keys on (band, val) — selective by
+    construction; the verify join re-keys the (small) candidate set
+    by doc id. No all-pairs product anywhere.
+    """
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "val")
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    xa = bands.select(F.col("doc_id").alias("doc_a"), "band", F.col("val").alias("va"))
+    xb = bands.select(F.col("doc_id").alias("doc_b"), "band", F.col("val").alias("vb"))
+    return (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.bit_count(F.col("va").bitwiseXOR(F.col("vb"))))
+            .cast("bigint")
+            .alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

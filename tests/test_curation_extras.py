@@ -668,3 +668,62 @@ def test_hashed_classifier_python_replay(spark):
         assert out[i].n_feats == len(feats)
         assert out[i].score_e3 == score
         assert out[i].label == (1 if score >= 0 else 0)
+
+
+def test_dhash_pairs_pigeonhole_complete(spark, sf_dir):
+    """Banded dHash candidates + verify must find EXACTLY the pairs a
+    brute-force Hamming scan finds at threshold 3 (pigeonhole: 4 bands
+    / 64 bits) — and the Spark hash must equal the analytic hash
+    derived straight from the synth pixel formula."""
+    from aistore_spark.operators import multimodal
+
+    ids_df = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            (F.col("doc_id") - F.col("doc_id") % 3).alias("img_id"),
+        )
+    )
+    frames = multimodal.synth_png_frame(ids_df, content_col="img_id")
+    bands = multimodal.png_dhash(frames)
+    got_pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in multimodal.dhash_pairs(bands, max_hamming=3).collect()
+    }
+
+    # analytic replay
+    def dhash(img_id: int) -> int:
+        w, h = 4 + img_id % 29, 5 + img_id % 17
+        bits = 0
+        for v in range(8):
+            y = v * h // 8
+            gs = []
+            for u in range(9):
+                x = u * w // 9
+                r = (img_id + x) % 256
+                g = (3 * img_id + 7 * y) % 256
+                b = (x + y) % 256
+                gs.append((299 * r + 587 * g + 114 * b) // 1000)
+            for u in range(8):
+                if gs[u + 1] > gs[u]:
+                    bits |= 1 << (v * 8 + u)
+        return bits
+
+    ids = [r.doc_id for r in ids_df.collect()]
+    hs = {d: dhash(d - d % 3) for d in ids}
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            lo, hi = min(a, b), max(a, b)
+            ham = bin(hs[a] ^ hs[b]).count("1")
+            if ham <= 3:
+                want[(lo, hi)] = ham
+    assert got_pairs == want
+    # spark band values match the analytic hash bit-for-bit
+    got_bands = {}
+    for r in bands.collect():
+        got_bands.setdefault(r.doc_id, {})[r.band] = r.val
+    for d in ids[:25]:
+        full = sum(got_bands[d][j] << (16 * j) for j in range(4))
+        assert full == hs[d], d
