@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining slots re-check the single-green r6 block (freshest code,
 # one hard row each) and the verdict-r5 high-risk shortlist. Dropped
 # vs r6 to make room for the new queries: ann1/t2_offline/dd8/dd4/dd3/
-# dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b (each driver-green in
-# r4-r6 with unchanged fingerprints; most also hash-exact at sf1 in
-# CORRECTNESS_SF1_r07.json).
+# dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b/s4/s5b/s7b/samp3 (each
+# driver-green in r4-r6 with unchanged fingerprints; most also
+# hash-exact at sf1 in CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
     "s2c_custom_props",
@@ -66,6 +66,10 @@ DRIVER_CHECK_PRIORITY = [
     "mm11_dhash_neardup",
     "ev4_late_events",
     "pipe4_quality_gate",
+    "ev5_asof_join",
+    "ev6_range_join",
+    "j4c_hash_ring",
+    "tx13_vocab_overlap",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
     "t10_audio_resample",
@@ -78,10 +82,6 @@ DRIVER_CHECK_PRIORITY = [
     "mm4b_gif_frame_extract",
     "mm8_gif_decode",
     "mm9_media_dispatch",
-    "s4_archive_listing",
-    "s5b_dirs_first_page",
-    "s7b_dsv2_listing",
-    "samp3_source_mixture",
     "t1b_inline_etl_args",
     "t8_direct_put",
     "t9_media_transcode",

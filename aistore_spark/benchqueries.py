@@ -6458,3 +6458,273 @@ def pipe4_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reason"),
     )
+
+
+@register(
+    "ev5_asof_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us
+      FROM events
+    ),
+    u AS (
+      SELECT user_id AS k, t_us AS t, 0 AS il, event_id AS rid,
+             t_us AS rts, NULL::BIGINT AS lid
+      FROM e WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, t_us, 1, NULL, NULL, event_id
+      FROM e WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT k, t, il, lid,
+             last_value(rts IGNORE NULLS) OVER w AS match_ts,
+             last_value(rid IGNORE NULLS) OVER w AS matched_event_id
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY t, il, rts, rid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lid AS event_id, k AS user_id, t AS t_us, match_ts,
+           matched_event_id, t - match_ts AS lag_us
+    FROM c WHERE il = 1
+    """,
+)
+def ev5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV5: backward AS-OF JOIN — every purchase event picks the
+    latest prior (inclusive) click of the same user: the point-in-time
+    join of event analytics, one of the classic operators Spark lacks
+    as a built-in. Scale-right shape (operators/timejoin.py:asof_join):
+    tagged UNION + ONE per-key running-carry window — one shuffle on
+    user_id, bounded window state, no inequality join, no per-row
+    subquery, no row explosion (the naive MAX-over-theta-join is
+    quadratic per key). The DuckDB twin runs the identical union-carry
+    formulation, so tie rules (right-before-left at equal ts, largest
+    id among equal-ts rights) are value-checked. Unmatched purchases
+    keep NULL match columns."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(ntz_micros_sql("ts")).alias("t_us"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    rights = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("t_us").alias("r_us"), "event_id"
+    )
+    from aistore_spark.operators import timejoin
+
+    out = timejoin.asof_join(
+        probes,
+        rights,
+        key="user_id",
+        left_ts="t_us",
+        right_ts="r_us",
+        right_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "match_ts",
+        "matched_event_id",
+        (F.col("t_us") - F.col("match_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "ev6_range_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us
+      FROM events
+    ),
+    iv AS (
+      SELECT event_id AS win_id, user_id, t_us AS s,
+             t_us + 1800000000 AS ee
+      FROM e WHERE event_type = 'error'
+    )
+    SELECT iv.win_id,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(count(DISTINCT p.event_type) AS BIGINT) AS n_types
+    FROM iv JOIN e p ON p.user_id = iv.user_id
+                    AND p.t_us >= iv.s AND p.t_us <= iv.ee
+    GROUP BY 1
+    """,
+)
+def ev6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV6: interval RANGE JOIN — every error event opens a 30-minute
+    incident window; count the same user's events (and distinct types)
+    falling inside each window. The naive non-equi condition compiles
+    to BroadcastNestedLoopJoin; the scale-right shape
+    (operators/timejoin.py:range_join) BUCKETIZES: intervals explode
+    to the 30-min buckets they cover (fan-out <= 2 here), probes join
+    on (user, bucket) EQUALITY — shuffle-hash-able — then the exact
+    containment filter. The oracle is the plain inequality join, so
+    the bucketization must be lossless."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(ntz_micros_sql("ts")).alias("t_us"),
+    )
+    iv = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.col("t_us").alias("w_start"),
+        (F.col("t_us") + 1_800_000_000).alias("w_end"),
+    )
+    from aistore_spark.operators import timejoin
+
+    joined = timejoin.range_join(
+        ev,
+        iv,
+        key="user_id",
+        probe_ts="t_us",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_us=1_800_000_000,
+        interval_cols=["win_id"],
+    )
+    return joined.groupBy("win_id").agg(
+        F.count("*").cast("bigint").alias("n_in"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+
+
+@register(
+    "j4c_hash_ring",
+    oracles.with_catalogs(
+        """
+        WITH v AS (
+          SELECT t.r AS target, s.r AS vn,
+                 md5('t' || CAST(t.r AS VARCHAR) || '#'
+                     || CAST(s.r AS VARCHAR)) AS vh
+          FROM range(0, 8) t(r), range(0, 32) s(r)
+        ),
+        keys AS (SELECT name, md5(name) AS kh FROM objects),
+        cand AS (
+          SELECT k.name,
+                 min(CASE WHEN v.vh >= k.kh THEN v.vh END) AS m1,
+                 min(v.vh) AS m2
+          FROM keys k CROSS JOIN v
+          GROUP BY k.name
+        ),
+        owner AS (
+          SELECT c.name, v.target
+          FROM cand c JOIN v ON v.vh = coalesce(c.m1, c.m2)
+        )
+        SELECT target, count(*) AS n_objects,
+               md5(string_agg(name, ',' ORDER BY name)) AS names_md5
+        FROM owner GROUP BY target
+        """,
+        "objects",
+    ),
+)
+def j4c_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4c: consistent-hash RING placement (32 virtual nodes per
+    target) — the alternative placement discipline to the reference's
+    HRW (j4/j4b): a key belongs to the first vnode clockwise from its
+    hash (md5 ring, lexicographic order, wrap to the global minimum).
+    Registered alongside HRW so both classic sharding schemes are
+    value-checked with full placement-map fingerprints. Scale shape:
+    the vnode table (targets × vnodes = 256 rows) broadcasts; the
+    successor search is a map-side-combinable conditional min(struct)
+    per name — the declarative twin of the O(log V) ring binary
+    search, one combiner row per key into the shuffle."""
+    objects = _objects(spark, sf_dir)
+    spark_ = objects.sparkSession
+    vnodes = (
+        spark_.range(8)
+        .select(F.col("id").alias("target"))
+        .crossJoin(spark_.range(32).select(F.col("id").alias("vn")))
+        .select(
+            "target",
+            F.md5(
+                F.concat(
+                    F.lit("t"),
+                    F.col("target").cast("string"),
+                    F.lit("#"),
+                    F.col("vn").cast("string"),
+                )
+            ).alias("vh"),
+        )
+    )
+    keys = objects.select("name", F.md5("name").alias("kh"))
+    scored = keys.crossJoin(F.broadcast(vnodes))
+    cand = scored.groupBy("name").agg(
+        F.min(
+            F.when(
+                F.col("vh") >= F.col("kh"), F.struct(F.col("vh"), F.col("target"))
+            )
+        ).alias("m1"),
+        F.min(F.struct(F.col("vh"), F.col("target"))).alias("m2"),
+    )
+    owner = cand.select(
+        "name", F.coalesce(F.col("m1.target"), F.col("m2.target")).alias("target")
+    )
+    return owner.groupBy("target").agg(
+        F.count("*").alias("n_objects"),
+        F.md5(F.array_join(F.sort_array(F.collect_list("name")), ",")).alias(
+            "names_md5"
+        ),
+    )
+
+
+@register(
+    "tx13_vocab_overlap",
+    """
+    WITH wc AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS n
+      FROM wc GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT source, word FROM (
+        SELECT source, word,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n DESC, word) AS rn
+        FROM cnt
+      ) WHERE rn <= 100
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_common
+    FROM top a JOIN top b ON a.word = b.word AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def tx13_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX13: cross-source vocabulary overlap — |top-100 vocab(a) ∩
+    top-100 vocab(b)| for every source pair: the corpus-composition
+    diagnostic behind mixture design (samp3/samp4) — near-identical
+    vocabularies argue for merging sources, disjoint ones for separate
+    sampling temperature. Ties at the top-100 boundary break by word
+    (deterministic). 100 TB shape: one (source, word) count agg, a
+    per-source top-k window (bounded by vocabulary, not corpus), and
+    a word-keyed self-join of 100-row-per-source frames — trivially
+    broadcastable at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("word"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 100)
+        .select("source", "word")
+    )
+    a = top.select(F.col("source").alias("src_a"), "word")
+    b = top.select(F.col("source").alias("src_b"), "word")
+    return (
+        a.join(b, "word")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )

@@ -727,3 +727,84 @@ def test_dhash_pairs_pigeonhole_complete(spark, sf_dir):
     for d in ids[:25]:
         full = sum(got_bands[d][j] << (16 * j) for j in range(4))
         assert full == hs[d], d
+
+
+def test_asof_join_python_replay_and_tolerance(spark, sf_dir):
+    from aistore_spark.operators import timejoin
+    from aistore_spark.sources.tables import load_table
+    from aistore_spark.util import ntz_micros_sql
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(ntz_micros_sql("ts")).alias("t_us"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t_us"
+    )
+    rights = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("t_us").alias("r_us"), "event_id"
+    )
+    out = {
+        r.event_id: r
+        for r in timejoin.asof_join(
+            probes, rights, "user_id", "t_us", "r_us", ["event_id"]
+        ).collect()
+    }
+    clicks = {}
+    for r in ev.where(F.col("event_type") == "click").collect():
+        clicks.setdefault(r.user_id, []).append((r.t_us, r.event_id))
+    n_matched = 0
+    for p in probes.collect():
+        cands = [c for c in clicks.get(p.user_id, []) if c[0] <= p.t_us]
+        want = max(cands) if cands else None
+        got = out[p.event_id]
+        if want is None:
+            assert got.match_ts is None and got.matched_event_id is None
+        else:
+            n_matched += 1
+            assert (got.match_ts, got.matched_event_id) == want
+    assert n_matched > 0
+    # tolerance: 1-hour window nulls out older matches
+    tol = timejoin.asof_join(
+        probes, rights, "user_id", "t_us", "r_us", ["event_id"],
+        tolerance_us=3_600_000_000,
+    ).collect()
+    for r in tol:
+        if r.match_ts is not None:
+            assert r.t_us - r.match_ts <= 3_600_000_000
+    assert sum(1 for r in tol if r.match_ts is not None) < n_matched
+
+
+def test_range_join_equals_theta_join(spark, sf_dir):
+    from aistore_spark.operators import timejoin
+    from aistore_spark.sources.tables import load_table
+    from aistore_spark.util import ntz_micros_sql
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr(ntz_micros_sql("ts")).alias("t_us")
+    )
+    iv = ev.where(F.col("event_id") % 50 == 3).select(
+        "user_id",
+        F.col("event_id").alias("win_id"),
+        F.col("t_us").alias("w_start"),
+        (F.col("t_us") + 1_800_000_000).alias("w_end"),
+    )
+    got = sorted(
+        (r.win_id, r.event_id)
+        for r in timejoin.range_join(
+            ev, iv, "user_id", "t_us", "w_start", "w_end", 600_000_000,
+            interval_cols=["win_id"],
+        ).collect()
+    )
+    # brute-force python theta join
+    evs = ev.collect()
+    want = []
+    for w in iv.collect():
+        for e in evs:
+            if e.user_id == w.user_id and w.w_start <= e.t_us <= w.w_end:
+                want.append((w.win_id, e.event_id))
+    assert got == sorted(want)
+    # no duplicate matches from bucket fan-out
+    assert len(got) == len(set(got))
