@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # remaining slots re-check the single-green r6 block (freshest code,
 # one hard row each) and the verdict-r5 high-risk shortlist. Dropped
 # vs r6 to make room for the new queries: ann1/t2_offline/dd8/dd4/dd3/
-# dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b/s4/s5b/s7b/samp3 (each
-# driver-green in r4-r6 with unchanged fingerprints; most also
-# hash-exact at sf1 in CORRECTNESS_SF1_r07.json).
+# dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b/s4/s5b/s7b/samp3/t1b/
+# t8/tx8 (each driver-green in r4-r6 with unchanged fingerprints;
+# most also hash-exact at sf1 in CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
     "s2c_custom_props",
@@ -70,6 +70,9 @@ DRIVER_CHECK_PRIORITY = [
     "ev6_range_join",
     "j4c_hash_ring",
     "tx13_vocab_overlap",
+    "dd12_minhash_estimate",
+    "a7_rollup",
+    "ev7_pivot",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
     "t10_audio_resample",
@@ -82,14 +85,11 @@ DRIVER_CHECK_PRIORITY = [
     "mm4b_gif_frame_extract",
     "mm8_gif_decode",
     "mm9_media_dispatch",
-    "t1b_inline_etl_args",
-    "t8_direct_put",
     "t9_media_transcode",
     "t11_keras_augment",
     "t12_ws_etl_channel",
     "t13_face_detect",
     "tx10_heavy_phrases",
-    "tx8_bigram_familiarity",
     "tx9_pii_redact",
     "g3_output_formats",
     "g1_mixed_batches",

@@ -6728,3 +6728,160 @@ def tx13_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_a", "src_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
+
+
+@register(
+    "dd12_minhash_estimate",
+    oracles.with_catalogs(
+        f"""
+        WITH wp AS ({_WP_SQL}),
+        sh AS ({_SHINGLES_SQL}),
+        mh AS (
+          SELECT doc_id, CAST(r AS INT) AS band,
+                 min(md5(CAST(r AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh, range(0, 8) t(r)
+          GROUP BY doc_id, r
+        ),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS match_slots
+          FROM mh a
+          JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
+                    AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY 1
+        ),
+        common AS (
+          SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.match_slots,
+               COALESCE(m.inter, 0) AS inter,
+               sa.n_sh + sb.n_sh - COALESCE(m.inter, 0) AS union_sh,
+               CAST(CASE WHEN c.match_slots *
+                              (sa.n_sh + sb.n_sh - COALESCE(m.inter, 0))
+                              >= 8 * COALESCE(m.inter, 0)
+                         THEN 1 ELSE 0 END AS BIGINT) AS est_ge_true
+        FROM cand c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+        """,
+        "objects",
+    ),
+)
+def dd12_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD12: MinHash ESTIMATOR calibration — for every LSH candidate
+    pair, the signature-level similarity estimate (matching minhash
+    slots of 8) next to the TRUE shingle Jaccard (exact inter/union
+    integers) and the cross-multiplied over/under flag
+    (match_slots x union >= 8 x inter). This is the measurement a
+    pipeline owner uses to pick band/row counts: the estimator's bias
+    on THIS corpus, not the textbook formula. Shares one pinned
+    shingle frame between the LSH and verify stages (the dd2/dd7
+    sharing discipline). 100 TB shape: identical to dd2 — (band,
+    minhash)-keyed candidates, candidate-routed exact verify, nothing
+    corpus-quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aistore_spark.util import pin
+
+    sh = pin(dedup.shingles(docs, n=3))
+    cand = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
+    ver = dedup.jaccard_verify(
+        docs, cand, n=3, threshold_num=0, threshold_den=1, shingles_df=sh
+    )
+    out = (
+        cand.select("doc_a", "doc_b", F.col("shared_bands").alias("match_slots"))
+        .join(ver.select("doc_a", "doc_b", "common", "n_a", "n_b"), ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("match_slots").cast("bigint").alias("match_slots"),
+            F.col("common").cast("bigint").alias("inter"),
+            (F.col("n_a") + F.col("n_b") - F.col("common"))
+            .cast("bigint")
+            .alias("union_sh"),
+            F.when(
+                F.col("match_slots")
+                * (F.col("n_a") + F.col("n_b") - F.col("common"))
+                >= 8 * F.col("common"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("est_ge_true"),
+        )
+    )
+    return out
+
+
+@register(
+    "a7_rollup",
+    """
+    SELECT source, lang,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+)
+def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: hierarchical ROLLUP aggregate — per (source, lang), per
+    source, and grand total in ONE pass with grouping-id disambiguation
+    (the OLAP subtotal surface; Spark ROLLUP == DuckDB GROUP BY ROLLUP
+    bit-for-bit including the grouping bitmask). 100 TB shape: Spark
+    expands rollup to grouping sets inside the SAME partial/final agg —
+    one shuffle, map-side combine for every level."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "ev7_pivot",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase
+    FROM events GROUP BY user_id
+    """,
+)
+def ev7_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV7: PIVOT — event counts per user spread across one column per
+    event type (the wide-format export analysts ask for). The value
+    list is declared (no discovery pass), so Spark compiles it to one
+    pivot_first aggregate — a single shuffle on user_id, map-side
+    combine; the DuckDB twin is the equivalent conditional-sum
+    formulation. Missing combinations are exact zeros on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "signup", "error", "view", "purchase"])
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ["click", "signup", "error", "view", "purchase"]
+        ],
+    )
