@@ -730,7 +730,7 @@ def dup_substring_spans(
     (by-definition small) duplicated-occurrence set.
     """
     ws = F.split(F.col(text_col), " ")
-    docs = documents.select(
+    docs = spread(documents).select(
         "doc_id", F.size(ws).cast("bigint").alias("dl"), ws.alias("w")
     )
     grams = (

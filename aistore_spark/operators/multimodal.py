@@ -1514,9 +1514,15 @@ def png_dhash(
     in a BIGINT and is already the shape the LSH band join wants.
 
     Scale: Arrow-batched mapInPandas decode (the only Python stage);
-    everything downstream is band-keyed DataFrame joins.
+    everything downstream is band-keyed DataFrame joins. The input
+    is spread() so single-row-group fixtures still decode on all
+    cores (no-op on naturally-split data).
     """
     import numpy as np
+
+    from aistore_spark.util import spread
+
+    df = spread(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -908,8 +908,10 @@ def pq_train(
     sub = dim // m
     spark = corpus.sparkSession
     ms = spark.range(m).select(F.col("id").cast("int").alias("m"))
+    from aistore_spark.util import spread
+
     v = (
-        corpus.select(F.col(id_col).alias("vec"), quantized(vec_col).alias("vq"))
+        spread(corpus).select(F.col(id_col).alias("vec"), quantized(vec_col).alias("vq"))
         .crossJoin(ms)
         .select("vec", "m", F.slice("vq", F.col("m") * sub + 1, sub).alias("sv"))
     )

@@ -702,8 +702,9 @@ def hashed_ngram_features(
     ``n_buckets`` buckets; returns (doc_id, bucket, n) counts. Pure
     map-side explode + one doc-keyed agg — the feature extraction
     never joins anything, so at 100 TB it is a single corpus scan."""
-    from aistore_spark.util import md5_bucket
+    from aistore_spark.util import md5_bucket, spread
 
+    documents = spread(documents)
     ws = F.split(F.col(text_col), " ")
     uni = F.transform(ws, lambda w: F.concat(F.lit("u:"), w))
     bi = F.when(
@@ -764,14 +765,43 @@ def hashed_linear_score(
     100 TB corpus is one scan + one broadcast join + one doc-keyed
     integer-sum shuffle — no Python, all codegen.
 
-    Returns (doc_id, n_feats, score_e3, label)."""
-    feats = hashed_ngram_features(documents, n_buckets, text_col)
+    Returns (doc_id, n_feats, score_e3, label).
+
+    Plan note: feature OCCURRENCES join the broadcast weights
+    directly — no per-(doc, bucket) pre-aggregation, because (doc,
+    bucket) pairs are mostly unique (sparse features), so that
+    intermediate groupBy would be a full extra shuffle that combines
+    almost nothing. The only shuffle is the final doc-keyed integer
+    sum; the scan is spread() first (the sf0.1 fixture is one row
+    group — single-task scan — while a real corpus splits naturally,
+    making the spread a no-op)."""
+    from aistore_spark.util import md5_bucket, spread
+
+    documents = spread(documents)
+
+    ws = F.split(F.col(text_col), " ")
+    uni = F.transform(ws, lambda w: F.concat(F.lit("u:"), w))
+    bi = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), (F.size(ws) - 1).cast("int")),
+            lambda i: F.concat(
+                F.lit("b:"),
+                F.element_at(ws, i),
+                F.lit(" "),
+                F.element_at(ws, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = documents.select(
+        "doc_id", F.explode(F.concat(uni, bi)).alias("feat")
+    ).select("doc_id", md5_bucket(F.col("feat"), n_buckets).alias("bucket"))
     return (
-        feats.join(F.broadcast(weights), "bucket")
+        occ.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("n").cast("bigint").alias("n_feats"),
-            F.sum(F.col("n") * F.col("w_e3")).cast("bigint").alias("score_e3"),
+            F.count("*").cast("bigint").alias("n_feats"),
+            F.sum("w_e3").cast("bigint").alias("score_e3"),
         )
         .select(
             "doc_id",
