@@ -6286,8 +6286,10 @@ def ev4_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     than 10 minutes behind its user's running max event-time, i.e.
     exactly the rows a 10-minute watermark on a user-keyed stateful op
     would drop. Per user: event count, late count, worst lateness in
-    exact micros. Streaming parity belongs to
-    streaming/ingest.py's watermarked ops; this query pins the SAME
+    exact micros. The REAL stateful stream twin is
+    streaming/ingest.py:late_events_stream (applyInPandasWithState,
+    running max in the state store), pinned equal to this mirror by
+    test_sources_streaming; this query pins the SAME
     semantics as a hash-checkable batch plan. The fixture back-dates
     every 17th event by 24 hours (the synthetic stream arrives in
     perfect time order, so out-of-order rows are injected

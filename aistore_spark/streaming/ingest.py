@@ -269,3 +269,74 @@ def sessionize_users(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "append",
         "NoTimeout",
     )
+
+
+LATE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("max_late_us", T.LongType()),
+    ]
+)
+
+LATE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_max", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_late", T.LongType()),
+        T.StructField("max_late", T.LongType()),
+    ]
+)
+
+
+def late_events_stream(events: DataFrame, watermark_minutes: int = 10) -> DataFrame:
+    """Per-user watermark lateness accounting as a REAL stateful
+    stream (``applyInPandasWithState``): an event is late when it
+    arrives (event_id order) more than *watermark_minutes* behind the
+    user's running max event-time — the stream-side twin of the
+    ev4_late_events batch mirror, with the running max riding the
+    state store across micro-batches. Emits the per-user totals so
+    far each update; the last update per user is the drained answer
+    (== the batch mirror, pinned by test_sources_streaming).
+
+    Input needs columns (user_id, event_id, t_us) with micro-batches
+    arriving in event_id order (within a batch, rows are sorted by
+    event_id before the state update — arrival order is the
+    event_id, not the row layout).
+    """
+    thresh = watermark_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        rows: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            rows.extend(
+                (int(e), int(t)) for e, t in zip(pdf["event_id"], pdf["t_us"])
+            )
+        rows.sort()
+        if state.exists:
+            run_max, n, n_late, max_late = state.get
+        else:
+            run_max, n, n_late, max_late = -1, 0, 0, 0
+        for _eid, t in rows:
+            if run_max >= 0 and run_max - t > thresh:
+                n_late += 1
+                max_late = max(max_late, run_max - t)
+            n += 1
+            run_max = max(run_max, t)
+        state.update((run_max, n, n_late, max_late))
+        yield pd.DataFrame(
+            [(user_id, n, n_late, max_late)],
+            columns=["user_id", "n_events", "n_late", "max_late_us"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        LATE_OUTPUT_SCHEMA,
+        LATE_STATE_SCHEMA,
+        "update",
+        "NoTimeout",
+    )

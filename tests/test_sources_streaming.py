@@ -406,3 +406,81 @@ def test_download_throttle_job_limit_below_stream_count(spark):
 
     with pytest.raises(ValueError):
         TokenBucket(0)
+
+
+def test_late_events_stream_matches_batch_mirror(spark, sf_dir, tmp_path):
+    """The stateful lateness stream (applyInPandasWithState, running
+    max in the state store across micro-batches) must drain to EXACTLY
+    the ev4_late_events batch mirror — including the deterministic 24h
+    back-dating fixture. Events are split into 5 event_id-ranged
+    parquet files streamed one per trigger, so the state genuinely
+    crosses micro-batch boundaries."""
+    from aistore_spark.benchqueries import QUERIES
+    from aistore_spark.streaming.ingest import late_events_stream
+    from aistore_spark.util import ntz_micros_sql
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            (
+                F.expr(ntz_micros_sql("ts"))
+                - F.when(F.col("event_id") % 17 == 0, 86_400_000_000).otherwise(0)
+            ).alias("t_us"),
+        )
+    )
+    n_total = ev.count()
+    chunk = (n_total + 4) // 5
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i in range(5):
+        part = ev.where(
+            (F.col("event_id") >= i * chunk) & (F.col("event_id") < (i + 1) * chunk)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("t_us", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = late_events_stream(stream, watermark_minutes=10)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_upd")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM late_upd").collect()
+    assert rows
+    # final per-user answer = the update with the largest n_events
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            final[r.user_id] = r
+    batch = {
+        r.user_id: r for r in QUERIES["ev4_late_events"](spark, sf_dir).collect()
+    }
+    assert final.keys() == batch.keys()
+    for uid, b in batch.items():
+        s = final[uid]
+        assert (s.n_events, s.n_late, s.max_late_us) == (
+            b.n_events,
+            b.n_late,
+            b.max_late_us,
+        ), uid
