@@ -40,8 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # one hard row each) and the verdict-r5 high-risk shortlist. Dropped
 # vs r6 to make room for the new queries: ann1/t2_offline/dd8/dd4/dd3/
 # dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b/s4/s5b/s7b/samp3/t1b/
-# t8/tx8 (each driver-green in r4-r6 with unchanged fingerprints;
-# most also hash-exact at sf1 in CORRECTNESS_SF1_r07.json).
+# t8/tx8/mm2b/mm3b (each driver-green in r4-r6 with unchanged
+# fingerprints; most also hash-exact at sf1 in
+# CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned)
     "s2c_custom_props",
@@ -73,6 +74,8 @@ DRIVER_CHECK_PRIORITY = [
     "dd12_minhash_estimate",
     "a7_rollup",
     "ev7_pivot",
+    "s14_snapshot_listing",
+    "m11_lifecycle_tiering",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
     "t10_audio_resample",
@@ -80,8 +83,6 @@ DRIVER_CHECK_PRIORITY = [
     "dd6b_simhash_prod",
     "dd9_semantic_dedup",
     "j1b_mixed_entries",
-    "mm2b_png_thumbnail",
-    "mm3b_png_features",
     "mm4b_gif_frame_extract",
     "mm8_gif_decode",
     "mm9_media_dispatch",

@@ -6887,3 +6887,139 @@ def ev7_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in ["click", "signup", "error", "view", "purchase"]
         ],
     )
+
+
+@register(
+    "s14_snapshot_listing",
+    oracles.with_catalogs(
+        """
+        WITH h AS (
+          SELECT bucket, name,
+                 CAST(version AS INT) AS maxv, v.r AS v,
+                 size - (CAST(version AS INT) - v.r) * 3 AS vsize
+          FROM objects, LATERAL (
+            SELECT unnest(generate_series(1, CAST(version AS INT))) AS r
+          ) v(r)
+        ),
+        snap AS (
+          SELECT bucket, name, max(v) AS v
+          FROM h WHERE v <= 2 GROUP BY 1, 2
+        ),
+        att AS (
+          SELECT s.bucket, s.name, s.v, h.vsize
+          FROM snap s
+          JOIN h ON h.bucket = s.bucket AND h.name = s.name AND h.v = s.v
+        )
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS n_objects,
+               CAST(sum(vsize) AS BIGINT) AS bytes,
+               md5(string_agg(name || ':' || CAST(v AS VARCHAR), ','
+                              ORDER BY name)) AS snap_md5
+        FROM att GROUP BY bucket
+        """,
+        "objects",
+    ),
+)
+def s14_snapshot_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: SNAPSHOT (time-travel) listing — read the catalog AS OF
+    version 2: each object's version history (synthesized
+    deterministically: v = 1..version, earlier versions smaller by 3
+    bytes per step) is resolved to the latest row with v <= 2, the
+    table-format commit-log read pattern (Delta/Iceberg style) applied
+    to the object catalog. Per-bucket rollup with a full
+    name:version fingerprint so the oracle checks the resolved
+    snapshot, not just counts. 100 TB shape: history explode is
+    map-side; the latest-version resolution is one max(struct) agg
+    keyed by (bucket, name) — no window over the history."""
+    objects = _objects(spark, sf_dir)
+    maxv = F.col("version").cast("int")
+    h = objects.select(
+        "bucket",
+        "name",
+        maxv.alias("maxv"),
+        F.explode(F.sequence(F.lit(1), maxv)).alias("v"),
+        "size",
+    ).select(
+        "bucket",
+        "name",
+        "v",
+        (F.col("size") - (F.col("maxv") - F.col("v")) * 3).alias("vsize"),
+    )
+    snap = (
+        h.where(F.col("v") <= 2)
+        .groupBy("bucket", "name")
+        .agg(F.max(F.struct(F.col("v"), F.col("vsize"))).alias("m"))
+        .select(
+            "bucket",
+            "name",
+            F.col("m.v").alias("v"),
+            F.col("m.vsize").alias("vsize"),
+        )
+    )
+    return snap.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_objects"),
+        F.sum("vsize").cast("bigint").alias("bytes"),
+        F.md5(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(F.col("name"), F.lit(":"), F.col("v").cast("string"))
+                    )
+                ),
+                ",",
+            )
+        ).alias("snap_md5"),
+    )
+
+
+@register(
+    "m11_lifecycle_tiering",
+    oracles.with_catalogs(
+        """
+        WITH mx AS (SELECT max(atime_ns) AS m FROM objects),
+        tiered AS (
+          SELECT o.bucket, o.size, o.cached,
+                 CASE WHEN (mx.m - o.atime_ns) // 60000000000 < 120
+                      THEN 'hot'
+                      WHEN (mx.m - o.atime_ns) // 60000000000 < 300
+                      THEN 'warm'
+                      ELSE 'cold' END AS tier
+          FROM objects o CROSS JOIN mx
+        )
+        SELECT bucket, tier,
+               CAST(count(*) AS BIGINT) AS n_objects,
+               CAST(sum(size) AS BIGINT) AS bytes,
+               CAST(sum(CASE WHEN cached THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_to_transition
+        FROM tiered GROUP BY 1, 2
+        """,
+        "objects",
+    ),
+)
+def m11_lifecycle_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: lifecycle TIERING plan — age-based storage-class
+    transitions (hot < 120 min since last access, warm < 300, else
+    cold; ages relative to the catalog's max atime so the plan is
+    deterministic): per (bucket, tier) object/byte counts plus how
+    many cached copies a transition job would touch — the
+    policy-driven generalization of M5's watermark LRU. 100 TB shape:
+    a 1-row broadcast (max atime) + one map-side-combined rollup; no
+    per-object output."""
+    objects = _objects(spark, sf_dir)
+    mx = objects.agg(F.max("atime_ns").alias("m"))
+    age_min = F.expr("(m - atime_ns) div 60000000000")
+    tier = (
+        F.when(age_min < 120, "hot").when(age_min < 300, "warm").otherwise("cold")
+    )
+    return (
+        objects.crossJoin(F.broadcast(mx))
+        .select("bucket", "size", "cached", tier.alias("tier"))
+        .groupBy("bucket", "tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_objects"),
+            F.sum("size").cast("bigint").alias("bytes"),
+            F.sum(F.when(F.col("cached"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_to_transition"),
+        )
+    )
