@@ -304,7 +304,9 @@ def synth_wav_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(run, schema="doc_id bigint, wav binary")
+    from aistore_spark.util import spread as _spread
+
+    return _spread(ids).mapInPandas(run, schema="doc_id bigint, wav binary")
 
 
 BMP_META_SCHEMA = (
@@ -393,7 +395,9 @@ def synth_bmp_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(run, schema="doc_id bigint, img binary")
+    from aistore_spark.util import spread as _spread
+
+    return _spread(ids).mapInPandas(run, schema="doc_id bigint, img binary")
 
 
 # ---- real compressed-image codec (stdlib PNG: zlib + scanline filters) ----
@@ -655,7 +659,9 @@ def synth_png_frame(
                 }
             )
 
-    return ids.mapInPandas(run, schema="doc_id bigint, img binary")
+    from aistore_spark.util import spread as _spread
+
+    return _spread(ids).mapInPandas(run, schema="doc_id bigint, img binary")
 
 
 # ---- real dictionary-coded image codec (stdlib GIF87a / LZW) --------------
@@ -941,7 +947,9 @@ def synth_gif_frame(
                 }
             )
 
-    return ids.mapInPandas(run, schema="doc_id bigint, img binary")
+    from aistore_spark.util import spread as _spread
+
+    return _spread(ids).mapInPandas(run, schema="doc_id bigint, img binary")
 
 
 # ---- real media-type dispatch (the decode_media contract, no stub) --------
@@ -992,7 +1000,9 @@ def synth_media_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(run, schema="doc_id bigint, data binary")
+    from aistore_spark.util import spread as _spread
+
+    return _spread(ids).mapInPandas(run, schema="doc_id bigint, data binary")
 
 
 def decode_media_meta(
@@ -1327,7 +1337,9 @@ def synth_jpeg_frame(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(run, schema="doc_id bigint, img binary")
+    from aistore_spark.util import spread as _spread
+
+    return _spread(ids).mapInPandas(run, schema="doc_id bigint, img binary")
 
 
 def decode_jpeg_meta(
