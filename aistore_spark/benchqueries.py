@@ -7023,3 +7023,116 @@ def m11_lifecycle_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_to_transition"),
         )
     )
+
+
+@register(
+    "f2b_template_udtf",
+    oracles.with_catalogs(
+        """
+        WITH tpl AS (
+          SELECT 1 AS tpl_id, 'en/src1/' AS pre, 1 AS s, 481 AS e, 20 AS st
+          UNION ALL SELECT 2, 'en/src3/', 3, 483, 20
+          UNION ALL SELECT 3, 'en/src1/', 900001, 900061, 20
+        ),
+        exp AS (
+          SELECT t.tpl_id,
+                 t.pre || lpad(CAST(g.r AS VARCHAR), 6, '0') || '.txt' AS name
+          FROM tpl t, LATERAL (
+            SELECT unnest(generate_series(t.s, t.e, t.st)) AS r
+          ) g
+        ),
+        names AS (SELECT DISTINCT name FROM objects),
+        j AS (
+          SELECT e.tpl_id, e.name,
+                 CASE WHEN n.name IS NULL THEN 0 ELSE 1 END AS f
+          FROM exp e LEFT JOIN names n ON n.name = e.name
+        )
+        SELECT tpl_id,
+               CAST(count(*) AS BIGINT) AS n_expanded,
+               CAST(sum(f) AS BIGINT) AS n_found,
+               CASE WHEN sum(f) = 0 THEN NULL
+                    ELSE md5(string_agg(CASE WHEN f = 1 THEN name END, ','
+                                        ORDER BY name)) END AS found_md5
+        FROM j GROUP BY tpl_id
+        """,
+        "objects",
+    ),
+)
+def f2b_template_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2b: brace-template expansion as a registered Python UDTF —
+    the §2.13 UDTF surface made real: ``LATERAL expand_tpl(tpl)``
+    expands each template row into its name series inside the SQL
+    plan (Arrow-batched: session conf pins ArrowEvalPythonUDTF, the
+    same no-row-at-a-time contract as the Pandas-UDF rule), then a
+    left join against the catalog reports found/missing per template
+    with a found-set fingerprint — the reference's range-selection
+    presence report (F2/F3) through the table-function door. The
+    UDTF reuses functions/templates.py's parser, so brace semantics
+    cannot drift between the column-expression path (f2) and the
+    UDTF path. 100 TB shape: expansion output is the only data the
+    UDTF touches (templates are rows of a tiny frame); the presence
+    join keys on name."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="name string, idx bigint")
+    class ExpandTpl:
+        def eval(self, template: str):
+            from itertools import product
+
+            from aistore_spark.functions.templates import parse_template
+
+            literals, ranges = parse_template(template)
+            segs = []
+            for r in ranges:
+                vals = []
+                v = r.start
+                while v <= r.end:
+                    if r.alpha:
+                        vals.append(chr(v))
+                    elif r.width:
+                        vals.append(str(v).zfill(r.width))
+                    else:
+                        vals.append(str(v))
+                    v += r.step
+                segs.append(vals)
+            idx = 0
+            for combo in product(*segs):
+                parts = [literals[0]]
+                for seg, lit in zip(combo, literals[1:]):
+                    parts.append(seg)
+                    parts.append(lit)
+                yield ("".join(parts), idx)
+                idx += 1
+
+    spark.udtf.register("expand_tpl", ExpandTpl)
+    tpls = spark.createDataFrame(
+        [
+            (1, "en/src1/{000001..000481..20}.txt"),
+            (2, "en/src3/{000003..000483..20}.txt"),
+            (3, "en/src1/{900001..900061..20}.txt"),
+        ],
+        "tpl_id int, tpl string",
+    )
+    tpls.createOrReplaceTempView("tpl_f2b")
+    expanded = spark.sql(
+        "SELECT tpl_id, e.name FROM tpl_f2b, LATERAL expand_tpl(tpl) e"
+    )
+    names = _objects(spark, sf_dir).select("name").distinct()
+    j = expanded.join(
+        names.withColumn("f", F.lit(1)), "name", "left"
+    ).select("tpl_id", "name", F.coalesce("f", F.lit(0)).alias("f"))
+    return j.groupBy("tpl_id").agg(
+        F.count("*").cast("bigint").alias("n_expanded"),
+        F.sum("f").cast("bigint").alias("n_found"),
+        F.when(
+            F.sum("f") > 0,
+            F.md5(
+                F.array_join(
+                    F.sort_array(
+                        F.collect_list(F.when(F.col("f") == 1, F.col("name")))
+                    ),
+                    ",",
+                )
+            ),
+        ).alias("found_md5"),
+    )

@@ -42,6 +42,9 @@ def get_spark(
         # reference's atime representation anyway, cmn/objattrs.go:80-81)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs evaluate Arrow-batched (ArrowEvalPythonUDTF),
+        # never row-at-a-time — same contract as the Pandas-UDF rule
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
