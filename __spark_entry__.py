@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # one hard row each) and the verdict-r5 high-risk shortlist. Dropped
 # vs r6 to make room for the new queries: ann1/t2_offline/dd8/dd4/dd3/
 # dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b/s4/s5b/s7b/samp3/t1b/
-# t8/tx8/mm2b/mm3b/mm4b (each driver-green in r4-r6 with unchanged
+# t8/tx8/mm2b/mm3b/mm4b/mm8/mm9/t9 (each driver-green in r4-r6 with unchanged
 # fingerprints; most also hash-exact at sf1 in
 # CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
@@ -77,6 +77,9 @@ DRIVER_CHECK_PRIORITY = [
     "s14_snapshot_listing",
     "m11_lifecycle_tiering",
     "f2b_template_udtf",
+    "ev8_funnel",
+    "samp5_diverse_sample",
+    "tx14_novelty",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
     "t10_audio_resample",
@@ -84,9 +87,6 @@ DRIVER_CHECK_PRIORITY = [
     "dd6b_simhash_prod",
     "dd9_semantic_dedup",
     "j1b_mixed_entries",
-    "mm8_gif_decode",
-    "mm9_media_dispatch",
-    "t9_media_transcode",
     "t11_keras_augment",
     "t12_ws_etl_channel",
     "t13_face_detect",

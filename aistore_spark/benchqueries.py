@@ -7136,3 +7136,216 @@ def f2b_template_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("found_md5"),
     )
+
+
+@register(
+    "ev8_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events
+    ),
+    tv AS (
+      SELECT user_id, min(t) AS t_view
+      FROM e WHERE event_type = 'view' GROUP BY 1
+    ),
+    tc AS (
+      SELECT e.user_id, min(e.t) AS t_click
+      FROM e JOIN tv ON tv.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.t > tv.t_view GROUP BY 1
+    ),
+    tp AS (
+      SELECT e.user_id, min(e.t) AS t_purchase
+      FROM e JOIN tc ON tc.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.t > tc.t_click GROUP BY 1
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN tp.user_id IS NOT NULL THEN 3
+                     WHEN tc.user_id IS NOT NULL THEN 2
+                     WHEN tv.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage,
+           tv.t_view, tc.t_click, tp.t_purchase
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN tv USING (user_id)
+    LEFT JOIN tc USING (user_id)
+    LEFT JOIN tp USING (user_id)
+    """,
+)
+def ev8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV8: ordered FUNNEL analysis — per user, the first
+    view -> first click strictly after it -> first purchase strictly
+    after that, and the deepest stage reached: the sequential-pattern
+    query of product analytics, expressed as three chained
+    conditional-min aggregations (each one user-keyed agg + join, no
+    per-event window, no ordering exchange). Stage timestamps are
+    exact micros (nullable when the funnel stops early). 100 TB
+    shape: every join/agg keys on user_id — one co-partitionable key
+    end to end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(ntz_micros_sql("ts")).alias("t")
+    )
+    tv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    tc = (
+        ev.where(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .where(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    tp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .where(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    out = (
+        users.join(tv, "user_id", "left")
+        .join(tc, "user_id", "left")
+        .join(tp, "user_id", "left")
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id",
+        stage.cast("bigint").alias("stage"),
+        "t_view",
+        "t_click",
+        "t_purchase",
+    )
+
+
+@register(
+    "samp5_diverse_sample",
+    """
+    WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
+               WHERE vec_id < 16),
+    scored AS (
+      SELECT v.vec_id, c.centroid_id,
+             sum(CAST(round(CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 10000, 0) AS BIGINT)
+               * CAST(round(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 10000, 0) AS BIGINT)) AS dot
+      FROM embeddings v, c, range(1, 65) t(i)
+      GROUP BY 1, 2
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT centroid_id, vec_id,
+             row_number() OVER (PARTITION BY centroid_id
+                                ORDER BY md5('s5:' || CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS pick
+      FROM assigned
+    )
+    SELECT r.centroid_id, r.vec_id, CAST(r.pick AS BIGINT) AS pick,
+           d.source
+    FROM ranked r
+    JOIN documents d ON d.doc_id = r.vec_id
+    WHERE r.pick <= 3
+    """,
+)
+def samp5_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMP5: cluster-balanced DIVERSE subset selection — the
+    embedding-space complement of samp4's count-based rebalancing:
+    vectors are IVF-assigned to 16 semantic cells (ann4's broadcast
+    max-IP assignment) and each cell contributes its top-3 by
+    deterministic md5 rank — equal representation per region of
+    embedding space, zero randomness, joined back to the documents
+    for provenance. The semantic-diversity sampling pass of curation
+    pipelines (cluster-then-sample). 100 TB shape: assignment is a
+    16-row broadcast + per-vector min(struct); the per-cell pick is a
+    window bounded by cell size; the provenance join keys on id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    assigned = simsearch.ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
+    from aistore_spark.util import md5_bucket  # noqa: F401  (style parity)
+
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.concat(F.lit("s5:"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"),
+    )
+    ranked = assigned.select("centroid_id", "vec_id").withColumn(
+        "pick", F.row_number().over(w).cast("bigint")
+    )
+    return (
+        ranked.where(F.col("pick") <= 3)
+        .join(docs, ranked["vec_id"] == docs["doc_id"])
+        .select("centroid_id", "vec_id", "pick", "source")
+    )
+
+
+@register(
+    "tx14_novelty",
+    """
+    WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) t
+      WHERE len(w) >= 3
+    ),
+    ref AS (SELECT DISTINCT gram FROM g WHERE len(source) = 4),
+    probe AS (SELECT doc_id, gram FROM g WHERE len(source) = 5),
+    j AS (
+      SELECT p.doc_id,
+             CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END AS novel
+      FROM probe p LEFT JOIN ref r ON r.gram = p.gram
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(novel) AS BIGINT) AS n_novel
+    FROM j GROUP BY doc_id
+    """,
+)
+def tx14_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX14: n-gram NOVELTY scoring — for each new-source document
+    (src10-19), how many of its distinct word trigrams never occur in
+    the reference half of the corpus (src0-9): the
+    "is this batch new information or a rehash?" signal of
+    incremental curation (the inverse of dd8's decontamination
+    overlap). Exact integers (n_grams, n_novel per doc). 100 TB
+    shape: gram extraction is map-side; the only shuffles are the
+    distinct and the gram-keyed anti-style left join — uniform
+    128-char keys, no skew."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.when(
+        F.size("text_w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), (F.size("text_w") - 2).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice("text_w", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from aistore_spark.util import spread
+
+    g = (
+        spread(docs)
+        .select("doc_id", "source", F.split(F.col("text"), " ").alias("text_w"))
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    ref = g.where(F.length("source") == 4).select("gram").distinct()
+    probe = g.where(F.length("source") == 5).select("doc_id", "gram")
+    j = probe.join(ref.withColumn("_hit", F.lit(1)), "gram", "left")
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+    )
