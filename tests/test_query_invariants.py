@@ -1,0 +1,182 @@
+"""Cross-cutting invariants for the newest registered queries — the
+properties their DuckDB oracles can't see (bounds, conservation,
+disruption behavior, layout independence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aistore_spark.benchqueries import QUERIES, _objects
+from aistore_spark.sources.tables import load_table
+
+
+def test_ev8_funnel_stage_ordering(spark, sf_dir):
+    rows = QUERIES["ev8_funnel"](spark, sf_dir).collect()
+    assert rows
+    stages = {r.stage for r in rows}
+    assert 3 in stages  # the full funnel is reachable (at sf0.001 the
+    # dense event stream takes every user to stage 3; larger SFs mix)
+    for r in rows:
+        # stage k implies all earlier stage timestamps present + ordered
+        if r.stage >= 1:
+            assert r.t_view is not None
+        if r.stage >= 2:
+            assert r.t_click is not None and r.t_click > r.t_view
+        if r.stage == 3:
+            assert r.t_purchase is not None and r.t_purchase > r.t_click
+        if r.stage < 3:
+            assert r.t_purchase is None
+        if r.stage < 2:
+            assert r.t_click is None
+
+
+def test_samp5_cell_quota_and_subset(spark, sf_dir):
+    from aistore_spark.operators import simsearch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = simsearch.ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
+    cell_sizes = {
+        r.centroid_id: r.n
+        for r in assigned.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    picks = QUERIES["samp5_diverse_sample"](spark, sf_dir).collect()
+    per_cell = {}
+    for r in picks:
+        per_cell.setdefault(r.centroid_id, []).append(r)
+    assert set(per_cell) == {c for c, n in cell_sizes.items() if n > 0}
+    amap = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    for cell, rows in per_cell.items():
+        assert len(rows) == min(3, cell_sizes[cell])
+        assert sorted(r.pick for r in rows) == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert amap[r.vec_id] == cell  # picks come from the assignment
+
+
+def test_tx14_novelty_bounds_and_ref_self_zero(spark, sf_dir):
+    rows = QUERIES["tx14_novelty"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_novel > 0 for r in rows)
+    assert any(r.n_novel < r.n_grams for r in rows)  # some grams are shared
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+    # only new-source (len-5) docs are scored
+    docs = {r.doc_id: r.source for r in load_table(spark, sf_dir, "documents").collect()}
+    for r in rows:
+        assert len(docs[r.doc_id]) == 5
+
+
+def test_j4c_ring_minimal_disruption_on_target_add(spark, sf_dir):
+    """Consistent hashing's selling point: adding a target relocates
+    roughly 1/(n+1) of the keys and NOTHING else changes owner."""
+
+    def place(n_targets):
+        vn = (
+            spark.range(n_targets)
+            .select(F.col("id").alias("target"))
+            .crossJoin(spark.range(32).select(F.col("id").alias("vn")))
+            .select(
+                "target",
+                F.md5(
+                    F.concat(
+                        F.lit("t"),
+                        F.col("target").cast("string"),
+                        F.lit("#"),
+                        F.col("vn").cast("string"),
+                    )
+                ).alias("vh"),
+            )
+        )
+        keys = _objects(spark, sf_dir).select("name", F.md5("name").alias("kh"))
+        cand = keys.crossJoin(F.broadcast(vn)).groupBy("name").agg(
+            F.min(
+                F.when(F.col("vh") >= F.col("kh"), F.struct("vh", "target"))
+            ).alias("m1"),
+            F.min(F.struct("vh", "target")).alias("m2"),
+        )
+        return {
+            r.name: r.t
+            for r in cand.select(
+                "name", F.coalesce(F.col("m1.target"), F.col("m2.target")).alias("t")
+            ).collect()
+        }
+
+    p8, p9 = place(8), place(9)
+    assert p8.keys() == p9.keys()
+    moved = [n for n in p8 if p8[n] != p9[n]]
+    frac = len(moved) / len(p8)
+    assert 0.02 < frac < 0.25, frac  # ~1/9 expected, never a reshuffle
+    # every moved key moved TO the new target, never between old ones
+    assert all(p9[n] == 8 for n in moved)
+
+
+def test_s14_snapshot_at_max_version_is_current_catalog(spark, sf_dir):
+    """AS OF the max version, the snapshot must equal the live catalog
+    rollup (every object at its own latest version, vsize == size)."""
+    objects = _objects(spark, sf_dir)
+    live = {
+        r.bucket: (r.n, r.b)
+        for r in objects.groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("size").alias("b"))
+        .collect()
+    }
+    maxv = objects.agg(F.max(F.col("version").cast("int"))).collect()[0][0]
+    h = objects.select(
+        "bucket",
+        "name",
+        F.col("version").cast("int").alias("maxv"),
+        F.explode(F.sequence(F.lit(1), F.col("version").cast("int"))).alias("v"),
+        "size",
+    ).select(
+        "bucket", "name", "v",
+        (F.col("size") - (F.col("maxv") - F.col("v")) * 3).alias("vsize"),
+    )
+    snap = (
+        h.where(F.col("v") <= maxv)
+        .groupBy("bucket", "name")
+        .agg(F.max(F.struct("v", "vsize")).alias("m"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.sum("m.vsize").alias("b"))
+    )
+    got = {r.bucket: (r.n, r.b) for r in snap.collect()}
+    assert got == live
+
+
+def test_m11_tiers_partition_the_catalog(spark, sf_dir):
+    objects = _objects(spark, sf_dir)
+    total_n = objects.count()
+    total_b = objects.agg(F.sum("size")).collect()[0][0]
+    rows = QUERIES["m11_lifecycle_tiering"](spark, sf_dir).collect()
+    assert sum(r.n_objects for r in rows) == total_n
+    assert sum(r.bytes for r in rows) == total_b
+    assert {r.tier for r in rows} == {"hot", "warm", "cold"}
+    for r in rows:
+        assert 0 <= r.n_to_transition <= r.n_objects
+
+
+def test_a7_rollup_levels_are_consistent(spark, sf_dir):
+    rows = QUERIES["a7_rollup"](spark, sf_dir).collect()
+    total = [r for r in rows if r.gid == 3]
+    per_source = [r for r in rows if r.gid == 1]
+    leaves = [r for r in rows if r.gid == 0]
+    assert len(total) == 1
+    assert total[0].n_docs == sum(r.n_docs for r in per_source)
+    assert total[0].n_docs == sum(r.n_docs for r in leaves)
+    assert total[0].total_chars == sum(r.total_chars for r in leaves)
+    by_src = {}
+    for r in leaves:
+        by_src[r.source] = by_src.get(r.source, 0) + r.n_docs
+    assert by_src == {r.source: r.n_docs for r in per_source}
+
+
+def test_ev7_pivot_row_sums_match_user_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    rows = QUERIES["ev7_pivot"](spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert (
+            r.click + r.signup + r.error + r.view + r.purchase == want[r.user_id]
+        )
