@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # one hard row each) and the verdict-r5 high-risk shortlist. Dropped
 # vs r6 to make room for the new queries: ann1/t2_offline/dd8/dd4/dd3/
 # dd5/dd6/pipe1/pipe2/tok1/ds1/ds2/ev1/m6/s2b/s4/s5b/s7b/samp3/t1b/
-# t8/tx8/mm2b/mm3b/mm4b/mm8/mm9/t9 (each driver-green in r4-r6 with unchanged
+# t8/tx8/mm2b/mm3b/mm4b/mm8/mm9/t9/t10 (each driver-green in r4-r6 with unchanged
 # fingerprints; most also hash-exact at sf1 in
 # CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
@@ -80,9 +80,9 @@ DRIVER_CHECK_PRIORITY = [
     "ev8_funnel",
     "samp5_diverse_sample",
     "tx14_novelty",
+    "mm11b_dhash_exact",
     # (b) re-checks: the r6 single-green block + r5 shortlist
     "mm10_jpeg_decode",
-    "t10_audio_resample",
     "d5_reshard",
     "dd6b_simhash_prod",
     "dd9_semantic_dedup",

@@ -7349,3 +7349,89 @@ def tx14_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_novel"),
     )
+
+
+@register(
+    "mm11b_dhash_exact",
+    """
+    WITH ids AS (
+      SELECT doc_id, doc_id - doc_id % 3 AS img_id,
+             4 + (doc_id - doc_id % 3) % 29 AS w,
+             5 + (doc_id - doc_id % 3) % 17 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    g AS (
+      SELECT i.doc_id, u.r AS u, v.r AS v,
+             (299 * ((i.img_id + (u.r * i.w) // 9) % 256)
+            + 587 * ((3 * i.img_id + 7 * ((v.r * i.h) // 8)) % 256)
+            + 114 * (((u.r * i.w) // 9 + (v.r * i.h) // 8) % 256)) // 1000
+               AS gray
+      FROM ids i, range(0, 9) u(r), range(0, 8) v(r)
+    ),
+    bits AS (
+      SELECT g1.doc_id, g1.v * 8 + g1.u AS idx,
+             CASE WHEN g2.gray > g1.gray THEN 1 ELSE 0 END AS bit
+      FROM g g1 JOIN g g2 ON g2.doc_id = g1.doc_id AND g2.v = g1.v
+                         AND g2.u = g1.u + 1
+      WHERE g1.u < 8
+    ),
+    bands AS (
+      SELECT doc_id, CAST(idx // 16 AS INT) AS band,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(idx % 16 AS INT)))
+                  AS BIGINT) AS val
+      FROM bits GROUP BY 1, 2
+    ),
+    hashes AS (
+      SELECT doc_id,
+             md5(CAST(max(CASE WHEN band = 0 THEN val END) AS VARCHAR) || ','
+              || CAST(max(CASE WHEN band = 1 THEN val END) AS VARCHAR) || ','
+              || CAST(max(CASE WHEN band = 2 THEN val END) AS VARCHAR) || ','
+              || CAST(max(CASE WHEN band = 3 THEN val END) AS VARCHAR))
+               AS dhash_md5
+      FROM bands GROUP BY doc_id
+    )
+    SELECT dhash_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM hashes GROUP BY dhash_md5 HAVING count(*) >= 2
+    """,
+)
+def mm11b_dhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM11b: exact perceptual-duplicate GROUPS — the selective
+    production tier next to mm11's Hamming<=3 pairs (the dd6 -> dd6b
+    sizing discipline applied to image dedup): identical 64-bit dHash
+    = one group row with the canonical (min) doc — output scales with
+    the number of TRUE duplicate groups, not with the near-collision
+    neighborhood, so at 10x data the result stays group-sized while
+    mm11's pair form is quadratic on dense fixtures. One digest-keyed
+    agg over the (decoded) hash frame; the 128-bit md5 of the four
+    band values is the group key, so no signed 64-bit fold is needed
+    in either engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("img_id")
+    )
+    bands = multimodal.png_dhash(
+        multimodal.synth_png_frame(ids, content_col="img_id")
+    )
+    hashes = bands.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.max(F.when(F.col("band") == j, F.col("val"))).cast("string")
+                    for j in range(4)
+                ],
+            )
+        ).alias("dhash_md5")
+    )
+    return (
+        hashes.groupBy("dhash_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
