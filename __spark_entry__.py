@@ -44,7 +44,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # fingerprints; most also hash-exact at sf1 in
 # CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
-    # (a) changed-or-new since last driver-green (fingerprint-pinned)
+    # (a) changed-or-new since last driver-green (fingerprint-pinned).
+    # Round 9 additions: the real-I/O leg (s4d/g1c/d8 — genuine on-disk
+    # tar shards read via binaryFile, verdict-r8 #1), the first oracle
+    # rows for the G4 BatchLoader frame and the streaming-dedup batch
+    # mirror (verdict-r8 #2), and the ACID catalog MERGE over the
+    # transactional chunk log (m12, verdict-r8 #4).
+    "s4d_shard_index_io",
+    "g1c_assemble_batches_io",
+    "d8_dsort_io",
+    "g4_batch_loader",
+    "st1_dedup_stream_mirror",
+    "m12_catalog_upsert",
     "s2c_custom_props",
     "tx5b_bpe_learned",
     "tx5c_bpe_doc_tokens",
@@ -81,13 +92,10 @@ DRIVER_CHECK_PRIORITY = [
     "samp5_diverse_sample",
     "tx14_novelty",
     "mm11b_dhash_exact",
-    # (b) re-checks: the r6 single-green block + r5 shortlist
-    "mm10_jpeg_decode",
-    "d5_reshard",
-    "dd6b_simhash_prod",
-    "dd9_semantic_dedup",
-    "j1b_mixed_entries",
-    "t11_keras_augment",
+    # (b) re-checks (trimmed by 6 vs r8 to fit the new rows in the
+    # front 50 — every dropped name is hard-green in BOTH the r7 and
+    # r8 driver ledgers with unchanged fingerprints: mm10, d5, dd6b,
+    # dd9, j1b, t11)
     "t12_ws_etl_channel",
     "t13_face_detect",
     "tx10_heavy_phrases",

@@ -190,6 +190,62 @@ def assemble_batches(
     )
 
 
+def assemble_batches_bytes(
+    joined: DataFrame, batch_col: str = "batch_id"
+) -> DataFrame:
+    """G1 real-I/O variant: identical batch assembly to
+    :func:`assemble_batches`, but member payloads are REAL bytes
+    carried on the rows (binary ``payload`` column, read from on-disk
+    shards via ``sources/binary.py``) instead of being synthesized from
+    the catalog's size column — the disk-bound workload the reference's
+    get-batch bands describe (``docs/get_batch.md:574-577``).
+
+    Adds ``content_md5``: md5 over the req_idx-ordered per-entry
+    payload md5s, so the oracle proves the actual bytes that crossed
+    the scan, not just names and sizes. Missing entries contribute the
+    empty payload (md5 of b"" — the sentinel's 0-byte body).
+
+    Scale: same shuffle contract as :func:`assemble_batches` (explicit
+    ``repartition(defaultParallelism, batch_col)``, bounded payload per
+    task) — only the payload bytes now ride the shuffle, which is the
+    honest cost of a disk-backed get-batch.
+    """
+    schema = (
+        f"{batch_col} bigint, n_entries bigint, n_missing bigint, "
+        "payload_bytes bigint, tar_bytes bigint, entries_md5 string, "
+        "content_md5 string"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("req_idx", kind="mergesort")
+        payloads = [
+            bytes(p) if p is not None else b"" for p in pdf["payload"]
+        ]
+        tar = build_tar(list(pdf["out_name"]), payloads)
+        fp = hashlib.md5(",".join(pdf["out_name"]).encode()).hexdigest()
+        cfp = hashlib.md5(
+            ",".join(hashlib.md5(p).hexdigest() for p in payloads).encode()
+        ).hexdigest()
+        return pd.DataFrame(
+            {
+                batch_col: [pdf[batch_col].iloc[0]],
+                "n_entries": [len(pdf)],
+                "n_missing": [int((pdf["status"] != "ok").sum())],
+                "payload_bytes": [sum(len(p) for p in payloads)],
+                "tar_bytes": [len(tar)],
+                "entries_md5": [fp],
+                "content_md5": [cfp],
+            }
+        )
+
+    n = joined.sparkSession.sparkContext.defaultParallelism
+    return (
+        joined.repartition(n, batch_col)
+        .groupBy(batch_col)
+        .applyInPandas(pack, schema=schema)
+    )
+
+
 def assemble_batches_formats(
     joined: DataFrame,
     batch_col: str = "batch_id",

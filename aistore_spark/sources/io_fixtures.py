@@ -1,0 +1,127 @@
+"""Real on-disk shard fixtures for the I/O bench leg (verdict-r8 #1).
+
+The derived ``members`` catalog (catalog.py) carries no payload bytes,
+so the archive/get-batch queries historically synthesized member
+payloads in memory (``archive.synth_payload``) — honest for CPU
+assembly cost, but the reference's headline get-batch bands
+(``docs/get_batch.md:574-577``) are explicitly disk/network-bound.
+This module materializes that same catalog as GENUINE ``.tar`` shards
+on disk — one USTAR archive per ``shard`` value, entries in
+deterministic ``(member, key_str)`` order, payload =
+``synth_payload(member, key_str)`` — so the ``*_io`` queries read real
+archive bytes through ``binaryFile`` → ``expand_archive_members``
+(sources/binary.py) and every downstream number (payload sizes, keys,
+fingerprints) is recomputed FROM THE BYTES, never from the catalog.
+
+The DuckDB oracles still derive the expected values analytically from
+the ``members`` CTE, so a correctness row over an ``*_io`` query proves
+the full write → store → scan → parse round trip bit-for-bit.
+
+Scale: the writer is one ``applyInPandas`` task per shard (bounded by
+the packing policy, exactly the D6/P1 shape); on a cluster the target
+directory would be shared storage — in local mode it is
+``_scale/io/<sf>/shards`` (gitignored), cached across runs behind a
+versioned ``_SUCCESS`` marker so bench's min-of-2 second run is pure
+read-side I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+#: bump when the on-disk layout or payload derivation changes — stale
+#: cached fixtures from an older format are rebuilt, not trusted
+FORMAT_VERSION = 1
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+
+
+def shards_root(sf_dir: str) -> Path:
+    return _REPO / "_scale" / "io" / Path(sf_dir).name / "shards"
+
+
+def materialize_shards(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Write one real USTAR ``.tar`` per members-catalog shard; return
+    the directory. Idempotent: a ``_SUCCESS`` marker (format version +
+    shard/member counts) skips the rebuild on later calls."""
+    from aistore_spark import catalog
+    from aistore_spark.operators.archive import build_tar, synth_payload
+    from aistore_spark.sources.tables import load_table
+
+    out = shards_root(sf_dir)
+    marker = out / "_SUCCESS"
+    if not force and marker.exists():
+        try:
+            meta = json.loads(marker.read_text())
+            if meta.get("format_version") == FORMAT_VERSION:
+                return str(out)
+        except (ValueError, OSError):
+            pass
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    members = catalog.members_catalog(load_table(spark, sf_dir, "lineitem"))
+    out_str = str(out)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["member", "key_str"], kind="mergesort")
+        payloads = [
+            synth_payload(m, k) for m, k in zip(pdf["member"], pdf["key_str"])
+        ]
+        blob = build_tar(list(pdf["member"]), payloads)
+        name = pdf["shard"].iloc[0]
+        Path(out_str, name).write_bytes(blob)
+        return pd.DataFrame(
+            {"shard": [name], "n_members": [len(pdf)], "tar_bytes": [len(blob)]}
+        )
+
+    n = spark.sparkContext.defaultParallelism
+    manifest = (
+        members.select("shard", "member", "key_str")
+        .repartition(n, "shard")
+        .groupBy("shard")
+        .applyInPandas(
+            write_shard, schema="shard string, n_members bigint, tar_bytes bigint"
+        )
+        .collect()  # O(n_shards) rows — the write-job barrier
+    )
+    marker.write_text(
+        json.dumps(
+            {
+                "format_version": FORMAT_VERSION,
+                "n_shards": len(manifest),
+                "n_members": sum(m.n_members for m in manifest),
+                "tar_bytes": sum(m.tar_bytes for m in manifest),
+            }
+        )
+    )
+    return str(out)
+
+
+def read_shard_members(
+    spark: SparkSession, shards_dir: str, with_bytes: bool = True
+) -> DataFrame:
+    """Real-bytes member rows from the on-disk shards: ``binaryFile``
+    scan → archive expansion, with ``shard`` reduced to the file name
+    (the catalog's shard key)."""
+    from pyspark.sql import functions as F
+
+    from aistore_spark.sources.binary import (
+        expand_archive_members,
+        read_binary_objects,
+    )
+
+    mem = expand_archive_members(
+        read_binary_objects(spark, str(Path(shards_dir) / "*.tar")),
+        with_bytes=with_bytes,
+    )
+    return mem.withColumn(
+        "shard", F.regexp_extract("shard", r"([^/]+)$", 1)
+    )

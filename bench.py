@@ -110,6 +110,41 @@ def main() -> None:
         derived["minhash_lsh_docs_per_sec"] = round(
             n_docs / per_query["dd3_lsh_candidates"], 1
         )
+    # real-I/O leg (verdict-r8 #1): same flows reading REAL on-disk tar
+    # shards — the disk-bound numbers comparable to the reference's
+    # get-batch bands (docs/get_batch.md:574-577)
+    if per_query.get("g1c_assemble_batches_io"):
+        derived["get_batch_entries_per_sec_io"] = round(
+            n_requests / per_query["g1c_assemble_batches_io"], 1
+        )
+    if per_query.get("s4d_shard_index_io"):
+        derived["shard_index_members_per_sec_io"] = round(
+            n_members / per_query["s4d_shard_index_io"], 1
+        )
+    if per_query.get("d8_dsort_io"):
+        derived["dsort_members_per_sec_io"] = round(
+            n_members / per_query["d8_dsort_io"], 1
+        )
+
+    # cross-round drift canary (verdict-r8 #7): five pure-JVM queries
+    # (no Python workers, no disk fixtures) whose plans have been
+    # byte-stable for rounds — their median wall is a host-speed probe,
+    # so cross-round per-query reads should be normalized by the ratio
+    # of canary medians, not taken raw (±15-50% host drift documented
+    # in NOTES_r07 on unchanged code).
+    canary_names = [
+        "s1_list_prefix_page",
+        "a1_bucket_summary",
+        "a7_rollup",
+        "d7_topk_largest",
+        "ev7_pivot",
+    ]
+    canary = {n: per_query[n] for n in canary_names if n in per_query}
+    if canary:
+        vals = sorted(canary.values())
+        canary_median = vals[len(vals) // 2]
+    else:
+        canary_median = None
 
     full = {
         "metric": "total_declared_query_wall_sec_min_of_2",
@@ -117,6 +152,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "derived": derived,
+        "canary": canary,
+        "canary_median_sec": canary_median,
         "sf": sf,
     }
     if errors:

@@ -319,3 +319,60 @@ def test_manifest_range_survives_missing_parquet_stats(tmp_path):
     assert md.row_group(0).column(name_idx).statistics is None
     lo, hi = cs._name_range(md, name_idx, f)
     assert (lo, hi) == ("aa", "mm")
+
+
+def test_merge_on_read_resolution(spark, tmp_path):
+    """read_resolved: latest chunk wins per key, delete tombstones
+    drop rows, upsert-after-delete resurrects, and as_of=<manifest
+    index> is exactly the state a stream consumer at that offset had
+    seen (the m12/s14 time-travel consistency contract)."""
+    path = str(tmp_path / "mcat")
+    rows = [
+        ("b1", f"obj/{i:03d}", 100 + i, f"ck{i}", "1") for i in range(20)
+    ]
+    base = spark.createDataFrame(rows, cs.CATALOG_SCHEMA)
+    man = cs.write_chunked_catalog(base, path, n_chunks=2)
+    n_base = len(man["chunks"])
+
+    upd = spark.createDataFrame(
+        [("b1", "obj/003", 9003, "ck3b", "2"), ("b1", "obj/999", 7, "new", "1")],
+        cs.CATALOG_SCHEMA,
+    )
+    cs.append_changes(upd, path, op="upsert", n_chunks=1)
+    dele = spark.createDataFrame(
+        [("b1", "obj/005", 0, "", "1"), ("b1", "obj/003", 0, "", "1")],
+        cs.CATALOG_SCHEMA,
+    )
+    cs.append_changes(dele, path, op="delete", n_chunks=1)
+
+    got = {r.name: (r.size, r.version) for r in
+           cs.read_resolved(spark, path).collect()}
+    assert "obj/003" not in got and "obj/005" not in got  # delete wins
+    assert got["obj/999"] == (7, "1")
+    assert got["obj/004"] == (104, "1")
+    assert len(got) == 19  # 20 base - 2 deleted + 1 new
+
+    # resurrection: a later upsert of a deleted key wins again
+    cs.append_changes(
+        spark.createDataFrame(
+            [("b1", "obj/005", 55, "ck5c", "3")], cs.CATALOG_SCHEMA
+        ),
+        path, op="upsert", n_chunks=1,
+    )
+    got2 = {r.name: (r.size, r.version) for r in
+            cs.read_resolved(spark, path).collect()}
+    assert got2["obj/005"] == (55, "3")
+
+    # time travel: as_of the base manifest length == the base state
+    before = {r.name: (r.size, r.version) for r in
+              cs.read_resolved(spark, path, as_of=n_base).collect()}
+    assert before == {n: (s, v) for _, n, s, _, v in rows}
+    assert cs.read_resolved(spark, path, as_of=0).count() == 0
+
+    # bad op refused before any file lands
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="upsert.delete"):
+        upd.write.format("aiscatalog").option("path", path).option(
+            "op", "purge"
+        ).mode("append").save()

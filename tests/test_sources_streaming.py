@@ -484,3 +484,38 @@ def test_late_events_stream_matches_batch_mirror(spark, sf_dir, tmp_path):
             b.n_late,
             b.max_late_us,
         ), uid
+
+
+def test_batch_loader_get_matches_frame(spark, sf_dir):
+    """G4 oracle contract: BatchLoader.get()'s streamed (name, bytes)
+    must equal frame()'s hash-checked rows — order, sentinels, and
+    payload md5s — so the driver-green g4 row covers the iterator."""
+    import hashlib
+
+    from aistore_spark.catalog import members_catalog
+
+    members = members_catalog(load_table(spark, sf_dir, "lineitem"))
+    hits = [
+        r.member
+        for r in members.filter(F.col("ext") == "jpg").limit(2).collect()
+    ]
+    shard_hit = members.filter(F.col("ext") == "cls").first()
+    loader = (
+        BatchLoader(spark, members)
+        .add(hits[0], "rec-99999999.jpg")
+        .add_entry(shard_hit.shard, archpath=shard_hit.member)
+        .add_entry(hits[1], start=2, length=5)
+        .add_entry(hits[0], start=3, length=-1)
+    )
+    frame = {
+        r.req_idx: r for r in loader.frame().orderBy("req_idx").collect()
+    }
+    got = list(loader.get())
+    assert len(got) == len(frame) == 5
+    for i, (name, payload) in enumerate(got):
+        assert name == frame[i].out_name
+        if payload is None:
+            assert frame[i].status != "ok" and frame[i].payload_md5 is None
+        else:
+            assert frame[i].status == "ok"
+            assert hashlib.md5(payload).hexdigest() == frame[i].payload_md5

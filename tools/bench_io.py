@@ -1,0 +1,116 @@
+"""Real-I/O bench leg (verdict-r8 #1): time the archive/get-batch/dsort
+flows in BOTH forms side by side —
+
+- synthetic leg: payloads fabricated in memory from the catalog
+  (``archive.synth_payload``) — CPU assembly cost only;
+- real-I/O leg: the ``*_io`` twins reading genuine on-disk tar shards
+  via binaryFile → expand_archive_members — the disk-bound workload the
+  reference's get-batch bands describe (docs/get_batch.md:574-577).
+
+Shards are materialized BEFORE timing starts (and cached behind the
+_SUCCESS marker), so both timed runs of each io query are pure
+read-side; min-of-2 as in bench.py.
+
+Usage: python tools/bench_io.py [out.json]   (default BENCH_IO.json)
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from aistore_spark.benchqueries import QUERIES  # noqa: E402
+from aistore_spark.session import get_spark  # noqa: E402
+from aistore_spark.sources import io_fixtures  # noqa: E402
+from aistore_spark.sources.tables import load_table  # noqa: E402
+
+#: (synthetic query, real-I/O twin) pairs on the same workload axis
+PAIRS = [
+    ("g1_assemble_batches", "g1c_assemble_batches_io"),
+    ("p1_pack_archive", "s4d_shard_index_io"),
+    ("dsort_pipeline", "d8_dsort_io"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_IO.json"
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("aistore_spark_bench_io", cpus=cpus)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    t0 = time.time()
+    shards_dir = io_fixtures.materialize_shards(spark, sf_dir)
+    materialize_sec = round(time.time() - t0, 3)
+    marker = json.loads((Path(shards_dir) / "_SUCCESS").read_text())
+
+    per_query: dict[str, float] = {}
+    for name in [q for pair in PAIRS for q in pair]:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.time() - t0)
+        per_query[name] = round(best, 3)
+
+    n_requests = load_table(spark, sf_dir, "events").count()
+    n_members = load_table(spark, sf_dir, "lineitem").count()
+    derived = {
+        "get_batch_entries_per_sec_synthetic": round(
+            n_requests / per_query["g1_assemble_batches"], 1
+        ),
+        "get_batch_entries_per_sec_io": round(
+            n_requests / per_query["g1c_assemble_batches_io"], 1
+        ),
+        "pack_members_per_sec_synthetic": round(
+            n_members / per_query["p1_pack_archive"], 1
+        ),
+        "shard_index_members_per_sec_io": round(
+            n_members / per_query["s4d_shard_index_io"], 1
+        ),
+        "dsort_members_per_sec_synthetic": round(
+            n_members / per_query["dsort_pipeline"], 1
+        ),
+        "dsort_members_per_sec_io": round(
+            n_members / per_query["d8_dsort_io"], 1
+        ),
+    }
+    out = {
+        "metric": "real_io_vs_synthetic_wall_sec_min_of_2",
+        "sf": sf,
+        "queries": per_query,
+        "derived": derived,
+        "shards_on_disk": {
+            "dir": shards_dir,
+            "n_shards": marker["n_shards"],
+            "n_members": marker["n_members"],
+            "tar_bytes": marker["tar_bytes"],
+            "materialize_sec_this_run": materialize_sec,
+        },
+        "note": (
+            "io queries read genuine tar shards from disk via binaryFile "
+            "and recompute sizes/keys/fingerprints from the bytes; "
+            "synthetic twins fabricate payloads in memory. Compare the "
+            "_io derived numbers against the reference's disk-bound "
+            "get-batch bands."
+        ),
+    }
+    Path(out_path).write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
