@@ -39,6 +39,7 @@ from aistore_spark.operators import (
     summary,
 )
 from aistore_spark.sources import downloader
+from aistore_spark.sources.io_fixtures import SAMPLE_WHERE as _IO_SAMPLE_WHERE
 from aistore_spark.util import ensure_shipped, ntz_micros_sql
 from aistore_spark.sources.tables import load_table
 
@@ -1272,7 +1273,7 @@ def _io_members(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT shard, member, key_str,
                  length(member || ':' || key_str) AS psz,
                  md5(member || ':' || key_str) AS pmd5
-          FROM members
+          FROM members WHERE {_IO_SAMPLE_WHERE}
         )
         SELECT shard, count(*) AS n_members,
                CAST(sum(psz) AS BIGINT) AS payload_bytes,
@@ -1341,7 +1342,8 @@ def s4d_shard_index_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.with_catalogs(
         f"""
         WITH c AS (
-          SELECT member, min(key_str) AS key_str FROM members GROUP BY member
+          SELECT member, min(key_str) AS key_str FROM members
+          WHERE {_IO_SAMPLE_WHERE} GROUP BY member
         ),
         j AS (
           SELECT r.req_idx AS req_idx,
@@ -1421,11 +1423,11 @@ def g1c_assemble_batches_io(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "d8_dsort_io",
     oracles.with_catalogs(
-        """
+        f"""
         WITH e AS (
           SELECT base, ext, key_str,
                  length(member || ':' || key_str) AS psz
-          FROM members
+          FROM members WHERE {_IO_SAMPLE_WHERE}
         ),
         recs AS (SELECT base, sum(psz) AS bytes FROM e GROUP BY base),
         keys AS (

@@ -33,16 +33,45 @@ from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: bump when the on-disk layout or payload derivation changes — stale
 #: cached fixtures from an older format are rebuilt, not trusted
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+#: above this member count the fixture keeps the deterministic
+#: ``orderkey % 16 == 0`` stratum only: USTAR overhead is ~1.5 KiB per
+#: tiny member, so full membership at sf10 (60M members) would need
+#: ~92 GB of shards. The SAME rule is encoded in the io-query oracles
+#: (a count-based modulus subquery), so both engines see one corpus.
+SAMPLE_THRESHOLD = 2_000_000
+SAMPLE_MOD = 16
+
+#: the oracle-side twin of the sampling rule — spliced into every
+#: io-query oracle so DuckDB derives the identical member subset
+SAMPLE_WHERE = (
+    "orderkey % (SELECT CASE WHEN count(*) > 2000000 THEN 16 ELSE 1 END "
+    "FROM members) = 0"
+)
 
 _REPO = Path(__file__).resolve().parent.parent.parent
 
 
-def shards_root(sf_dir: str) -> Path:
-    return _REPO / "_scale" / "io" / Path(sf_dir).name / "shards"
+def shards_root(sf_dir: str, mod: int = 1) -> Path:
+    # the layout version and sampling modulus are part of the DIRECTORY
+    # name: a format bump or threshold change builds a NEW directory
+    # and never mutates one a concurrent reader may be scanning
+    return (
+        _REPO
+        / "_scale"
+        / "io"
+        / Path(sf_dir).name
+        / f"shards-v{FORMAT_VERSION}m{mod}"
+    )
+
+
+def sample_mod(n_members: int) -> int:
+    return SAMPLE_MOD if n_members > SAMPLE_THRESHOLD else 1
 
 
 def materialize_shards(
@@ -55,20 +84,28 @@ def materialize_shards(
     from aistore_spark.operators.archive import build_tar, synth_payload
     from aistore_spark.sources.tables import load_table
 
-    out = shards_root(sf_dir)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    mod = sample_mod(lineitem.count())
+    out = shards_root(sf_dir, mod)
     marker = out / "_SUCCESS"
     if not force and marker.exists():
-        try:
-            meta = json.loads(marker.read_text())
-            if meta.get("format_version") == FORMAT_VERSION:
-                return str(out)
-        except (ValueError, OSError):
-            pass
-    if out.exists():
-        shutil.rmtree(out)
-    out.mkdir(parents=True)
-    members = catalog.members_catalog(load_table(spark, sf_dir, "lineitem"))
-    out_str = str(out)
+        return str(out)
+    # build into a unique temp dir, publish by atomic rename: a reader
+    # (another process mid-bench) either sees the complete directory or
+    # none — never a half-written or vanishing one. If a concurrent
+    # builder won the rename, its output is byte-identical
+    # (deterministic build); keep the winner's.
+    import os
+    import tempfile
+
+    out.parent.mkdir(parents=True, exist_ok=True)
+    build = Path(
+        tempfile.mkdtemp(prefix=out.name + ".build-", dir=str(out.parent))
+    )
+    members = catalog.members_catalog(lineitem)
+    if mod != 1:
+        members = members.filter(F.col("orderkey") % mod == 0)
+    out_str = str(build)
 
     def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["member", "key_str"], kind="mergesort")
@@ -92,16 +129,26 @@ def materialize_shards(
         )
         .collect()  # O(n_shards) rows — the write-job barrier
     )
-    marker.write_text(
+    (build / "_SUCCESS").write_text(
         json.dumps(
             {
                 "format_version": FORMAT_VERSION,
+                "sample_mod": mod,
                 "n_shards": len(manifest),
                 "n_members": sum(m.n_members for m in manifest),
                 "tar_bytes": sum(m.tar_bytes for m in manifest),
             }
         )
     )
+    if force and out.exists():
+        shutil.rmtree(out)
+    try:
+        os.rename(build, out)  # atomic publish
+    except OSError:
+        if marker.exists():  # concurrent identical build won the race
+            shutil.rmtree(build, ignore_errors=True)
+        else:
+            raise
     return str(out)
 
 

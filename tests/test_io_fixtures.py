@@ -44,13 +44,15 @@ def test_round_trip_matches_catalog(spark, sf_dir, monkeypatch, tmp_path):
     before = marker.stat().st_mtime_ns
     assert io_fixtures.materialize_shards(spark, sf_dir) == shards
     assert marker.stat().st_mtime_ns == before
+    assert json.loads(marker.read_text())["sample_mod"] == 1
 
-    # stale format version → rebuild
-    meta = json.loads(marker.read_text())
-    meta["format_version"] = -1
-    marker.write_text(json.dumps(meta))
-    io_fixtures.materialize_shards(spark, sf_dir)
-    assert (
-        json.loads(marker.read_text())["format_version"]
-        == io_fixtures.FORMAT_VERSION
+    # a format bump PUBLISHES A NEW DIRECTORY (atomic rename) — the old
+    # one is never mutated, so a concurrent reader can't observe a
+    # half-rebuilt fixture (the r9 parallel-pytest race)
+    monkeypatch.setattr(
+        io_fixtures, "FORMAT_VERSION", io_fixtures.FORMAT_VERSION + 1
     )
+    shards2 = io_fixtures.materialize_shards(spark, sf_dir)
+    assert shards2 != shards
+    assert (Path(shards2) / "_SUCCESS").exists()
+    assert marker.exists()  # old dir untouched
