@@ -529,3 +529,56 @@ def test_pq_train_partitions_corpus_every_subspace(spark, sf_dir):
     )
     assert len(per_sub) == 4
     assert all(r.tot == n for r in per_sub)
+
+def test_ann_recall_floors_clustered(spark):
+    """Clustered-corpus recall floors (verdict-r8 #5): the shipped
+    i.i.d. fixture is ANN's worst case; real embedding corpora are
+    clustered, and on the deterministic mixture-of-Gaussians fixture
+    (2000 vecs, 16 imbalanced components, integer-quantized) the
+    quality story must hold at the distribution ANN actually serves.
+    Measured values in SCALE.md; fixed seed, no RNG at query time."""
+    from pyspark.sql import functions as F
+
+    from aistore_spark.functions.ann_fixtures import clustered_embeddings_df
+    from aistore_spark.operators import simsearch
+
+    emb = clustered_embeddings_df(spark, n=2000).cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = emb.filter(F.col("vec_id") < 16)
+    truth = (
+        simsearch.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    nt = truth.count()
+
+    def recall(df):
+        return (
+            df.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .count()
+            / nt
+        )
+
+    # cluster structure is what IVF exploits: 2 of 16 probes suffice
+    # (measured 1.000; floor leaves margin for param drift only)
+    assert recall(
+        simsearch.ivf_topk(emb, cents, queries, k=10, nprobe=2)
+    ) >= 0.95
+    # sign-LSH leaves its bucket-share line once vectors correlate:
+    # single-probe 0.40 (vs 0.02 i.i.d.), multiprobe r=1 0.815
+    assert recall(
+        simsearch.lsh_topk(emb, queries, k=10, n_bits=8, multiprobe=1)
+    ) >= 0.75
+    # the refine tier needs a deeper shortlist on clustered data (ADC
+    # ranking error concentrates inside dense cells): sl=100 measures
+    # 0.675, sl=250 repairs to 1.000 — the production sizing rule is
+    # shortlist ≈ 10-15% of corpus/expected-cell mass, not a constant
+    assert recall(
+        simsearch.ivfpq_refine_topk(
+            emb, cents, emb.filter(F.col("vec_id") < 64), queries,
+            k=10, nprobe=12, m=8, dim=64, shortlist=250,
+        )
+    ) >= 0.95
+    emb.unpersist()
+    truth.unpersist()

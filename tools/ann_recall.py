@@ -25,10 +25,43 @@ from aistore_spark.session import get_spark
 from aistore_spark.sources.tables import load_table
 
 
-def recall_table(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
-    """{method: recall@k} for the four approximate paths at the
-    registered parameters, against brute_force_topk ground truth."""
-    emb = load_table(spark, sf_dir, "embeddings").cache()
+def _centroid_frame(long_df):
+    """kmeans_train's long output (centroid_id, dim, mean_q, n_vecs)
+    back to (vec_id, embedding array<float>) for ivf_topk — mean_q is
+    on the 1e4 fixed-point grid."""
+    return (
+        long_df.groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean_q")))
+                ),
+                lambda s: (s["mean_q"].cast("double") / 10000.0).cast("float"),
+            ).alias("embedding")
+        )
+        .select(F.col("centroid_id").alias("vec_id"), "embedding")
+    )
+
+
+def recall_table(
+    spark, sf_dir: str, k: int = 10, clustered: bool = False
+) -> dict[str, float]:
+    """{method: recall@k} for the approximate paths at the registered
+    parameters, against brute_force_topk ground truth. With
+    ``clustered=True`` the corpus is the deterministic
+    mixture-of-Gaussians fixture (functions/ann_fixtures.py) instead of
+    the i.i.d. testdata embeddings — the distribution ANN is actually
+    used on (verdict-r8 #5) — and the IVF coarse quantizer is
+    ADDITIONALLY measured with k-means-trained centroids (ann6b's
+    training loop), the honest index-build path on clustered data."""
+    if clustered:
+        from aistore_spark.functions.ann_fixtures import (
+            clustered_embeddings_df,
+        )
+
+        emb = clustered_embeddings_df(spark, n=2000).cache()
+    else:
+        emb = load_table(spark, sf_dir, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     centroids = emb.filter(F.col("vec_id") < 16)
     truth = (
@@ -68,6 +101,16 @@ def recall_table(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
             shortlist=100,
         ),
     }
+    if clustered:
+        trained = _centroid_frame(
+            simsearch.kmeans_train(emb, centroids, iters=3)
+        ).cache()
+        approx["ivf trained-centroids (nprobe=2)"] = simsearch.ivf_topk(
+            emb, trained, queries, k=k, nprobe=2
+        )
+        approx["ivf trained-centroids quality (nprobe=12)"] = (
+            simsearch.ivf_topk(emb, trained, queries, k=k, nprobe=12)
+        )
     out = {}
     for name, df in approx.items():
         hit = df.select("query_id", "neighbor_id").join(
@@ -80,8 +123,22 @@ def recall_table(spark, sf_dir: str, k: int = 10) -> dict[str, float]:
 
 
 def main() -> int:
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    args = [a for a in sys.argv[1:] if a != "--clustered"]
+    clustered = "--clustered" in sys.argv[1:]
     spark = get_spark("ann_recall", cpus=8)
+    if clustered:
+        rt = recall_table(spark, "", clustered=True)
+        print(
+            "\nclustered mixture-of-Gaussians fixture "
+            "(2000 vectors, 16 components, 20 queries, "
+            "recall@10 vs brute force):\n"
+        )
+        print("| method | recall@10 |")
+        print("|---|---|")
+        for name, r in rt.items():
+            print(f"| {name} | {r:.3f} |")
+        return 0
+    dirs = args or ["/root/testdata/sf0.01"]
     for sf_dir in dirs:
         rt = recall_table(spark, sf_dir)
         n_q = (
