@@ -88,8 +88,18 @@ def materialize_shards(
     mod = sample_mod(lineitem.count())
     out = shards_root(sf_dir, mod)
     marker = out / "_SUCCESS"
+    corpus = str(Path(sf_dir).resolve())
     if not force and marker.exists():
-        return str(out)
+        # the directory name keys on Path(sf_dir).name only — validate
+        # the marker's recorded corpus path so two different corpora
+        # sharing a basename never silently share stale shards
+        try:
+            recorded = json.loads(marker.read_text()).get("sf_dir")
+        except (OSError, ValueError):
+            recorded = None
+        if recorded == corpus:
+            return str(out)
+        force = True  # wrong/unknown corpus: rebuild and swap
     # build into a unique temp dir, publish by atomic rename: a reader
     # (another process mid-bench) either sees the complete directory or
     # none — never a half-written or vanishing one. If a concurrent
@@ -134,6 +144,7 @@ def materialize_shards(
             {
                 "format_version": FORMAT_VERSION,
                 "sample_mod": mod,
+                "sf_dir": corpus,
                 "n_shards": len(manifest),
                 "n_members": sum(m.n_members for m in manifest),
                 "tar_bytes": sum(m.tar_bytes for m in manifest),
@@ -141,7 +152,14 @@ def materialize_shards(
         )
     )
     if force and out.exists():
-        shutil.rmtree(out)
+        # swap, never rmtree-then-rename: a concurrent reader must see
+        # either the old complete directory or the new one, with no
+        # window where the path is absent
+        aside = Path(f"{out}.old-{os.getpid()}")
+        os.rename(out, aside)
+        os.rename(build, out)
+        shutil.rmtree(aside, ignore_errors=True)
+        return str(out)
     try:
         os.rename(build, out)  # atomic publish
     except OSError:

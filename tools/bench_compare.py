@@ -11,11 +11,18 @@ canary band are the real signal.
 Usage: python tools/bench_compare.py OLD.json NEW.json [threshold]
 Prints queries whose normalized ratio exceeds the threshold (default
 1.3 either way), plus the canary factor itself.
+
+Accepts BOTH artifact shapes: bench.py's own full artifact
+(BENCH_FULL*.json) and the driver's wrapper ({n, rc, tail, parsed})
+where ``tail`` holds the stdout JSON line, possibly truncated at the
+driver's 2000-char capture — per-query times are then recovered by
+regex from whatever survived the cut.
 """
 
 from __future__ import annotations
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -28,6 +35,38 @@ CANARY = [
 ]
 
 
+def load_artifact(path: str) -> dict:
+    """Normalize either artifact shape to {queries, canary_median_sec}."""
+    art = json.loads(Path(path).read_text())
+    if "queries" in art:
+        return art
+    # driver wrapper: prefer the parsed dict if the line fit the
+    # capture; otherwise salvage "name": secs pairs from the tail text
+    parsed = art.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed
+    tail = art.get("tail", "") or ""
+    start = tail.find('{"metric"')
+    blob = tail[start:] if start >= 0 else tail
+    queries = {}
+    m = re.search(r'"queries"\s*:\s*\{', blob)
+    if m:
+        # the queries object is flat: stop at its closing brace so the
+        # "derived"/"canary" sections never masquerade as query walls
+        # (a truncated tail has no closing brace — take what survived)
+        end = blob.find("}", m.end())
+        section = blob[m.end(): end if end >= 0 else len(blob)]
+        for name, sec in re.findall(
+            r'"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)', section
+        ):
+            queries.setdefault(name, float(sec))
+    cm = re.search(r'"canary_median_sec"\s*:\s*([0-9.]+)', blob)
+    return {
+        "queries": queries,
+        "canary_median_sec": float(cm.group(1)) if cm else None,
+    }
+
+
 def canary_median(art: dict) -> float | None:
     if art.get("canary_median_sec"):
         return art["canary_median_sec"]
@@ -37,8 +76,12 @@ def canary_median(art: dict) -> float | None:
 
 
 def main() -> int:
-    old = json.loads(Path(sys.argv[1]).read_text())
-    new = json.loads(Path(sys.argv[2]).read_text())
+    if len(sys.argv) < 3:
+        print("usage: python tools/bench_compare.py OLD.json NEW.json "
+              "[threshold]")
+        return 2
+    old = load_artifact(sys.argv[1])
+    new = load_artifact(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     co, cn = canary_median(old), canary_median(new)
     if not co or not cn:
@@ -69,10 +112,14 @@ def main() -> int:
         print("  none — all drift within the canary band")
     t_old = sum(qo[n] for n in shared)
     t_new = sum(qn[n] for n in shared)
-    print(
-        f"shared-total: {t_old:.1f}s -> {t_new:.1f}s raw "
-        f"({t_new / t_old:.2f}x), normalized {(t_new / t_old) / host:.2f}x"
-    )
+    if t_old > 0:
+        print(
+            f"shared-total: {t_old:.1f}s -> {t_new:.1f}s raw "
+            f"({t_new / t_old:.2f}x), normalized {(t_new / t_old) / host:.2f}x"
+        )
+    else:
+        print(f"shared-total: {t_old:.1f}s -> {t_new:.1f}s (no ratio: "
+              "old total is zero)")
     return 0
 
 

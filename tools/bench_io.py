@@ -68,6 +68,11 @@ def main() -> None:
 
     n_requests = load_table(spark, sf_dir, "events").count()
     n_members = load_table(spark, sf_dir, "lineitem").count()
+    # the *_io denominators are the members ACTUALLY ON DISK: above
+    # SAMPLE_THRESHOLD the fixture keeps only the orderkey%16 stratum,
+    # so dividing the full catalog count by the sampled workload's wall
+    # would overstate real-I/O throughput ~16x at sf10
+    n_members_io = marker["n_members"]
     derived = {
         "get_batch_entries_per_sec_synthetic": round(
             n_requests / per_query["g1_assemble_batches"], 1
@@ -79,14 +84,16 @@ def main() -> None:
             n_members / per_query["p1_pack_archive"], 1
         ),
         "shard_index_members_per_sec_io": round(
-            n_members / per_query["s4d_shard_index_io"], 1
+            n_members_io / per_query["s4d_shard_index_io"], 1
         ),
         "dsort_members_per_sec_synthetic": round(
             n_members / per_query["dsort_pipeline"], 1
         ),
         "dsort_members_per_sec_io": round(
-            n_members / per_query["d8_dsort_io"], 1
+            n_members_io / per_query["d8_dsort_io"], 1
         ),
+        "io_sample_mod": marker.get("sample_mod", 1),
+        "io_n_members_on_disk": n_members_io,
     }
     out = {
         "metric": "real_io_vs_synthetic_wall_sec_min_of_2",

@@ -66,20 +66,23 @@ def main() -> int:
         f"d.text || ' r' || CAST(r.k AS VARCHAR) || ' s{j} '"
         for j in range(DOC_SECTIONS)
     )
+    # n_chars must equal length(text) exactly (size oracles key on it):
+    # compute it FROM the text, never from marker-width arithmetic (the
+    # r9 formula was off by one char per section and only the verify
+    # branch below saved the output)
     write(
         "documents",
         f"""
-        SELECT d.doc_id + r.k * {n_docs} AS doc_id,
-               {sections} AS text,
-               d.lang, d.source,
-               (d.n_chars + 5 + length(CAST(r.k AS VARCHAR)))
-                 * {DOC_SECTIONS} AS n_chars
-        FROM {src('documents')} d, range(0, {DOC_REPLICAS}) r(k)
+        SELECT doc_id, text, lang, source, length(text) AS n_chars
+        FROM (
+          SELECT d.doc_id + r.k * {n_docs} AS doc_id,
+                 {sections} AS text,
+                 d.lang, d.source
+          FROM {src('documents')} d, range(0, {DOC_REPLICAS}) r(k)
+        )
         """,
     )
-    # n_chars must equal length(text) exactly (size oracles key on it):
-    # per section the appended marker is ' r<k> s<j> ' = 5 + len(k) + 1
-    # chars... verify instead of trusting the arithmetic:
+    # belt-and-braces verify (should never fire now):
     bad = con.execute(
         f"SELECT count(*) FROM '{out}/documents.parquet' "
         "WHERE n_chars <> length(text)"
