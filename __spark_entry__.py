@@ -45,6 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned).
+    # Round 10 additions: the clustered-corpus IVF-PQ refine with the
+    # SIZED shortlist rule (ann9c, verdict-r9 #5) and the chunk-log
+    # compaction row (m13, verdict-r9 #7); st1/m12 re-front-loaded
+    # (r10 touched their empty-group md5 / scratch-path code).
+    "ann9c_ivfpq_refined_clustered",
+    "m13_catalog_compact",
     # Round 9 additions: the real-I/O leg (s4d/g1c/d8 — genuine on-disk
     # tar shards read via binaryFile, verdict-r8 #1), the first oracle
     # rows for the G4 BatchLoader frame and the streaming-dedup batch
@@ -92,14 +98,13 @@ DRIVER_CHECK_PRIORITY = [
     "samp5_diverse_sample",
     "tx14_novelty",
     "mm11b_dhash_exact",
-    # (b) re-checks (trimmed by 6 vs r8 to fit the new rows in the
-    # front 50 — every dropped name is hard-green in BOTH the r7 and
-    # r8 driver ledgers with unchanged fingerprints: mm10, d5, dd6b,
+    # (b) re-checks (trimmed by 2 more vs r9 to fit ann9c/m13 in the
+    # front 50 — tx9_pii_redact and tx10_heavy_phrases dropped, both
+    # hard-green in the r9 driver ledger with unchanged fingerprints;
+    # previously dropped and still fingerprint-stable: mm10, d5, dd6b,
     # dd9, j1b, t11)
     "t12_ws_etl_channel",
     "t13_face_detect",
-    "tx10_heavy_phrases",
-    "tx9_pii_redact",
     "g3_output_formats",
     "g1_mixed_batches",
     "g1_assemble_batches",

@@ -5604,21 +5604,37 @@ def ann9_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_refine_sql(nprobe: int, m: int, cb_n: int, shortlist: int) -> str:
+def _ivfpq_refine_sql(
+    nprobe: int,
+    m: int,
+    cb_n: int,
+    shortlist: int | str,
+    corpus: str = "embeddings",
+    cents: str | None = None,
+    prelude: str = "",
+) -> str:
     """DuckDB oracle for the IVF-PQ + exact-refine quality tier:
     generalized PQ (m subspaces of 64/m dims, codebook = vec_id <
     cb_n), nprobe cells, ADC top-*shortlist*, exact integer-MIPS
-    rerank of the shortlist."""
+    rerank of the shortlist. ``corpus``/``cents``/``prelude`` let a
+    variant rank a DERIVED corpus (e.g. the clustered one) instead of
+    the raw embeddings table; ``shortlist`` may be a SQL expression
+    (the sized-rule form) instead of a constant."""
     sub = 64 // m
     el = "{side}.vq[CAST(s.m * " + str(sub) + " + i AS INT)]"
     sq = f"({el.format(side='q')} - {el.format(side='c')})"
     sv = f"({el.format(side='v')} - {el.format(side='c')})"
+    if cents is None:
+        cents = (
+            f"SELECT vec_id AS centroid_id, embedding FROM {corpus} "
+            "WHERE vec_id < 16"
+        )
     return f"""
-    WITH qz AS (
+    WITH {prelude} qz AS (
       SELECT vec_id,
              list_transform(embedding, x ->
                CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
-      FROM embeddings
+      FROM {corpus}
     ),
     pcb AS (SELECT vec_id AS code, vq FROM qz WHERE vec_id < {cb_n}),
     encdist AS (
@@ -5635,12 +5651,11 @@ def _ivfpq_refine_sql(nprobe: int, m: int, cb_n: int, shortlist: int) -> str:
                                   ORDER BY dist, code) AS rn
         FROM encdist) WHERE rn = 1
     ),
-    c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
-          WHERE vec_id < 16),
+    c AS ({cents}),
     cscored AS (
       SELECT v.vec_id, c.centroid_id,
              sum({_QELEM.format(side='v')} * {_QELEM.format(side='c')}) AS cdot
-      FROM embeddings v, c, range(1, 65) t(i)
+      FROM {corpus} v, c, range(1, 65) t(i)
       GROUP BY 1, 2
     ),
     vassign AS (
@@ -5691,8 +5706,8 @@ def _ivfpq_refine_sql(nprobe: int, m: int, cb_n: int, shortlist: int) -> str:
              CAST(sum({_QELEM.format(side='q')} * {_QELEM.format(side='n')})
                AS BIGINT) AS dot
       FROM sl s
-      JOIN embeddings q ON q.vec_id = s.query_id
-      JOIN embeddings n ON n.vec_id = s.neighbor_id, range(1, 65) t(i)
+      JOIN {corpus} q ON q.vec_id = s.query_id
+      JOIN {corpus} n ON n.vec_id = s.neighbor_id, range(1, 65) t(i)
       GROUP BY 1, 2
     )
     SELECT query_id,
@@ -5722,6 +5737,116 @@ def ann9b_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivfpq_refine_topk(
         emb, centroids, codebook, queries,
         k=10, nprobe=12, m=8, dim=64, shortlist=100,
+    )
+
+
+#: clustered-corpus CTEs for the ann9c oracle: 16 centers = the first
+#: 16 embeddings snapped to the 1/64 grid; every corpus point =
+#: center[floor(sqrt(vec_id % 256))] + its own embedding / 4, all in
+#: EXACT dyadic arithmetic ((a + b) / 64 with integer a, b) so both
+#: engines derive bit-identical vectors. Cluster c gets 2c+1 members
+#: per 256 ids — the same linear-ramp imbalance as the numpy mixture
+#: fixture (functions/ann_fixtures.py), but SQL-expressible.
+_CLUSTERED_PRELUDE = """
+    craw AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 64, 0) AS BIGINT)) AS a
+      FROM embeddings WHERE vec_id < 16
+    ),
+    cpts AS (
+      SELECT e.vec_id,
+             CAST(floor(sqrt(CAST(e.vec_id % 256 AS DOUBLE))) AS BIGINT)
+               AS cid,
+             list_transform(e.embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 16, 0) AS BIGINT)) AS b
+      FROM embeddings e
+    ),
+    ccorpus AS (
+      SELECT p.vec_id,
+             list_transform(range(1, 65), i ->
+               CAST(c.a[CAST(i AS INT)] + p.b[CAST(i AS INT)] AS DOUBLE)
+                 / 64.0) AS embedding
+      FROM cpts p JOIN craw c ON c.vec_id = p.cid
+    ),
+    ccents AS (
+      SELECT vec_id AS centroid_id,
+             list_transform(a, x -> CAST(x AS DOUBLE) / 64.0) AS embedding
+      FROM craw
+    ),
+"""
+
+
+def _clustered_corpus(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``_CLUSTERED_PRELUDE``: (corpus, centroids)."""
+    centers = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 64, 0).cast("bigint"),
+        ).alias("a"),
+    )
+    pts = emb.select(
+        "vec_id",
+        F.floor(F.sqrt((F.col("vec_id") % 256).cast("double")))
+        .cast("bigint")
+        .alias("cid"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 16, 0).cast("bigint"),
+        ).alias("b"),
+    )
+    corpus = pts.join(F.broadcast(centers), "cid").select(
+        "vec_id",
+        F.zip_with(
+            "a", "b", lambda c, e: ((c + e).cast("double") / F.lit(64.0))
+        ).alias("embedding"),
+    )
+    cents = centers.select(
+        F.col("cid").alias("vec_id"),
+        F.transform(
+            "a", lambda x: x.cast("double") / F.lit(64.0)
+        ).alias("embedding"),
+    )
+    return corpus, cents
+
+
+@register(
+    "ann9c_ivfpq_refined_clustered",
+    _ivfpq_refine_sql(
+        4, 8, 64,
+        "greatest(40, (4 * (SELECT count(*) FROM ccorpus) + 79) // 80)",
+        corpus="ccorpus",
+        cents="SELECT centroid_id, embedding FROM ccents",
+        prelude=_CLUSTERED_PRELUDE,
+    ),
+)
+def ann9c_ivfpq_refined_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-PQ refine tier on a CLUSTERED corpus with the SIZED
+    shortlist (verdict-r9 #5): SCALE.md's clustered measurement showed
+    a fixed shortlist under-recalls once vectors cluster (sl=100 →
+    0.675 vs sl=250 → 1.000 at nprobe=12), because ADC ranking error
+    concentrates inside dense cells. This row derives a clustered
+    corpus IN-PLAN from the embeddings table (exact dyadic center +
+    noise/4 arithmetic, linear-ramp cell imbalance — both engines
+    compute identical bytes), probes 4 of 16 true-center cells, and
+    sizes the shortlist by simsearch.refine_shortlist_size — 1/5 of
+    expected probed mass, floored at 4k — instead of a constant. The
+    oracle reproduces the sizing rule in integer SQL, so the green row
+    proves the RULE, not one tuned number. Recall floor pinned in
+    tests/test_dedup_ann_props.py (clustered floors). 100 TB: the
+    shortlist scales with probed mass (itself bounded by nprobe/cells
+    of the corpus), and the refine stays a broadcast-shortlist join
+    against an unshuffled corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus, cents = _clustered_corpus(emb)
+    codebook = corpus.filter(F.col("vec_id") < 64)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.ivfpq_refine_topk(
+        corpus, cents, codebook, queries,
+        k=10, nprobe=4, m=8, dim=64, shortlist=None,
     )
 
 
@@ -7434,11 +7559,11 @@ def st1_dedup_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "m12_catalog_upsert",
-    oracles.with_catalogs(
-        """
-        WITH upd AS (
+#: the merged-catalog state CTEs shared by the m12 and m13 oracles:
+#: upd/del mirror _scratch_merged_catalog's batches, after_state is
+#: the latest-wins fold
+_MERGED_STATE_CTES = """
+        upd AS (
           SELECT bucket, name, size + 7 AS size,
                  CAST(CAST(version AS INT) + 1 AS VARCHAR) AS version
           FROM objects WHERE doc_id % 10 = 3
@@ -7459,18 +7584,30 @@ def st1_dedup_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE name NOT IN (SELECT name FROM upd)
           )
           WHERE name NOT IN (SELECT name FROM del)
-        ),
+        )
+"""
+
+_STATE_ROLLUP_SQL = """
+        SELECT phase, bucket, count(*) AS n_objects,
+               CAST(sum(size) AS BIGINT) AS bytes,
+               md5(string_agg(name || ':' || CAST(size AS VARCHAR) || ':'
+                              || version, ',' ORDER BY name)) AS state_md5
+        FROM lab GROUP BY 1, 2
+"""
+
+
+@register(
+    "m12_catalog_upsert",
+    oracles.with_catalogs(
+        f"""
+        WITH {_MERGED_STATE_CTES},
         lab AS (
           SELECT 'before' AS phase, bucket, name, size, version FROM objects
           UNION ALL
           SELECT 'after' AS phase, bucket, name, size, version
           FROM after_state
         )
-        SELECT phase, bucket, count(*) AS n_objects,
-               CAST(sum(size) AS BIGINT) AS bytes,
-               md5(string_agg(name || ':' || CAST(size AS VARCHAR) || ':'
-                              || version, ',' ORDER BY name)) AS state_md5
-        FROM lab GROUP BY 1, 2
+        {_STATE_ROLLUP_SQL}
         """,
         "objects",
     ),
@@ -7493,6 +7630,30 @@ def m12_catalog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader's log-folding semantics bit-for-bit. 100 TB: a MERGE costs
     one bounded chunk write, never a base rewrite; resolution is one
     shuffle on the key."""
+    from aistore_spark.sources import catalog_source
+
+    path, n_base = _scratch_merged_catalog(spark, sf_dir, "m12")
+    before = catalog_source.read_resolved(spark, path, as_of=n_base)
+    after = catalog_source.read_resolved(spark, path)
+    return _state_rollup(before, "before").unionByName(
+        _state_rollup(after, "after")
+    )
+
+
+def _scratch_merged_catalog(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[str, int]:
+    """Build the m12/m13 scratch chunk-log catalog: base write + an
+    upsert batch (size/version bumps + brand-new objects) + a delete
+    batch, committed as atomic chunk appends. Returns (path, n_base).
+
+    One deterministic scratch path per (corpus, tag), rebuilt from
+    scratch each invocation (the build IS part of what the query
+    measures) — never a fresh mkdtemp per call, which accumulated full
+    catalog copies in /tmp across bench min-of-2 + oracle re-runs.
+    rmtree happens here rather than after the read: read_resolved is
+    lazy, so the returned frames scan the chunks when the CALLER
+    materializes them."""
     import hashlib as _hashlib
     import json as _json
     import shutil as _shutil
@@ -7502,15 +7663,8 @@ def m12_catalog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aistore_spark.operators import maintenance
     from aistore_spark.sources import catalog_source
 
-    # one deterministic scratch catalog per corpus, rebuilt from scratch
-    # each invocation (the build IS part of what the query measures) —
-    # never a fresh mkdtemp per call, which accumulated full catalog
-    # copies in /tmp across bench min-of-2 + oracle re-runs. rmtree
-    # happens here rather than after the read: read_resolved is lazy,
-    # so the returned DataFrame scans the chunks when the CALLER
-    # materializes it.
     key = _hashlib.md5(str(_Path(sf_dir).resolve()).encode()).hexdigest()[:10]
-    root = _Path(tempfile.gettempdir()) / f"aiscat_m12_{key}"
+    root = _Path(tempfile.gettempdir()) / f"aiscat_{tag}_{key}"
     _shutil.rmtree(root, ignore_errors=True)
     path = str(root / "cat")
     objects = _objects(spark, sf_dir)
@@ -7553,51 +7707,141 @@ def m12_catalog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         # a real failure signal, not `assert` (a no-op under python -O)
         raise RuntimeError(
-            f"m12: merge commits missing from manifest "
+            f"{tag}: merge commits missing from manifest "
             f"({len(committed)} chunks, base {n_base})"
         )
+    return path, n_base
 
-    def rollup(state: DataFrame, phase: str) -> DataFrame:
-        return (
-            state.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_objects"),
-                F.sum("size").cast("bigint").alias("bytes"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct(
+
+def _state_rollup(state: DataFrame, phase: str) -> DataFrame:
+    """Per-bucket fingerprint of a resolved catalog state: object
+    count, byte total, and an ordered md5 over name:size:version."""
+    return (
+        state.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_objects"),
+            F.sum("size").cast("bigint").alias("bytes"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("name"),
+                                    F.concat(
                                         F.col("name"),
-                                        F.concat(
-                                            F.col("name"),
-                                            F.lit(":"),
-                                            F.col("size").cast("string"),
-                                            F.lit(":"),
-                                            F.col("version"),
-                                        ).alias("entry"),
-                                    )
+                                        F.lit(":"),
+                                        F.col("size").cast("string"),
+                                        F.lit(":"),
+                                        F.col("version"),
+                                    ).alias("entry"),
                                 )
-                            ),
-                            lambda s: s["entry"],
+                            )
                         ),
-                        ",",
-                    )
-                ).alias("state_md5"),
-            )
-            .select(
-                F.lit(phase).alias("phase"),
-                "bucket",
-                "n_objects",
-                "bytes",
-                "state_md5",
-            )
+                        lambda s: s["entry"],
+                    ),
+                    ",",
+                )
+            ).alias("state_md5"),
         )
+        .select(
+            F.lit(phase).alias("phase"),
+            "bucket",
+            "n_objects",
+            "bytes",
+            "state_md5",
+        )
+    )
 
-    before = catalog_source.read_resolved(spark, path, as_of=n_base)
-    after = catalog_source.read_resolved(spark, path)
-    return rollup(before, "before").unionByName(rollup(after, "after"))
+
+@register(
+    "m13_catalog_compact",
+    oracles.with_catalogs(
+        f"""
+        WITH {_MERGED_STATE_CTES},
+        nb AS (
+          SELECT bucket, name, size * 2 AS size, '9' AS version
+          FROM objects WHERE doc_id % 17 = 2
+        ),
+        appended AS (
+          SELECT bucket, name, size, version FROM nb
+          UNION ALL
+          SELECT bucket, name, size, version FROM after_state
+          WHERE name NOT IN (SELECT name FROM nb)
+        ),
+        lab AS (
+          SELECT 'resolved' AS phase, bucket, name, size, version
+          FROM after_state
+          UNION ALL
+          SELECT 'compacted' AS phase, bucket, name, size, version
+          FROM after_state
+          UNION ALL
+          SELECT 'appended' AS phase, bucket, name, size, version
+          FROM appended
+        )
+        {_STATE_ROLLUP_SQL}
+        """,
+        "objects",
+    ),
+)
+def m13_catalog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: chunk-log COMPACTION (verdict-r9 #7) — the maintenance
+    story ``read_resolved → write_chunked_catalog`` described in
+    maintenance.merge_into's docs, executed and fingerprinted. The
+    m12 merged log (base + upsert + delete chunks) is folded once and
+    rewritten as a fresh 4-chunk catalog; the row proves three states
+    pairwise: (1) ``resolved`` — merge-on-read over the ORIGINAL log;
+    (2) ``compacted`` — an ``as_of`` time-travel read over the NEW log
+    pinned at its post-compaction generation, taken AFTER a further
+    append lands, so it also proves the compacted log answers as_of
+    reads across new commits; (3) ``appended`` — the compacted log
+    resolved after that new upsert batch. The oracle derives all three
+    analytically; 'resolved' and 'compacted' share one oracle state,
+    so any divergence between the folded log and its compaction
+    hash-mismatches. The function raises unless the compacted manifest
+    is strictly smaller than the change log it folds. 100 TB:
+    compaction is one repartitionByRange write of the RESOLVED state
+    (bounded by live keys, not history), and readers keep their
+    one-shuffle merge-on-read plan before and after."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    from aistore_spark.operators import maintenance
+    from aistore_spark.sources import catalog_source
+
+    path, _ = _scratch_merged_catalog(spark, sf_dir, "m13")
+    resolved = catalog_source.read_resolved(spark, path)
+    cpath = path + "_compact"
+    cmanifest = catalog_source.write_chunked_catalog(
+        resolved, cpath, n_chunks=4
+    )
+    n_compact = len(cmanifest["chunks"])
+    n_log = len(
+        _json.loads((_Path(path) / catalog_source.MANIFEST).read_text())[
+            "chunks"
+        ]
+    )
+    if n_compact >= n_log:
+        raise RuntimeError(
+            f"m13: compaction did not shrink the log "
+            f"({n_log} chunks -> {n_compact})"
+        )
+    objects = _objects(spark, sf_dir)
+    nb = objects.filter(F.col("doc_id") % 17 == 2).select(
+        "bucket",
+        "name",
+        (F.col("size") * 2).alias("size"),
+        "checksum",
+        F.lit("9").alias("version"),
+    )
+    maintenance.merge_into(cpath, nb, op="upsert")
+    compacted = catalog_source.read_resolved(spark, cpath, as_of=n_compact)
+    appended = catalog_source.read_resolved(spark, cpath)
+    return (
+        _state_rollup(resolved, "resolved")
+        .unionByName(_state_rollup(compacted, "compacted"))
+        .unionByName(_state_rollup(appended, "appended"))
+    )
 
 
 @register(

@@ -53,18 +53,41 @@ def main() -> None:
     # second pass doubles hours for noise-reduction the scaling read
     # doesn't need
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # SPARK_GRAFT_QUERY_TIMEOUT=secs bounds any single query at the big
+    # scale tiers (sf10): a timer cancels the Spark jobs, the query is
+    # recorded as a timeout error, and the sweep continues — one
+    # known-quadratic baseline (e.g. ann1 brute force) must not eat the
+    # whole wall budget. 0 (default) = unbounded.
+    q_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "0"))
+    import threading
+
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in sorted(QUERIES.items()):
         best = float("inf")
         for _ in range(runs):
+            timer = None
+            fired = threading.Event()
+
+            def _cancel():
+                fired.set()
+                spark.sparkContext.cancelAllJobs()
+
             t0 = time.time()
             try:
+                if q_timeout > 0:
+                    timer = threading.Timer(q_timeout, _cancel)
+                    timer.start()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                if fired.is_set():
+                    errors[name] = f"timeout: exceeded {q_timeout:.0f}s budget"
+                else:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 break
             finally:
+                if timer is not None:
+                    timer.cancel()
                 release_cached()
             best = min(best, time.time() - t0)
         if name not in errors:

@@ -87,3 +87,50 @@ def test_bucketed_catalog_diff_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_local_cat")
         spark.sql("DROP TABLE IF EXISTS t_remote_cat")
+
+
+def test_compaction_shrinks_log_and_preserves_state(spark, sf_dir, tmp_path):
+    """m13's contract, isolated: folding the chunk log via
+    read_resolved -> write_chunked_catalog must (a) strictly shrink
+    the chunk count and (b) leave the resolved state bit-identical —
+    including per-row checksums, which the m13 [Q] row's md5 doesn't
+    cover."""
+    import json
+
+    from aistore_spark.operators import maintenance
+    from aistore_spark.sources import catalog_source
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    objects = objects_catalog(docs)
+    path = str(tmp_path / "cat")
+    catalog_source.write_chunked_catalog(objects, path, n_chunks=8)
+    maintenance.merge_into(
+        path,
+        objects.filter(F.col("name").startswith("en/")).select(
+            "bucket", "name", (F.col("size") + 1).alias("size"),
+            "checksum", F.lit("7").alias("version"),
+        ),
+        op="upsert",
+    )
+    maintenance.merge_into(
+        path,
+        objects.limit(50).select(
+            "bucket", "name", "size", "checksum", "version"
+        ),
+        op="delete",
+    )
+    n_log = len(json.loads(
+        (tmp_path / "cat" / catalog_source.MANIFEST).read_text()
+    )["chunks"])
+    resolved = catalog_source.read_resolved(spark, path)
+
+    cpath = str(tmp_path / "cat_compact")
+    cmanifest = catalog_source.write_chunked_catalog(
+        resolved, cpath, n_chunks=4
+    )
+    assert len(cmanifest["chunks"]) < n_log
+    compacted = catalog_source.read_resolved(spark, cpath)
+    assert sorted(map(tuple, compacted.collect())) == sorted(
+        map(tuple, resolved.collect())
+    )

@@ -572,12 +572,14 @@ def test_ann_recall_floors_clustered(spark):
     ) >= 0.75
     # the refine tier needs a deeper shortlist on clustered data (ADC
     # ranking error concentrates inside dense cells): sl=100 measures
-    # 0.675, sl=250 repairs to 1.000 — the production sizing rule is
-    # shortlist ≈ 10-15% of corpus/expected-cell mass, not a constant
+    # 0.675, sl=250 repairs to 1.000. The floor is pinned on the SIZED
+    # RULE (shortlist=None -> refine_shortlist_size: 1/5 of expected
+    # probed mass, here 300), not a tuned constant — measured 1.000
+    assert simsearch.refine_shortlist_size(2000, 16, 12, 10) == 300
     assert recall(
         simsearch.ivfpq_refine_topk(
             emb, cents, emb.filter(F.col("vec_id") < 64), queries,
-            k=10, nprobe=12, m=8, dim=64, shortlist=250,
+            k=10, nprobe=12, m=8, dim=64, shortlist=None,
         )
     ) >= 0.95
     emb.unpersist()
