@@ -46,11 +46,15 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_CHECK_PRIORITY = [
     # (a) changed-or-new since last driver-green (fingerprint-pinned).
     # Round 10 additions: the clustered-corpus IVF-PQ refine with the
-    # SIZED shortlist rule (ann9c, verdict-r9 #5) and the chunk-log
-    # compaction row (m13, verdict-r9 #7); st1/m12 re-front-loaded
-    # (r10 touched their empty-group md5 / scratch-path code).
+    # SIZED shortlist rule (ann9c, verdict-r9 #5), the chunk-log
+    # compaction row (m13, verdict-r9 #7), and the write-side real-I/O
+    # leg (p1b durable pack + mm12 media decode from on-disk shards,
+    # verdict-r9 #6); st1/m12 re-front-loaded (r10 touched their
+    # empty-group md5 / scratch-path code).
     "ann9c_ivfpq_refined_clustered",
     "m13_catalog_compact",
+    "p1b_pack_archive_io",
+    "mm12_media_decode_io",
     # Round 9 additions: the real-I/O leg (s4d/g1c/d8 — genuine on-disk
     # tar shards read via binaryFile, verdict-r8 #1), the first oracle
     # rows for the G4 BatchLoader frame and the streaming-dedup batch
@@ -98,13 +102,12 @@ DRIVER_CHECK_PRIORITY = [
     "samp5_diverse_sample",
     "tx14_novelty",
     "mm11b_dhash_exact",
-    # (b) re-checks (trimmed by 2 more vs r9 to fit ann9c/m13 in the
-    # front 50 — tx9_pii_redact and tx10_heavy_phrases dropped, both
-    # hard-green in the r9 driver ledger with unchanged fingerprints;
-    # previously dropped and still fingerprint-stable: mm10, d5, dd6b,
-    # dd9, j1b, t11)
-    "t12_ws_etl_channel",
-    "t13_face_detect",
+    # (b) re-checks (trimmed by 4 vs r9 to fit ann9c/m13/p1b/mm12 in
+    # the front 50 — tx9_pii_redact, tx10_heavy_phrases,
+    # t12_ws_etl_channel, t13_face_detect dropped, all hard-green in
+    # the r9 driver ledger with unchanged fingerprints; previously
+    # dropped and still fingerprint-stable: mm10, d5, dd6b, dd9, j1b,
+    # t11)
     "g3_output_formats",
     "g1_mixed_batches",
     "g1_assemble_batches",

@@ -190,3 +190,116 @@ def read_shard_members(
     return mem.withColumn(
         "shard", F.regexp_extract("shard", r"([^/]+)$", 1)
     )
+
+
+def write_packed_shards(
+    members: DataFrame, out_dir: str, shard_col: str = "shard"
+) -> list:
+    """WRITE-side real I/O: group member (name, bytes) rows by
+    ``shard_col`` and durably write one genuine USTAR ``.tar`` per
+    group to ``out_dir`` (one applyInPandas task per shard — the
+    D6/P1 packing shape), entries in sorted member order. Returns the
+    per-shard manifest rows (shard, n_members, tar_bytes). The caller
+    owns the output directory lifecycle (p1b rebuilds it per
+    invocation — the write IS what the query measures)."""
+    from aistore_spark.operators.archive import build_tar
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    out_str = str(out)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("member", kind="mergesort")
+        blob = build_tar(
+            list(pdf["member"]), [bytes(b) for b in pdf["bytes"]]
+        )
+        name = pdf[shard_col].iloc[0]
+        Path(out_str, name).write_bytes(blob)
+        return pd.DataFrame(
+            {"shard": [name], "n_members": [len(pdf)], "tar_bytes": [len(blob)]}
+        )
+
+    spark = members.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    return (
+        members.select(shard_col, "member", "bytes")
+        .repartition(n, shard_col)
+        .groupBy(shard_col)
+        .applyInPandas(
+            write_shard, schema="shard string, n_members bigint, tar_bytes bigint"
+        )
+        .collect()  # O(n_shards) rows — the write-job barrier
+    )
+
+
+def materialize_media_shards(spark: SparkSession, sf_dir: str) -> str:
+    """Real on-disk MEDIA shards: genuine baseline-JFIF JPEGs (the
+    mm10 synthesis profile — real DCT/Huffman containers, DC-only
+    blocks so channel means have a closed form) packed into USTAR tars
+    on disk, one per ``doc_id % 16``. The media twin of
+    :func:`materialize_shards`: marker-gated, atomic publish, corpus
+    path validated. mm12 reads these back via binaryFile and runs the
+    FULL decode pipeline on bytes that crossed the filesystem."""
+    import os
+    import tempfile
+
+    from aistore_spark.operators import multimodal
+    from aistore_spark.operators.archive import build_tar
+    from aistore_spark.sources.tables import load_table
+
+    out = _REPO / "_scale" / "io" / Path(sf_dir).name / "media-v1"
+    marker = out / "_SUCCESS"
+    corpus = str(Path(sf_dir).resolve())
+    if marker.exists():
+        try:
+            recorded = json.loads(marker.read_text()).get("sf_dir")
+        except (OSError, ValueError):
+            recorded = None
+        if recorded == corpus:
+            return str(out)
+        aside = Path(f"{out}.old-{os.getpid()}")
+        os.rename(out, aside)
+        shutil.rmtree(aside, ignore_errors=True)
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .select("doc_id")
+    )
+    frame = multimodal.synth_jpeg_frame(ids).select(
+        F.concat(
+            F.lit("media-"),
+            F.lpad((F.col("doc_id") % 16).cast("string"), 5, "0"),
+            F.lit(".tar"),
+        ).alias("shard"),
+        F.concat(
+            F.lit("img-"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+            F.lit(".jpg"),
+        ).alias("member"),
+        F.col("img").alias("bytes"),
+    )
+    out.parent.mkdir(parents=True, exist_ok=True)
+    build = Path(
+        tempfile.mkdtemp(prefix=out.name + ".build-", dir=str(out.parent))
+    )
+    manifest = write_packed_shards(frame, str(build))
+    (build / "_SUCCESS").write_text(
+        json.dumps(
+            {
+                "format_version": 1,
+                "sf_dir": corpus,
+                "n_shards": len(manifest),
+                "n_members": sum(m.n_members for m in manifest),
+                "tar_bytes": sum(m.tar_bytes for m in manifest),
+            }
+        )
+    )
+    try:
+        os.rename(build, out)  # atomic publish
+    except OSError:
+        if marker.exists():
+            shutil.rmtree(build, ignore_errors=True)
+        else:
+            raise
+    return str(out)

@@ -178,6 +178,17 @@ def main() -> None:
     if per_query.get("s4d_shard_index_io") or per_query.get("d8_dsort_io"):
         derived["io_sample_mod"] = io_mod
         derived["io_n_members_on_disk"] = n_members_io
+    if per_query.get("p1b_pack_archive_io"):
+        # write side: p1b packs DISTINCT members (the min-key dedup) —
+        # approximate the distinct count as on-disk members since an
+        # exact distinct() is its own job; the io tool computes exact
+        derived["pack_members_per_sec_io"] = round(
+            n_members_io / per_query["p1b_pack_archive_io"], 1
+        )
+    if per_query.get("mm12_media_decode_io") and n_docs:
+        derived["media_decode_images_per_sec_io"] = round(
+            (n_docs // 7) / per_query["mm12_media_decode_io"], 1
+        )
 
     # cross-round drift canary (verdict-r8 #7): five pure-JVM queries
     # (no Python workers, no disk fixtures) whose plans have been

@@ -37,6 +37,10 @@ PAIRS = [
     ("g1_assemble_batches", "g1c_assemble_batches_io"),
     ("p1_pack_archive", "s4d_shard_index_io"),
     ("dsort_pipeline", "d8_dsort_io"),
+    # write side (verdict-r9 #6): p1b packs real bytes and durably
+    # writes tars; mm12 decodes real JPEG containers read from disk
+    ("p1_pack_archive", "p1b_pack_archive_io"),
+    ("mm10_jpeg_decode", "mm12_media_decode_io"),
 ]
 
 
@@ -56,7 +60,7 @@ def main() -> None:
     marker = json.loads((Path(shards_dir) / "_SUCCESS").read_text())
 
     per_query: dict[str, float] = {}
-    for name in [q for pair in PAIRS for q in pair]:
+    for name in dict.fromkeys(q for pair in PAIRS for q in pair):
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
@@ -95,6 +99,30 @@ def main() -> None:
         "io_sample_mod": marker.get("sample_mod", 1),
         "io_n_members_on_disk": n_members_io,
     }
+    # write side: p1b packs DISTINCT members (min-key rule) and writes
+    # durable tars; mm12 decodes one JPEG per doc_id % 7 == 3
+    from aistore_spark import catalog
+    from pyspark.sql import functions as F
+
+    mem = catalog.members_catalog(load_table(spark, sf_dir, "lineitem"))
+    mod = io_fixtures.sample_mod(n_members)
+    if mod != 1:
+        mem = mem.filter(F.col("orderkey") % mod == 0)
+    n_distinct = mem.select("member").distinct().count()
+    n_images = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 3)
+        .count()
+    )
+    derived["pack_members_per_sec_io"] = round(
+        n_distinct / per_query["p1b_pack_archive_io"], 1
+    )
+    derived["media_decode_images_per_sec_synthetic"] = round(
+        n_images / per_query["mm10_jpeg_decode"], 1
+    )
+    derived["media_decode_images_per_sec_io"] = round(
+        n_images / per_query["mm12_media_decode_io"], 1
+    )
     out = {
         "metric": "real_io_vs_synthetic_wall_sec_min_of_2",
         "sf": sf,
