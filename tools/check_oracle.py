@@ -165,8 +165,16 @@ def main() -> int:
 
     ledger: dict[str, dict] = {}
     failed = []
+
+    def flush_ledger() -> None:
+        # incremental: at the big scale tiers a wall-clock cutoff can
+        # kill the run mid-sweep — every completed row must survive
+        if json_out:
+            Path(json_out).write_text(json.dumps(ledger, indent=2) + "\n")
+
     ordered = list(qs.items()) if only else sorted(qs.items())
     for name, fn in ordered:
+        flush_ledger()
         rec = {
             "rows_match": False,
             "schema_match": False,
@@ -264,8 +272,7 @@ def main() -> int:
         rec["hash_match"] = True
         print(f"ok    {name}: {len(sdf)} rows  cols={list(sorted(sdf.columns))} ({dt:.1f}s)")
 
-    if json_out:
-        Path(json_out).write_text(json.dumps(ledger, indent=2) + "\n")
+    flush_ledger()
     print(f"\n{len(qs) - len(failed)}/{len(qs)} passed")
     return 1 if failed else 0
 
