@@ -92,6 +92,22 @@ def main() -> None:
             best = min(best, time.time() - t0)
         if name not in errors:
             per_query[name] = round(best, 3)
+        # per-query progress + partial flush: at the big scale tiers a
+        # wall-clock cutoff must not erase hours of measurements — the
+        # partial file can be promoted to the artifact by hand
+        print(
+            f"[bench] {name}: {per_query.get(name, errors.get(name))}",
+            file=sys.stderr,
+            flush=True,
+        )
+        partial = os.environ.get("SPARK_GRAFT_BENCH_PARTIAL")
+        if partial:
+            Path(partial).write_text(
+                json.dumps(
+                    {"queries": per_query, "errors": errors, "partial": True}
+                )
+                + "\n"
+            )
 
     total = round(sum(per_query.values()), 3)
 
