@@ -584,3 +584,19 @@ def test_ann_recall_floors_clustered(spark):
     ) >= 0.95
     emb.unpersist()
     truth.unpersist()
+
+
+def test_refine_shortlist_size_integer_rule():
+    """The sizing rule is pure integer arithmetic (so SQL oracles
+    reproduce it exactly): max(4k, ceil(frac * nprobe * n / cells))."""
+    from aistore_spark.operators.simsearch import refine_shortlist_size
+
+    # floor dominates small corpora
+    assert refine_shortlist_size(500, 16, 4, 10) == 40
+    # the clustered fixture's registered settings
+    assert refine_shortlist_size(2000, 16, 12, 10) == 300
+    # exact ceil, no float drift: 4*2001/80 = 100.05 -> 101
+    assert refine_shortlist_size(2001, 16, 4, 10) == 101
+    assert refine_shortlist_size(2000, 16, 4, 10) == 100
+    # degenerate cell count guards
+    assert refine_shortlist_size(1000, 0, 4, 10) == 800
