@@ -180,3 +180,73 @@ def test_ev7_pivot_row_sums_match_user_counts(spark, sf_dir):
         assert (
             r.click + r.signup + r.error + r.view + r.purchase == want[r.user_id]
         )
+
+
+def test_st1_zero_survivor_lang_emits_null_md5(spark, oracle):
+    """A lang whose every text duplicates a lower-doc_id text in OTHER
+    langs has zero survivors; the Spark side must emit NULL
+    survivors_md5 (matching DuckDB's string_agg over all-NULLs), not
+    md5('') — the r9 ADVICE edge the shipped fixture never hits."""
+    import pandas as pd
+
+    rows = [
+        (0, "en", "alpha"), (1, "en", "beta"),
+        (2, "de", "alpha"), (3, "de", "beta"),  # de: all dups of en
+        (4, "fr", "gamma"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+    df = spark.createDataFrame(pdf)
+    from aistore_spark.benchqueries import ORACLES
+
+    # the registered Spark fn reads parquet, so re-derive the identical
+    # plan inline over the tiny frame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(F.md5("text"))
+    d = df.select("lang", "doc_id", F.min("doc_id").over(w).alias("keep_id"))
+    surv = F.when(F.col("doc_id") == F.col("keep_id"), F.col("doc_id"))
+    out = d.groupBy("lang").agg(
+        F.sum(F.when(surv.isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivors"),
+        F.when(
+            F.sum(F.when(surv.isNotNull(), 1).otherwise(0)) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    surv.isNotNull(),
+                                    F.struct(
+                                        F.col("doc_id"),
+                                        F.col("doc_id")
+                                        .cast("string")
+                                        .alias("s"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s["s"],
+                    ),
+                    ",",
+                )
+            ),
+        ).alias("survivors_md5"),
+    )
+    got = {r.lang: (r.n_survivors, r.survivors_md5) for r in out.collect()}
+    assert got["de"] == (0, None)
+    assert got["en"][0] == 2 and got["en"][1] is not None
+    # DuckDB twin on the same rows agrees
+    oracle.register("_st1docs_pd", pdf)
+    osql = ORACLES["st1_dedup_stream_mirror"].replace(
+        "FROM documents", "FROM _st1docs_pd"
+    )
+    odf = oracle.sql(osql).df()
+    orow = odf.set_index("lang")
+    assert orow.loc["de", "n_survivors"] == 0
+    assert orow.loc["de", "survivors_md5"] is None or (
+        isinstance(orow.loc["de", "survivors_md5"], float)
+    )
+    assert orow.loc["en", "survivors_md5"] == got["en"][1]
