@@ -829,8 +829,15 @@ def ivfpq_refine_topk(
     v = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("nv")
     )
+    # join ORDER matters for the broadcast payload: the shortlist is
+    # (queries x shortlist) PAIRS — attaching the 512-byte query vector
+    # to each pair before broadcasting multiplies the payload by the
+    # vector width (10 GB at sf10 under the sized rule). Broadcast the
+    # bare id-pair frame against the corpus first, then attach query
+    # vectors from the tiny per-query frame.
     scored = (
-        v.join(F.broadcast(adc.join(F.broadcast(q), "query_id")), "neighbor_id")
+        v.join(F.broadcast(adc), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",

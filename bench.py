@@ -63,7 +63,24 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # SPARK_GRAFT_BENCH_RESUME=<partial.json>: preload a prior partial
+    # flush and skip its queries (walls AND recorded errors) — a crash
+    # or code fix mid-sweep at the big tiers must not re-pay hours of
+    # completed measurements
+    resume = os.environ.get("SPARK_GRAFT_BENCH_RESUME")
+    if resume and Path(resume).exists():
+        prior = json.loads(Path(resume).read_text())
+        per_query.update(prior.get("queries", {}))
+        errors.update(prior.get("errors", {}))
+        print(
+            f"[bench] resumed {len(per_query)} walls + {len(errors)} "
+            f"errors from {resume}",
+            file=sys.stderr,
+            flush=True,
+        )
     for name, fn in sorted(QUERIES.items()):
+        if name in per_query or name in errors:
+            continue
         best = float("inf")
         for _ in range(runs):
             timer = None
