@@ -35,9 +35,18 @@ from aistore_spark.util import pin, spread
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: every doc flagged, canonical = min
     doc_id within its hash group. One hash-shuffle; at scale, group by
-    a 128-bit digest, never the text itself."""
+    a 128-bit digest, never the text itself.
+
+    The digest is computed after :func:`~aistore_spark.util.spread`:
+    a single-row-group corpus file (the fixture layout at every SF)
+    scans as ONE task, so without it the md5 over the whole corpus
+    runs on one core — measured 142 s at sf10 vs ~8 s spread. On a
+    real many-file corpus the scan splits naturally and spread is a
+    no-op."""
+    from aistore_spark.util import spread
+
     w = Window.partitionBy("checksum")
-    return documents.select(
+    return spread(documents).select(
         F.col("doc_id"),
         F.md5(F.col(text_col)).alias("checksum"),
     ).select(
