@@ -3824,6 +3824,53 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd5b_embedding_neardup_sampled",
+    f"""
+    WITH s AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+            % 16 = 0
+    ),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(sum(CAST(round(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                                 * 10000, 0) AS BIGINT)
+                    * CAST(round(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)
+                                 * 10000, 0) AS BIGINT)) AS BIGINT) AS dot
+      FROM s a, s b, range(1, 65) t(i)
+      WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, dot, CAST(16 AS BIGINT) AS sample_den
+    FROM dots WHERE dot >= 40000000
+    """,
+)
+def dd5b_embedding_neardup_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dd5's O(N²) brute-force baseline, BUDGET-BOUNDED on a
+    hash-stratified 1/16 sample (verdict-r10 #6): dd5 itself is the
+    honest exhaustive baseline the LSH/SemDeDup rows exist to replace,
+    so at sf10 it times out BY DESIGN — this row keeps a measured
+    second-decade number for the same arithmetic by md5-bucketing
+    vec_id (the engine-portable determinism primitive, util.md5_bucket)
+    and running the identical blocked matmul over the stratum. The
+    sampling is recorded in the row itself (``sample_den``), so a
+    reader of the ledger sees the bound, not a silently-shrunk
+    baseline. Work drops (1/16)² = 256× — sf10's ~200K corpus becomes
+    a 12.5K-vector exact pass. 100 TB: still quadratic (it is the
+    calibration baseline, not the production path) but the stratum
+    keeps it inside any fixed budget."""
+    from aistore_spark.util import md5_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb.filter(md5_bucket(F.col("vec_id").cast("string"), 16) == 0)
+    return simsearch.blocked_pairs_above(
+        sample, threshold=40_000_000
+    ).withColumn("sample_den", F.lit(16).cast("bigint"))
+
+
+@register(
     "dd9_semantic_dedup",
     f"""
     WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
@@ -5994,6 +6041,183 @@ def ann9c_ivfpq_refined_clustered(
     )
 
 
+#: ann9d probe depth: constant (does NOT grow with N) — with √N cells
+#: the per-query probed mass is nprobe·√N, sublinear in corpus size.
+#: 20 holds recall 0.985 on the clustered fixture at one kmeans pass
+#: (measured sweep: 8→0.595, 12→0.775, 16→0.870, 20→0.985); at sf10
+#: that is 20 of 447 cells = 4.5 % of the corpus per query, vs the
+#: fixed-16-cell tier's 25–75 %.
+_ANN9D_NPROBE = 20
+
+_ANN9D_SQL = f"""
+    WITH {_CLUSTERED_PRELUDE}
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
+      FROM ccorpus
+    ),
+    qzd AS MATERIALIZED (
+      SELECT vec_id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS vd
+      FROM qz
+    ),
+    params AS (
+      SELECT n,
+             greatest(16, s + CASE WHEN (s + 1) * (s + 1) <= n THEN 1
+                                   WHEN s * s > n THEN -1 ELSE 0 END) AS k
+      FROM (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s
+            FROM (SELECT count(*) AS n FROM qz))
+    ),
+    strd AS (SELECT greatest(1, n // k) AS stride FROM params),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS centroid_id, vd AS cvec FROM qzd
+      WHERE vec_id % (SELECT stride FROM strd) = 0
+    ),
+    sc1 AS (
+      SELECT v.vec_id, c.centroid_id,
+             list_dot_product(v.vd, c.cvec) AS cdot
+      FROM qzd v, c0 c
+    ),
+    asg1 AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM sc1) WHERE rn = 1
+    ),
+    kc AS MATERIALIZED (
+      SELECT centroid_id,
+             list(CAST(mean_q AS DOUBLE) ORDER BY dim) AS cvec
+      FROM (
+        SELECT a.centroid_id, CAST(j AS BIGINT) AS dim,
+               CAST(sum(v.vq[CAST(j AS INT)]) // count(*) AS BIGINT)
+                 AS mean_q
+        FROM asg1 a JOIN qz v USING (vec_id), range(1, 65) t(j)
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    subs AS MATERIALIZED (
+      SELECT vec_id, CAST(s.m AS BIGINT) AS m,
+             array_slice(vd, s.m * 8 + 1, s.m * 8 + 8) AS sv,
+             list_dot_product(array_slice(vd, s.m * 8 + 1, s.m * 8 + 8),
+                              array_slice(vd, s.m * 8 + 1, s.m * 8 + 8))
+               AS s2
+      FROM qzd, range(0, 8) s(m)
+    ),
+    cw AS MATERIALIZED (
+      SELECT vec_id AS code, m, sv AS cw_sv, s2 AS c2
+      FROM subs WHERE vec_id < 64
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT v.vec_id, v.m, c.code,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.m
+                 ORDER BY v.s2 + c.c2
+                          - 2 * list_dot_product(v.sv, c.cw_sv), c.code)
+                 AS rn
+        FROM subs v JOIN cw c ON c.m = v.m) WHERE rn = 1
+    ),
+    cscored AS (
+      SELECT v.vec_id, c.centroid_id,
+             list_dot_product(v.vd, c.cvec) AS cdot
+      FROM qzd v, kc c
+    ),
+    vassign AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM cscored) WHERE rn = 1
+    ),
+    qprobe AS MATERIALIZED (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM cscored WHERE vec_id % 100 = 0) WHERE rn <= {_ANN9D_NPROBE}
+    ),
+    tbl AS MATERIALIZED (
+      SELECT v.vec_id AS query_id, v.m, c.code,
+             CAST(v.s2 + c.c2 - 2 * list_dot_product(v.sv, c.cw_sv)
+               AS BIGINT) AS d
+      FROM subs v JOIN cw c ON c.m = v.m
+      WHERE v.vec_id % 100 = 0
+    ),
+    slsz AS (
+      SELECT greatest(40,
+               ({_ANN9D_NPROBE} * (SELECT n FROM params) + 5 * kn - 1)
+               // (5 * kn)) AS sl
+      FROM (SELECT count(*) AS kn FROM kc)
+    ),
+    adc AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(sum(t.d) AS BIGINT) AS adc
+      FROM qprobe p
+      JOIN vassign a ON a.centroid_id = p.centroid_id
+                    AND a.vec_id <> p.query_id
+      JOIN codes k ON k.vec_id = a.vec_id
+      JOIN tbl t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code
+      GROUP BY 1, 2
+    ),
+    sl AS (
+      SELECT query_id, neighbor_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id)
+              <= (SELECT sl FROM slsz)
+    ),
+    dots AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_dot_product(q.vd, n.vd) AS BIGINT) AS dot
+      FROM sl s
+      JOIN qzd q ON q.vec_id = s.query_id
+      JOIN qzd n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, dot
+    FROM dots
+    WINDOW w AS (PARTITION BY query_id ORDER BY dot DESC, neighbor_id)
+    QUALIFY row_number() OVER w <= 10
+"""
+
+
+@register("ann9d_ivfpq_sqrt_cells", _ANN9D_SQL)
+def ann9d_ivfpq_sqrt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ refine tier with the √N COARSE-CELL SIZING RULE
+    (verdict-r10 #2): cells = simsearch.n_coarse_cells(N) = max(16,
+    isqrt(N)), seeds spread every N//cells ids, ONE kmeans_train pass
+    (the ann6b build loop), then the full quality-tier read path
+    (ivf_assign via _cells, PQ m=8/64 codes, ADC shortlist sized by
+    refine_shortlist_size, exact integer-MIPS rerank) over the
+    in-plan clustered corpus of ann9c. The point is the SCALE LAW: a
+    fixed 16-cell grid probes nprobe/16 of the CORPUS per query
+    (linear → ann9b/9c's 600 s sf10 timeout), while √N cells at
+    constant nprobe probe ~nprobe·√N vectors — sublinear, so the
+    second decade gets a measured wall instead of a timeout. The
+    oracle reproduces the whole chain — corrected-isqrt cell count,
+    stride seeding, the floor-div kmeans pass, PQ encode via the exact
+    |a|²+|b|²−2a·b identity, the integer shortlist rule — so the green
+    row proves the SIZING RULES, not one tuned constant. 100 TB: the
+    index build is per-pass one √N-row broadcast + one combiner row
+    per vector; the read path broadcasts probes and the ADC table; the
+    corpus never shuffles (operators/simsearch.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    corpus, _ = _clustered_corpus(emb)
+    k_cells = simsearch.n_coarse_cells(n)
+    stride = max(1, n // k_cells)
+    seeds = corpus.filter(F.col("vec_id") % stride == 0)
+    cents = simsearch.kmeans_centroid_frame(
+        simsearch.kmeans_train(corpus, seeds, iters=1)
+    ).localCheckpoint(eager=True)
+    codebook = corpus.filter(F.col("vec_id") < 64)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.ivfpq_refine_topk(
+        corpus, cents, codebook, queries,
+        k=10, nprobe=_ANN9D_NPROBE, m=8, dim=64, shortlist=None,
+    )
+
+
 @register(
     "samp3_source_mixture",
     oracles.with_catalogs(
@@ -7329,6 +7553,124 @@ def dd12_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@register(
+    "dd12b_minhash_estimate_capped",
+    oracles.with_catalogs(
+        f"""
+        WITH wp AS ({_WP_SQL}),
+        sh AS ({_SHINGLES_SQL}),
+        mh AS (
+          SELECT doc_id, CAST(r AS INT) AS band,
+                 min(md5(CAST(r AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh, range(0, 8) t(r)
+          GROUP BY doc_id, r
+        ),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS match_slots
+          FROM mh a
+          JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
+                    AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        capped AS (
+          SELECT * FROM cand
+          WHERE ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '|'
+                                    || CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT
+                % 16 = 0
+        ),
+        sizes AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM sh GROUP BY 1
+        ),
+        common AS (
+          SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+          FROM capped c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.match_slots,
+               COALESCE(m.inter, 0) AS inter,
+               sa.n_sh + sb.n_sh - COALESCE(m.inter, 0) AS union_sh,
+               CAST(CASE WHEN c.match_slots *
+                              (sa.n_sh + sb.n_sh - COALESCE(m.inter, 0))
+                              >= 8 * COALESCE(m.inter, 0)
+                         THEN 1 ELSE 0 END AS BIGINT) AS est_ge_true,
+               CAST(16 AS BIGINT) AS sample_den
+        FROM capped c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        LEFT JOIN common m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+        """,
+        "objects",
+    ),
+)
+def dd12b_minhash_estimate_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dd12's estimator calibration, BUDGET-BOUNDED on a capped
+    candidate stratum (verdict-r10 #6): dd12 verifies every LSH
+    candidate BY DEFINITION (it IS the calibration set), so its sf10
+    cost is structural — this row md5-buckets the candidate PAIR key
+    (doc_a|doc_b, util.md5_bucket determinism) and exact-verifies only
+    the 1/16 stratum, bounding the quadratic-ish verify stage while
+    the candidate generation (the scalable LSH part) runs in full.
+    The cap is recorded in the row (``sample_den``). Calibration on a
+    uniform pair stratum is statistically the same measurement — the
+    estimator's bias per band count is a population mean, and an
+    md5-uniform 1/16 subsample estimates it with 4× the stderr at
+    1/16 the cost. 100 TB: verify cost O(candidates/16), everything
+    else identical to dd2/dd12's (band,minhash)-keyed shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aistore_spark.util import md5_bucket, pin
+
+    sh = pin(dedup.shingles(docs, n=3))
+    cand = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
+    capped = cand.filter(
+        md5_bucket(
+            F.concat_ws(
+                "|",
+                F.col("doc_a").cast("string"),
+                F.col("doc_b").cast("string"),
+            ),
+            16,
+        )
+        == 0
+    )
+    ver = dedup.jaccard_verify(
+        docs, capped, n=3, threshold_num=0, threshold_den=1, shingles_df=sh
+    )
+    return (
+        capped.select(
+            "doc_a", "doc_b", F.col("shared_bands").alias("match_slots")
+        )
+        .join(
+            ver.select("doc_a", "doc_b", "common", "n_a", "n_b"),
+            ["doc_a", "doc_b"],
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("match_slots").cast("bigint").alias("match_slots"),
+            F.col("common").cast("bigint").alias("inter"),
+            (F.col("n_a") + F.col("n_b") - F.col("common"))
+            .cast("bigint")
+            .alias("union_sh"),
+            F.when(
+                F.col("match_slots")
+                * (F.col("n_a") + F.col("n_b") - F.col("common"))
+                >= 8 * F.col("common"),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("est_ge_true"),
+            F.lit(16).cast("bigint").alias("sample_den"),
+        )
+    )
 
 
 @register(

@@ -43,8 +43,6 @@ def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
     runs on one core — measured 142 s at sf10 vs ~8 s spread. On a
     real many-file corpus the scan splits naturally and spread is a
     no-op."""
-    from aistore_spark.util import spread
-
     w = Window.partitionBy("checksum")
     return spread(documents).select(
         F.col("doc_id"),

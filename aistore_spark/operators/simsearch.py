@@ -760,6 +760,43 @@ def ivfpq_topk(
     )
 
 
+def n_coarse_cells(n_corpus: int, floor: int = 16) -> int:
+    """√N coarse-cell sizing for the IVF index build (SCALE.md:
+    production grows cells ~√N): ``cells = max(floor, isqrt(N))``, so
+    per-cell occupancy is ~√N and per-query probed mass
+    ``nprobe·√N`` stays SUBLINEAR in corpus size — the property that
+    keeps the quality tier's read path inside budget at the second
+    decade, where a fixed 16-cell grid scans ``nprobe/16`` of the
+    whole corpus (ann9b/9c's sf10 timeout; the reference's read path
+    exists precisely so nothing scans the corpus,
+    ``docs/get_batch.md:574-577``). Pure integer rule (``math.isqrt``)
+    so a SQL oracle reproduces it exactly with a corrected
+    ``floor(sqrt(double))``."""
+    import math
+
+    return max(floor, math.isqrt(max(0, n_corpus)))
+
+
+def kmeans_centroid_frame(means: DataFrame) -> DataFrame:
+    """:func:`kmeans_train`'s long output ``(centroid_id, dim, mean_q,
+    n_vecs)`` back to a ``(vec_id, embedding)`` centroid table on the
+    1e4 fixed-point grid — ``mean_q / 1e4`` round-trips exactly
+    through :func:`quantized` (double precision, |mean_q| << 2^49), so
+    downstream IVF arithmetic sees the integer means bit-for-bit."""
+    return (
+        means.groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dim"), F.col("mean_q")))
+                ),
+                lambda s: s["mean_q"].cast("double") / F.lit(float(QUANT)),
+            ).alias("embedding")
+        )
+        .select(F.col("centroid_id").alias("vec_id"), "embedding")
+    )
+
+
 def refine_shortlist_size(
     n_corpus: int,
     n_cells: int,

@@ -154,8 +154,11 @@ def materialize_shards(
     if force and out.exists():
         # swap, never rmtree-then-rename: a concurrent reader must see
         # either the old complete directory or the new one, with no
-        # window where the path is absent
-        aside = Path(f"{out}.old-{os.getpid()}")
+        # window where the path is absent. mkdtemp gives a unique
+        # aside target; POSIX rename onto an empty dir replaces it.
+        aside = Path(
+            tempfile.mkdtemp(prefix=out.name + ".old-", dir=str(out.parent))
+        )
         os.rename(out, aside)
         os.rename(build, out)
         shutil.rmtree(aside, ignore_errors=True)
@@ -250,6 +253,7 @@ def materialize_media_shards(spark: SparkSession, sf_dir: str) -> str:
     out = _REPO / "_scale" / "io" / Path(sf_dir).name / "media-v1"
     marker = out / "_SUCCESS"
     corpus = str(Path(sf_dir).resolve())
+    stale = False
     if marker.exists():
         try:
             recorded = json.loads(marker.read_text()).get("sf_dir")
@@ -257,9 +261,7 @@ def materialize_media_shards(spark: SparkSession, sf_dir: str) -> str:
             recorded = None
         if recorded == corpus:
             return str(out)
-        aside = Path(f"{out}.old-{os.getpid()}")
-        os.rename(out, aside)
-        shutil.rmtree(aside, ignore_errors=True)
+        stale = True  # wrong/unknown corpus: rebuild first, swap after
 
     ids = (
         load_table(spark, sf_dir, "documents")
@@ -295,6 +297,19 @@ def materialize_media_shards(spark: SparkSession, sf_dir: str) -> str:
             }
         )
     )
+    if stale and out.exists():
+        # swap, never rmtree-then-rename: a concurrent reader must see
+        # either the old complete directory or the new one, with no
+        # window where the path is absent. mkdtemp gives a unique
+        # aside target (a leftover from a crashed prior run can't
+        # collide); POSIX rename onto an empty dir replaces it.
+        aside = Path(
+            tempfile.mkdtemp(prefix=out.name + ".old-", dir=str(out.parent))
+        )
+        os.rename(out, aside)
+        os.rename(build, out)
+        shutil.rmtree(aside, ignore_errors=True)
+        return str(out)
     try:
         os.rename(build, out)  # atomic publish
     except OSError:

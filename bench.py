@@ -23,6 +23,55 @@ from aistore_spark.operators.dsort import release_cached  # noqa: E402
 from aistore_spark.session import get_spark  # noqa: E402
 
 
+def cpu_canaries(spark, runs: int = 2) -> dict[str, float]:
+    """Fixed-size CPU-BOUND host-speed probes (verdict-r10 "what's
+    wrong" #1): the sub-second overhead canaries are dominated by
+    per-job fixed cost, so their median cannot normalize CPU-bound
+    multi-second queries — these three do real, constant work
+    (independent of SF) in pure JVM codegen, no Python workers, no
+    disk. Cross-round normalization should use THIS median as the
+    host factor; the sub-second set stays for overhead drift only.
+
+    Sized so compute dominates the ~0.3 s fixed per-job overhead by
+    ~10× (measured local[32]: 2-4 s each):
+
+    - md5_4g: md5 over ~4 GiB of synthetic bytes (4,194,304 rows ×
+      1 KiB), hash-throughput bound.
+    - sort_32m: global range-partitioned sort of 32M knuth-hashed
+      longs through the noop sink (the sink preserves the sort — an
+      agg would let Catalyst drop it), shuffle+sort bound.
+    - agg_64m: 64M rows into 800K hash-agg groups, agg-CPU bound.
+    """
+    from pyspark.sql import functions as F
+
+    payload = F.concat(
+        F.lpad(F.col("id").cast("string"), 24, "0"), F.repeat(F.lit("x"), 1000)
+    )
+    probes = {
+        # max(h), not count(non-null expr): Catalyst rewrites a count
+        # of a provably-non-null projection to count(1) and PRUNES the
+        # md5 entirely (measured: 0.33 s for "4 GiB" = nothing ran)
+        "cpu_md5_4g": lambda: spark.range(4_194_304)
+        .select(F.md5(payload).alias("h"))
+        .select(F.max("h").alias("hmax")),
+        "cpu_sort_32m": lambda: spark.range(32_000_000).select(
+            (F.col("id") * F.lit(2654435761) % F.lit(32_000_011)).alias("k")
+        ).sort("k"),
+        "cpu_agg_64m": lambda: spark.range(64_000_000)
+        .groupBy((F.col("id") % 800_000).alias("g"))
+        .agg(F.sum("id").alias("s"), F.count("*").alias("n")),
+    }
+    out: dict[str, float] = {}
+    for name, mk in probes.items():
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            mk().write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -98,7 +147,13 @@ def main() -> None:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             except Exception as exc:  # noqa: BLE001
                 if fired.is_set():
-                    errors[name] = f"timeout: exceeded {q_timeout:.0f}s budget"
+                    # keep the exception text: a genuine failure after
+                    # the timer fires must stay diagnosable, not be
+                    # flattened into a bare "timeout"
+                    errors[name] = (
+                        f"timeout: exceeded {q_timeout:.0f}s budget "
+                        f"({type(exc).__name__}: {exc})"[:200]
+                    )
                 else:
                     errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 break
@@ -106,8 +161,22 @@ def main() -> None:
                 if timer is not None:
                     timer.cancel()
                 release_cached()
+            if fired.is_set():
+                # cancelAllJobs only interrupts an IN-FLIGHT job — if
+                # the timer fired during a driver-side gap between jobs
+                # (multi-job queries run count/write/collect sequences)
+                # the query completes anyway. Record the budget breach,
+                # not a wall that looks valid.
+                errors[name] = (
+                    f"timeout: exceeded {q_timeout:.0f}s budget "
+                    f"(completed in {time.time() - t0:.1f}s despite cancel)"
+                )
+                break
             best = min(best, time.time() - t0)
-        if name not in errors:
+        # a finite best is a valid measurement even if a LATER run
+        # errored/timed out — keep it; the error entry stays as a
+        # supplementary flag alongside
+        if best != float("inf"):
             per_query[name] = round(best, 3)
         # per-query progress + partial flush: at the big scale tiers a
         # wall-clock cutoff must not erase hours of measurements — the
@@ -219,8 +288,17 @@ def main() -> None:
             n_members_io / per_query["p1b_pack_archive_io"], 1
         )
     if per_query.get("mm12_media_decode_io") and n_docs:
+        # exact decoded-image count (doc_id % 7 == 3) — matches
+        # tools/bench_io.py's denominator; one cheap filter-count job
+        from pyspark.sql import functions as F
+
+        n_media = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 7 == 3)
+            .count()
+        )
         derived["media_decode_images_per_sec_io"] = round(
-            (n_docs // 7) / per_query["mm12_media_decode_io"], 1
+            n_media / per_query["mm12_media_decode_io"], 1
         )
 
     # cross-round drift canary (verdict-r8 #7): five pure-JVM queries
@@ -243,6 +321,12 @@ def main() -> None:
     else:
         canary_median = None
 
+    # CPU-bound fixed-size canaries (verdict-r10): the host factor for
+    # cross-round normalization of multi-second CPU-bound queries
+    cpu_canary = cpu_canaries(spark, runs=max(1, runs))
+    cvals = sorted(cpu_canary.values())
+    cpu_canary_median = cvals[len(cvals) // 2] if cvals else None
+
     full = {
         "metric": f"total_declared_query_wall_sec_min_of_{runs}",
         "value": total,
@@ -251,6 +335,8 @@ def main() -> None:
         "derived": derived,
         "canary": canary,
         "canary_median_sec": canary_median,
+        "cpu_canary": cpu_canary,
+        "cpu_canary_median_sec": cpu_canary_median,
         "sf": sf,
     }
     if errors:

@@ -12,6 +12,14 @@ Usage: python tools/bench_compare.py OLD.json NEW.json [threshold]
 Prints queries whose normalized ratio exceeds the threshold (default
 1.3 either way), plus the canary factor itself.
 
+Host factor (verdict-r10 "what's wrong" #1): the original five
+sub-second canaries are dominated by fixed per-job overhead, so their
+median cannot normalize CPU-bound multi-second queries — when both
+artifacts carry the CPU-BOUND fixed-size canary median
+(cpu_canary_median_sec, bench.py cpu_canaries: md5 over 100 MB, 1M-row
+sort, 2M-row agg) THAT ratio is the host factor; the sub-second median
+is still reported, as overhead drift only.
+
 Accepts BOTH artifact shapes: bench.py's own full artifact
 (BENCH_FULL*.json) and the driver's wrapper ({n, rc, tail, parsed})
 where ``tail`` holds the stdout JSON line, possibly truncated at the
@@ -61,9 +69,11 @@ def load_artifact(path: str) -> dict:
         ):
             queries.setdefault(name, float(sec))
     cm = re.search(r'"canary_median_sec"\s*:\s*([0-9.]+)', blob)
+    pm = re.search(r'"cpu_canary_median_sec"\s*:\s*([0-9.]+)', blob)
     return {
         "queries": queries,
         "canary_median_sec": float(cm.group(1)) if cm else None,
+        "cpu_canary_median_sec": float(pm.group(1)) if pm else None,
     }
 
 
@@ -72,6 +82,13 @@ def canary_median(art: dict) -> float | None:
         return art["canary_median_sec"]
     qs = art.get("queries", {})
     vals = sorted(qs[n] for n in CANARY if n in qs)
+    return vals[len(vals) // 2] if vals else None
+
+
+def cpu_canary_median(art: dict) -> float | None:
+    if art.get("cpu_canary_median_sec"):
+        return art["cpu_canary_median_sec"]
+    vals = sorted((art.get("cpu_canary") or {}).values())
     return vals[len(vals) // 2] if vals else None
 
 
@@ -84,15 +101,29 @@ def main() -> int:
     new = load_artifact(sys.argv[2])
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     co, cn = canary_median(old), canary_median(new)
-    if not co or not cn:
-        print("no canary data in one of the artifacts; raw ratios only")
-        host = 1.0
-    else:
+    po, pn = cpu_canary_median(old), cpu_canary_median(new)
+    if co and cn:
+        print(
+            f"overhead canary medians (sub-second set): old={co:.3f}s "
+            f"new={cn:.3f}s ratio={cn / co:.2f}x — overhead drift only, "
+            "NOT the normalization factor"
+        )
+    if po and pn:
+        host = pn / po
+        print(
+            f"CPU-bound canary medians: old={po:.3f}s new={pn:.3f}s "
+            f"host factor={host:.2f}x (new/old) — used for normalization"
+        )
+    elif co and cn:
         host = cn / co
         print(
-            f"canary medians: old={co:.3f}s new={cn:.3f}s "
-            f"host factor={host:.2f}x (new/old)"
+            "no CPU-bound canary in one artifact; falling back to the "
+            f"sub-second median ratio {host:.2f}x — overhead-biased, "
+            "treat normalized flags as advisory"
         )
+    else:
+        print("no canary data in one of the artifacts; raw ratios only")
+        host = 1.0
     qo, qn = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(qo) & set(qn))
     print(f"{len(shared)} shared queries; flagging normalized ratio "
