@@ -48,12 +48,14 @@ DRIVER_CHECK_PRIORITY = [
     # Round 11 additions: the √N coarse-cell ANN sizing row (ann9d,
     # verdict-r10 #2) and the two budget-bounded second-decade
     # baselines (dd5b sampled brute force, dd12b capped calibration —
-    # verdict-r10 #6). Dropped to fit: s2c_custom_props /
-    # tx5b_bpe_learned / tx5c_bpe_doc_tokens (driver-green r7-r10,
-    # fingerprints unchanged, sf1 hash-exact).
+    # verdict-r10 #6), plus the real-HTTP downloader execution row
+    # (ds2b, verdict-r10 #4). Dropped to fit: s2c_custom_props /
+    # tx5b_bpe_learned / tx5c_bpe_doc_tokens / tok2_pack_bpe
+    # (driver-green r7-r10, fingerprints unchanged, sf1 hash-exact).
     "ann9d_ivfpq_sqrt_cells",
     "dd5b_embedding_neardup_sampled",
     "dd12b_minhash_estimate_capped",
+    "ds2b_download_http",
     # Round 10 additions: the clustered-corpus IVF-PQ refine with the
     # SIZED shortlist rule (ann9c, verdict-r9 #5), the chunk-log
     # compaction row (m13, verdict-r9 #7), and the write-side real-I/O
@@ -75,7 +77,6 @@ DRIVER_CHECK_PRIORITY = [
     "g4_batch_loader",
     "st1_dedup_stream_mirror",
     "m12_catalog_upsert",
-    "tok2_pack_bpe",
     "dd2_ngram_jaccard",
     "dd7_dup_groups",
     "dsort_pipeline",

@@ -15,20 +15,90 @@ chosen to also be correct defaults on a real cluster at 100 TB:
 
 from __future__ import annotations
 
+import math
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+#: GiB of host RAM each local-mode Python/Arrow worker needs free
+#: beside the JVM heap. Measured at sf10 (SCALE.md "driver heap sizing
+#: is part of the config surface"): 96 GiB heap + 32 workers on a
+#: 128 GiB host tripped the KERNEL oom-killer during numpy blocks,
+#: 64 GiB heap (~60 GiB worker headroom) completed the full sweep.
+_WORKER_HEADROOM_GIB_PER_CPU = 1.9
+
+#: JVM heap GiB per GiB of on-disk parquet in the SF dir. Calibrated
+#: on the measured sf10 pair: 1.2 GiB parquet needed 64 GiB heap
+#: (8 GiB OOMed mid-sweep) — snappy parquet of text/embeddings
+#: decompresses ~10-50x, plus shuffle buffers and toPandas frames.
+_HEAP_GIB_PER_PARQUET_GIB = 53
+
+
+def _host_ram_gib() -> float:
+    return (
+        os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    )
+
+
+def heap_cap_gib(cpus: int, host_gib: float | None = None) -> int:
+    """Largest safe JVM heap beside ``cpus`` Python workers — the
+    known-bad zone above it is a measured kernel OOM, not a guess."""
+    host = host_gib if host_gib is not None else _host_ram_gib()
+    return max(8, int(host - max(16.0, cpus * _WORKER_HEADROOM_GIB_PER_CPU)))
+
+
+def auto_driver_mem(
+    sf_dir: str | None,
+    cpus: int,
+    host_gib: float | None = None,
+) -> str:
+    """Derive ``spark.driver.memory`` from the SF-dir's on-disk size
+    with the Arrow-worker headroom arithmetic from SCALE.md (verdict-
+    r10 #7) — so the big scale tiers run green with no hand-set heap.
+    """
+    size_gib = 0.0
+    if sf_dir and Path(sf_dir).is_dir():
+        size_gib = sum(
+            f.stat().st_size for f in Path(sf_dir).rglob("*") if f.is_file()
+        ) / 2**30
+    want = max(8, math.ceil(size_gib * _HEAP_GIB_PER_PARQUET_GIB))
+    return f"{min(want, heap_cap_gib(cpus, host_gib))}g"
+
+
+def _parse_gib(mem: str) -> float:
+    m = mem.strip().lower()
+    for suffix, mult in (("g", 1.0), ("m", 1.0 / 1024), ("k", 1.0 / 2**20)):
+        if m.endswith(suffix):
+            return float(m[: -len(suffix)]) * mult
+    return float(m) / 2**30  # bare bytes
 
 
 def get_spark(
     app_name: str = "aistore_spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    sf_dir: str | None = None,
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or min(
             os.cpu_count() or 4, 32
         )
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM")
+    if driver_mem:
+        # refuse the measured kernel-OOM zone rather than let a sweep
+        # die hours in: heap + per-worker headroom must fit host RAM
+        cap = heap_cap_gib(cpus)
+        if _parse_gib(driver_mem) > cap:
+            raise ValueError(
+                f"SPARK_DRIVER_MEM={driver_mem} exceeds the safe cap "
+                f"{cap}g for {cpus} Python workers on a "
+                f"{_host_ram_gib():.0f} GiB host (heap + "
+                f"{_WORKER_HEADROOM_GIB_PER_CPU} GiB/worker headroom; "
+                "SCALE.md: 96g + 32 workers kernel-OOMed at sf10)"
+            )
+    else:
+        driver_mem = auto_driver_mem(sf_dir, cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -46,7 +116,7 @@ def get_spark(
         # never row-at-a-time — same contract as the Pandas-UDF rule
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -78,7 +78,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("aistore_spark_bench", cpus=cpus)
+    spark = get_spark("aistore_spark_bench", cpus=cpus, sf_dir=sf_dir)
     # warmup: JVM + parquet footers + Python/Arrow worker spin-up, so
     # the first Pandas-UDF query isn't charged the daemon startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()

@@ -96,3 +96,52 @@ def test_spark_side_event_ts_is_ntz(spark, sf_dir):
     # the type the whole ts-arithmetic path (util.ntz_micros_sql) assumes
     ev = load_table(spark, sf_dir, "events")
     assert ev.schema["ts"].dataType.typeName() == "timestamp_ntz"
+
+
+def test_driver_heap_auto_sizing_arithmetic(tmp_path):
+    """Heap auto-sizing guard (verdict-r10 #7): SCALE.md's measured
+    facts — 8 GiB OOMs at sf10 (1.2 GiB parquet), 64 GiB completes,
+    96 GiB + 32 workers kernel-OOMs the host — encoded as code, so the
+    big tiers run green with no hand-set heap and the known-bad zone
+    is refused, not discovered hours in."""
+    import pytest
+
+    from aistore_spark.session import auto_driver_mem, heap_cap_gib
+
+    # cap: 128 GiB host, 32 workers -> 128 - 60.8 = 67g (96g is refused
+    # territory, 64g fits)
+    assert heap_cap_gib(32, host_gib=128) == 67
+    assert heap_cap_gib(8, host_gib=128) == 112  # floor 16 GiB headroom
+
+    # no sf_dir / tiny tier -> the historical 8g default
+    assert auto_driver_mem(None, 32, host_gib=128) == "8g"
+    small = tmp_path / "sf_small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert auto_driver_mem(str(small), 32, host_gib=128) == "8g"
+
+    # sf10-sized dir (1.2 GiB) -> 64g, inside the cap
+    big = tmp_path / "sf_big"
+    big.mkdir()
+    with (big / "t.parquet").open("wb") as f:
+        f.truncate(int(1.2 * 2**30))
+    assert auto_driver_mem(str(big), 32, host_gib=128) == "64g"
+
+    # a dir that would WANT more than the cap is clamped to it
+    huge = tmp_path / "sf_huge"
+    huge.mkdir()
+    with (huge / "t.parquet").open("wb") as f:
+        f.truncate(4 * 2**30)
+    assert auto_driver_mem(str(huge), 32, host_gib=128) == "67g"
+
+    # explicit env in the measured kernel-OOM zone is REFUSED
+    import os
+
+    from aistore_spark.session import get_spark
+
+    os.environ["SPARK_DRIVER_MEM"] = "999g"
+    try:
+        with pytest.raises(ValueError, match="safe cap"):
+            get_spark("refuse_test", cpus=32)
+    finally:
+        del os.environ["SPARK_DRIVER_MEM"]

@@ -41,6 +41,10 @@ PAIRS = [
     # writes tars; mm12 decodes real JPEG containers read from disk
     ("p1_pack_archive", "p1b_pack_archive_io"),
     ("mm10_jpeg_decode", "mm12_media_decode_io"),
+    # real network fetch (verdict-r10 #4): ds2 fabricates bodies in the
+    # Python worker; ds2b moves genuine bytes over loopback HTTP with
+    # the token bucket active
+    ("ds2_download_exec", "ds2b_download_http"),
 ]
 
 
@@ -51,7 +55,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark("aistore_spark_bench_io", cpus=cpus)
+    spark = get_spark("aistore_spark_bench_io", cpus=cpus, sf_dir=sf_dir)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     t0 = time.time()
@@ -122,6 +126,14 @@ def main() -> None:
     )
     derived["media_decode_images_per_sec_io"] = round(
         n_images / per_query["mm12_media_decode_io"], 1
+    )
+    n_dl = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 0)
+        .count()
+    )
+    derived["download_objects_per_sec_http"] = round(
+        n_dl / per_query["ds2b_download_http"], 1
     )
     out = {
         "metric": "real_io_vs_synthetic_wall_sec_min_of_2",

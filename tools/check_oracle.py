@@ -139,7 +139,11 @@ def main() -> int:
             raise SystemExit(f"unknown queries: {missing}")
         qs = {k: qs[k] for k in only}
 
-    spark = get_spark("check_oracle", cpus=int(os.environ.get("CHECK_ORACLE_CPUS", "8")))
+    spark = get_spark(
+        "check_oracle",
+        cpus=int(os.environ.get("CHECK_ORACLE_CPUS", "8")),
+        sf_dir=sf_dir,
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
