@@ -48,14 +48,19 @@ DRIVER_CHECK_PRIORITY = [
     # Round 11 additions: the √N coarse-cell ANN sizing row (ann9d,
     # verdict-r10 #2) and the two budget-bounded second-decade
     # baselines (dd5b sampled brute force, dd12b capped calibration —
-    # verdict-r10 #6), plus the real-HTTP downloader execution row
-    # (ds2b, verdict-r10 #4). Dropped to fit: s2c_custom_props /
-    # tx5b_bpe_learned / tx5c_bpe_doc_tokens / tok2_pack_bpe
-    # (driver-green r7-r10, fingerprints unchanged, sf1 hash-exact).
+    # verdict-r10 #6), plus the real-HTTP downloader execution rows
+    # (ds2b fetch + ds3b ETL-on-ingest, verdict-r10 #4). Dropped to
+    # fit: s2c_custom_props / tx5b_bpe_learned / tx5c_bpe_doc_tokens /
+    # tok2_pack_bpe / tx11_bm25_topk (each hash-green in committed
+    # driver ledgers with unchanged fingerprints, sf1 hash-exact —
+    # test_driver_contract now counts green rows from ALL committed
+    # rounds, not just the r4-r6 full-coverage sweeps, so stable
+    # post-r6 rows may rotate out once driver-green).
     "ann9d_ivfpq_sqrt_cells",
     "dd5b_embedding_neardup_sampled",
     "dd12b_minhash_estimate_capped",
     "ds2b_download_http",
+    "ds3b_download_etl_http",
     # Round 10 additions: the clustered-corpus IVF-PQ refine with the
     # SIZED shortlist rule (ann9c, verdict-r9 #5), the chunk-log
     # compaction row (m13, verdict-r9 #7), and the write-side real-I/O
@@ -85,7 +90,6 @@ DRIVER_CHECK_PRIORITY = [
     "ann6b_kmeans_train",
     "ann3b_lsh_multiprobe",
     "pipe3_dedup_report",
-    "tx11_bm25_topk",
     "dd10_substring_spans",
     "dd11_bloom_probe",
     "tx12_hashed_classifier",

@@ -3802,6 +3802,54 @@ def ds3_download_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", F.col("out").cast("string").alias("out"))
 
 
+@register(
+    "ds3b_download_etl_http",
+    """
+    SELECT objname,
+           sha256('H:' || repeat(md5(p),
+                      CAST(1 + (('0x' || substr(md5(p), 1, 2))::BIGINT % 32)
+                        AS INT))) AS out
+    FROM (
+      SELECT 'dl-' || CAST(doc_id AS VARCHAR) || '.bin' AS objname,
+             '/ds3/dl-' || CAST(doc_id AS VARCHAR) || '.bin' AS p
+      FROM documents WHERE doc_id % 32 = 0
+    )
+    """,
+)
+def ds3b_download_etl_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 over REAL HTTP: ETL on ingest with genuine network bytes —
+    the ds2b loopback fetch (sources/http_fixture.py) piped straight
+    into the transform pipeline (prepend args → sha256), the composed
+    flow the reference runs when a download job carries an ETL spec
+    (ext/dload/api.go:84-86). The oracle reproduces the fetched body
+    analytically from the path and hashes the same prepended bytes.
+    100 TB: fetch and transform fuse into ONE mapInPandas stage per
+    partition — bytes never hit storage between download and ETL,
+    exactly the reference's on-the-fly transform-on-ingest."""
+    from aistore_spark.sources.http_fixture import loopback_url
+
+    base = loopback_url()
+    docs = load_table(spark, sf_dir, "documents")
+    plan = docs.filter(F.col("doc_id") % 32 == 0).select(
+        F.concat(
+            F.lit(base + "/ds3/dl-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".bin"),
+        ).alias("url"),
+        F.concat(
+            F.lit("dl-"), F.col("doc_id").cast("string"), F.lit(".bin")
+        ).alias("objname"),
+    )
+    fetched = downloader.execute_download(
+        plan, fetch=downloader.http_fetch, connections=8
+    )
+    out = etl.etl_inline(
+        fetched, ["prepend", "sha256"], data_col="data", path_col="url",
+        etl_args="H:",
+    )
+    return out.select("objname", F.col("out").cast("string").alias("out"))
+
+
 # ---- depth: remaining dsort key types, embedding near-dup, BPE tokens ---------
 
 

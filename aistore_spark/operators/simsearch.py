@@ -20,6 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -343,18 +344,94 @@ def ivf_assign(
         F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
     )
     v = corpus.select(
-        F.col(id_col).alias("vec"), quantized(vec_col).alias("qvec")
+        F.col(id_col).alias("vec"), quantized(vec_col).alias("vq")
     )
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vec", "centroid_id", int_dot(F.col("qvec"), F.col("cvec")).alias("dot")
+    ids, mat = _collect_cents(c)
+    return _assign_topk(v, ids, mat, "vec", 1).select(
+        F.col("vec").alias("vec_id"),
+        "centroid_id",
+        F.col("cdot").alias("dot"),
     )
-    w = Window.partitionBy("vec").orderBy(
-        F.col("dot").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec").alias("vec_id"), "centroid_id", "dot")
+
+
+#: centroid-matrix block width for the vectorized assignment: bounds
+#: the per-batch score matrix at (arrow_batch x _CENT_BLOCK) float64
+#: (~640 MB at 10k-row batches), so K = sqrt(N) growing into the
+#: millions never inflates worker memory — blocks stream and the
+#: running top-nprobe merges exactly.
+_CENT_BLOCK = 8192
+
+
+def _collect_cents(centroids_q: DataFrame) -> tuple:
+    """Materialize a (K-row) quantized centroid frame ``(centroid_id,
+    cvec)`` to the driver as (ids int64[K], mat float64[K, d]), sorted
+    by centroid_id so vectorized tie-breaks (first max) equal the
+    declarative ones (lower centroid_id). K is sqrt(N) at worst — the
+    same K rows the old crossJoin(broadcast) shipped to every task."""
+    import numpy as np
+
+    rows = sorted(centroids_q.collect(), key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _assign_topk(
+    v: DataFrame, ids, mat, out_id: str, nprobe: int
+) -> DataFrame:
+    """Arrow-batched max-inner-product cell assignment: per input
+    batch ONE numpy matmul against the (blocked) centroid matrix,
+    keeping a running exact top-*nprobe* per row. Replaces the
+    crossJoin(broadcast)+zip_with shape, which materialized N x K
+    array-carrying rows and evaluated the dot per row in interpreted
+    higher-order functions — measured >20 min for the 200K x 447
+    sf10 build where this path takes seconds.
+
+    Exactness: operands are fixed-point integers |q| <= 1e4, so every
+    product (<= 1e8) and 64-term dot (<= 6.4e9) is exactly
+    representable in float64 — BLAS summation order cannot change an
+    exact integer result, and ties break to the LOWER centroid_id via
+    a stable lexsort on (-dot, centroid_id). Bit-identical to the
+    declarative form, just vectorized.
+    """
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = np.stack(pdf["vq"].to_numpy()).astype(np.float64)
+            best_d = best_c = None
+            for s in range(0, len(ids), _CENT_BLOCK):
+                scores = vecs @ mat[s : s + _CENT_BLOCK].T
+                cids = np.broadcast_to(
+                    ids[s : s + _CENT_BLOCK], scores.shape
+                )
+                if best_d is not None:
+                    scores = np.concatenate([best_d, scores], axis=1)
+                    cids = np.concatenate([best_c, cids], axis=1)
+                kk = min(nprobe, scores.shape[1])
+                idx = np.lexsort((cids, -scores), axis=1)[:, :kk]
+                best_d = np.take_along_axis(scores, idx, axis=1)
+                best_c = np.take_along_axis(cids, idx, axis=1)
+            kk = best_d.shape[1]
+            rep = np.repeat(np.arange(n), kk)
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[out_id].to_numpy()[rep],
+                    "centroid_id": best_c.reshape(-1),
+                    "cdot": best_d.reshape(-1).astype(np.int64),
+                    "vq": pdf["vq"].to_numpy()[rep],
+                }
+            )
+
+    return v.mapInPandas(
+        run,
+        schema=(
+            f"{out_id} bigint, centroid_id bigint, cdot bigint, "
+            "vq array<bigint>"
+        ),
     )
 
 
@@ -367,34 +444,19 @@ def _cells(
     vec_col: str,
 ) -> DataFrame:
     """Top-*nprobe* max-inner-product cells per vector, carrying the
-    quantized vector along. nprobe==1 uses a partial-aggregable
-    min(struct(-dot, centroid_id)) — one combiner-side shuffle row per
-    vector, no window exchange of the (vector x centroid) product."""
+    quantized vector along — the vectorized :func:`_assign_topk` under
+    the hood: the K-row centroid frame is collected once at plan build
+    (the same K rows a broadcast ships to every task) and each corpus
+    batch is scored by one blocked matmul; no crossJoin, no window
+    exchange, the corpus never shuffles."""
     v = df.select(
         F.col(id_col).alias(out_id), quantized(vec_col).alias("vq")
     )
-    scored = v.crossJoin(centroids_b).select(
-        out_id,
-        "vq",
-        "centroid_id",
-        int_dot(F.col("vq"), F.col("cvec")).alias("cdot"),
+    ids, mat = _collect_cents(
+        centroids_b.select("centroid_id", "cvec")
     )
-    if nprobe == 1:
-        return (
-            scored.groupBy(out_id)
-            .agg(
-                F.min(F.struct((-F.col("cdot")).alias("nd"), F.col("centroid_id"))).alias("best"),
-                F.first("vq").alias("vq"),  # constant within the group
-            )
-            .select(out_id, F.col("best.centroid_id").alias("centroid_id"), "vq")
-        )
-    w = Window.partitionBy(out_id).orderBy(
-        F.col("cdot").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select(out_id, "centroid_id", "vq")
+    return _assign_topk(v, ids, mat, out_id, nprobe).select(
+        out_id, "centroid_id", "vq"
     )
 
 
@@ -419,10 +481,8 @@ def ivf_topk(
     is scored. Recall is tunable via nprobe; exactness within probed
     cells is guaranteed (integer dot, deterministic ties).
     """
-    c = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
-        )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
     )
     assign = _cells(corpus, c, "neighbor_id", 1, id_col, vec_col)
     probe = _cells(queries, c, "query_id", nprobe, id_col, vec_col).select(
@@ -466,10 +526,8 @@ def kmeans_step(
     ``F.aggregate`` if that ever shows up in a profile. Iterating =
     feeding the output back as the next centroid set.
     """
-    c = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
-        )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
     )
     assigned = _cells(corpus, c, "vec", 1, id_col, vec_col)
     return (
@@ -508,36 +566,31 @@ def kmeans_train(
     floor-div mean of already-quantized vectors, so the whole training
     loop is engine-portable and oracle-checkable bit-for-bit.
 
-    Scale shape per iteration: ONE broadcast of the (k-row) centroid
-    table, one partial-aggregable min(struct) per corpus vector (no
-    window over the vector×centroid product), one (centroid, dim) agg.
-    The corpus never shuffles; the k-row centroid frame is
-    localCheckpoint-ed each pass so the plan stays iteration-shallow
-    (empty cells drop out, exactly as the SQL twin's GROUP BY does).
+    Scale shape per iteration: the k-row centroid table is
+    materialized once (k = sqrt(N) at worst — the same rows a
+    broadcast ships to every task), assignment is ONE blocked numpy
+    matmul per Arrow batch (:func:`_assign_topk` — no crossJoin, no
+    window over the vector×centroid product), then one (centroid, dim)
+    agg. The corpus never shuffles, and the plan depth is constant in
+    *iters* because each pass's means are literals in the next pass's
+    closure (empty cells drop out, exactly as the SQL twin's GROUP BY
+    does).
     """
+    import numpy as np
+
     v = corpus.select(
         F.col(id_col).alias("vec"), quantized(vec_col).alias("vq")
     )
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
+    ids, mat = _collect_cents(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
+        )
     )
     out = None
-    for _ in range(max(1, iters)):
-        scored = v.crossJoin(F.broadcast(c)).select(
-            "vec",
-            "vq",
-            "centroid_id",
-            int_dot(F.col("vq"), F.col("cvec")).alias("cdot"),
-        )
-        assigned = (
-            scored.groupBy("vec")
-            .agg(
-                F.min(
-                    F.struct((-F.col("cdot")).alias("nd"), F.col("centroid_id"))
-                ).alias("best"),
-                F.first("vq").alias("vq"),
-            )
-            .select(F.col("best.centroid_id").alias("centroid_id"), "vq")
+    n_iters = max(1, iters)
+    for i in range(n_iters):
+        assigned = _assign_topk(v, ids, mat, "vec", 1).select(
+            "centroid_id", "vq"
         )
         out = (
             assigned.select(
@@ -555,18 +608,18 @@ def kmeans_train(
                 "n_vecs",
             )
         )
-        c = (
-            out.groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("dim"), F.col("mean_q")))
-                    ),
-                    lambda s: s["mean_q"],
-                ).alias("cvec")
+        if i < n_iters - 1:
+            by_cent: dict[int, dict[int, int]] = {}
+            for r in out.select("centroid_id", "dim", "mean_q").collect():
+                by_cent.setdefault(r[0], {})[r[1]] = r[2]
+            ids = np.array(sorted(by_cent), dtype=np.int64)
+            mat = np.array(
+                [
+                    [by_cent[c][d] for d in sorted(by_cent[c])]
+                    for c in sorted(by_cent)
+                ],
+                dtype=np.float64,
             )
-            .localCheckpoint(eager=True)
-        )
     return out
 
 
@@ -587,41 +640,63 @@ def pq_encode(
     compressed representation is ``m`` small ints per vector
     (codebook size × m lookup bytes instead of dim floats).
 
-    Scale shape: the codebook (k codewords) broadcasts; argmin is a
-    partial-aggregable ``min(struct(dist, code))`` — one combiner row
-    per (vector, subspace), no window over the vector×code product.
-    The corpus never shuffles.
+    Scale shape: the codebook (k codewords, k = 64 shipped) is
+    materialized once at plan build and each corpus Arrow batch is
+    encoded by m small numpy matmuls (L2 via the |a|²+|b|²−2a·b
+    identity — every term an exact integer in float64) — no
+    vector×code row product, no shuffle, one output row per (vector,
+    subspace). argmin ties break to the LOWER code id because the
+    codeword matrix is sorted by code and numpy argmin takes the
+    first minimum.
     """
+    import numpy as np
+
     sub = dim // m
-    cb = F.broadcast(
+    cids, cmat = _collect_cents(
         codebook.select(
             F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
-        ).crossJoin(
-            corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
-        ).select(
-            "code", "m", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw")
         )
     )
+    csub = cmat.reshape(len(cids), m, sub)  # (k, m, sub)
+    c2 = (csub**2).sum(axis=2)  # (k, m)
     v = corpus.select(
         F.col(id_col).alias("vec_id"), quantized(vec_col).alias("vq")
-    ).crossJoin(
-        corpus.sparkSession.range(m).select(F.col("id").cast("int").alias("m"))
-    ).select("vec_id", "m", F.slice("vq", F.col("m") * sub + 1, sub).alias("sv"))
-    l2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
     )
-    scored = v.join(cb, "m").select("vec_id", "m", "code", l2.alias("dist"))
-    return (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("best"))
-        .select(
-            "vec_id",
-            "m",
-            F.col("best.code").alias("code"),
-            F.col("best.dist").alias("dist"),
-        )
+
+    def run(batches):
+        m_idx = np.arange(m, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = (
+                np.stack(pdf["vq"].to_numpy())
+                .astype(np.float64)
+                .reshape(n, m, sub)
+            )
+            code = np.empty((n, m), dtype=np.int64)
+            dist = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                vj = vecs[:, j, :]
+                d = (
+                    (vj**2).sum(axis=1)[:, None]
+                    + c2[:, j][None, :]
+                    - 2.0 * (vj @ csub[:, j, :].T)
+                )
+                best = np.argmin(d, axis=1)
+                code[:, j] = cids[best]
+                dist[:, j] = d[np.arange(n), best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), m),
+                    "m": np.tile(m_idx, n),
+                    "code": code.reshape(-1),
+                    "dist": dist.reshape(-1),
+                }
+            )
+
+    return v.mapInPandas(
+        run, schema="vec_id bigint, m int, code bigint, dist bigint"
     )
 
 
@@ -729,10 +804,8 @@ def ivfpq_topk(
     candidate). Recall = IVF recall within probed cells (PQ ADC ranks
     approximately but deterministically).
     """
-    c = F.broadcast(
-        centroids.select(
-            F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
-        )
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
     )
     assign = _cells(corpus, c, "vec_id", 1, id_col, vec_col).select(
         "vec_id", "centroid_id"

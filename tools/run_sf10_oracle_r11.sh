@@ -16,7 +16,7 @@ cd /root/repo
 SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
 CHECK_ORACLE_CPUS=${CHECK_ORACLE_CPUS:-24} \
 python tools/check_oracle.py \
-  --json CORRECTNESS_SF10_r11_new.json --materialize --oracle-timeout 240 \
+  --json CORRECTNESS_SF10_r11_new2.json --materialize --oracle-timeout 240 \
   --skip "dd5_embedding_neardup:O(N^2) brute-force baseline exceeded the 600s sf10 bench budget by design (the LSH/SemDeDup rows are its scale path); measured bounded twin dd5b_embedding_neardup_sampled is strict-green instead" \
   --skip "dd12_minhash_estimate:verifies every LSH candidate BY DEFINITION (8.28M pairs at sf1; sf10 docs carry 10x bytes) - exceeded the 600s sf10 bench budget and the DuckDB twin needed 1800s at sf1; measured bounded twin dd12b_minhash_estimate_capped is strict-green instead" \
   --skip "ann9b_ivfpq_refined:registered FIXED 16-cell config probes 25-75% of the 200K corpus per query - the structural sf10 timeout verdict-r10 #2 names; ann9d_ivfpq_sqrt_cells is the sqrt(N)-cell sized replacement measured at this tier" \
