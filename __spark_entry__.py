@@ -55,12 +55,21 @@ DRIVER_CHECK_PRIORITY = [
     # driver ledgers with unchanged fingerprints, sf1 hash-exact —
     # test_driver_contract now counts green rows from ALL committed
     # rounds, not just the r4-r6 full-coverage sweeps, so stable
-    # post-r6 rows may rotate out once driver-green).
+    # post-r6 rows may rotate out once driver-green). Also rotated
+    # out for the spread()-fix block: samp4 / tok3 / s14 / m11 (all
+    # r8-r10 driver-green, fingerprints unchanged, sf1 hash-exact).
     "ann9d_ivfpq_sqrt_cells",
     "dd5b_embedding_neardup_sampled",
     "dd12b_minhash_estimate_capped",
     "ds2b_download_http",
     "ds3b_download_etl_http",
+    # spread() fixes for the single-row-group scan serialization
+    # (SCALE.md sf10 #1): body fingerprints changed, so each gets a
+    # fresh hard row this round
+    "tx10_heavy_phrases",
+    "tx4_fingerprint",
+    "dd8_decontaminate",
+    "ann2_lsh_bucket_stats",
     # Round 10 additions: the clustered-corpus IVF-PQ refine with the
     # SIZED shortlist rule (ann9c, verdict-r9 #5), the chunk-log
     # compaction row (m13, verdict-r9 #7), and the write-side real-I/O
@@ -93,8 +102,6 @@ DRIVER_CHECK_PRIORITY = [
     "dd10_substring_spans",
     "dd11_bloom_probe",
     "tx12_hashed_classifier",
-    "samp4_temperature_mixture",
-    "tok3_sliding_windows",
     "ann7b_pq_train",
     "mm11_dhash_neardup",
     "ev4_late_events",
@@ -106,8 +113,6 @@ DRIVER_CHECK_PRIORITY = [
     "dd12_minhash_estimate",
     "a7_rollup",
     "ev7_pivot",
-    "s14_snapshot_listing",
-    "m11_lifecycle_tiering",
     "f2b_template_udtf",
     "ev8_funnel",
     "samp5_diverse_sample",

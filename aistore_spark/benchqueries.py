@@ -1790,8 +1790,14 @@ def tx10_heavy_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable count agg, then TakeOrderedAndProject — per-partition
     top-k heaps, no global sort materialization; at 100 TB the agg
     keyed by phrase is the only wide shuffle and heavy hitters are by
-    definition few."""
-    docs = load_table(spark, sf_dir, "documents")
+    definition few. spread(): the trigram explode runs BEFORE the
+    first shuffle, so on the single-row-group fixture the whole
+    corpus's gram generation would serialize on one core (the dd1
+    mechanism, SCALE.md sf10 #1 — tx10's 600 s sf10 bench timeout);
+    a real many-file corpus splits naturally and spread is a no-op."""
+    from aistore_spark.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     ws = F.split(F.col("text"), " ")
     tri = F.when(
         F.size(ws) >= 3,
@@ -2158,8 +2164,12 @@ def ann1_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann2_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket occupancy (the ANN scale path's partitioner)."""
+    from aistore_spark.util import spread
+
+    # spread: bucket signatures are computed before the only shuffle
+    # and serialize on the single-row-group fixture (SCALE.md sf10 #1)
     return simsearch.lsh_bucket_stats(
-        load_table(spark, sf_dir, "embeddings"), n_bits=8
+        spread(load_table(spark, sf_dir, "embeddings")), n_bits=8
     )
 
 
@@ -2367,7 +2377,13 @@ def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content md5 + 1-permutation shingle MinHash fingerprints."""
-    return text.fingerprint(load_table(spark, sf_dir, "documents"), n=3)
+    from aistore_spark.util import spread
+
+    # spread: per-doc rolling hashes run before the first shuffle and
+    # serialize on the single-row-group fixture (SCALE.md sf10 #1)
+    return text.fingerprint(
+        spread(load_table(spark, sf_dir, "documents")), n=3
+    )
 
 
 # ---- MM: multimodal plumbing ----------------------------------------------------
@@ -6574,7 +6590,11 @@ def dd8_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-gram with the held-out set (doc_id % 25 == 0 plays the test
     set). Test-side shingles broadcast — the train corpus is never
     shuffled by the probe."""
-    docs = load_table(spark, sf_dir, "documents")
+    from aistore_spark.util import spread
+
+    # spread: shingling runs before the first shuffle and serializes
+    # on the single-row-group fixture (SCALE.md sf10 #1)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return dedup.decontaminate(
         docs.filter(F.col("doc_id") % 25 != 0),
         docs.filter(F.col("doc_id") % 25 == 0),
@@ -6832,7 +6852,11 @@ def tx12_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, no join); the model is a 4096-row broadcast; the only
     shuffle is the doc-keyed integer sum — see
     operators/text.py:hashed_linear_score."""
-    docs = load_table(spark, sf_dir, "documents")
+    from aistore_spark.util import spread
+
+    # spread: per-doc feature hashing runs before the first shuffle
+    # and serializes on the single-row-group fixture (SCALE.md sf10 #1)
+    docs = spread(load_table(spark, sf_dir, "documents"))
     weights = text.hashed_weights(spark, n_buckets=4096, seed="w0")
     return text.hashed_linear_score(docs, weights, n_buckets=4096)
 

@@ -6,6 +6,8 @@ Sources, later-wins on conflicts:
   2. CORRECTNESS_SF10_r11_new.json  — the first r11 batch (11 rows,
      the sweep that was terminated mid-run; all green)
   3. CORRECTNESS_SF10_r11_new2.json — the remainder + reasoned skips
+  4. CORRECTNESS_SF10_r11_new3.json — ann9d (sqrt(N) cells) and the
+     real-HTTP downloader rows, registered after the main sweep began
 
 Writes CORRECTNESS_SF10_r11.json and prints the coverage summary the
 done-criterion names (total rows, hash-exact count, skip reasons).
@@ -24,6 +26,7 @@ SOURCES = [
     "CORRECTNESS_SF10_r10.json",
     "CORRECTNESS_SF10_r11_new.json",
     "CORRECTNESS_SF10_r11_new2.json",
+    "CORRECTNESS_SF10_r11_new3.json",  # ann9d + the real-HTTP rows
 ]
 
 
