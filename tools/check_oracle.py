@@ -6,7 +6,8 @@ set, and the full (order-insensitive) value multiset. Exact equality —
 the driver hashes values, so "close" is not good enough.
 
 Usage: python tools/check_oracle.py [--json OUT.json] [--materialize]
-         [--oracle-timeout SECS] [--skip name:reason]... [sf_dir] [query ...]
+         [--oracle-timeout SECS] [--skip name:reason]...
+         [--duckdb-mem 40GB] [sf_dir] [query ...]
 
 ``--json`` writes a driver-ledger-shaped artifact (per-query
 rows/schema/hash flags) covering EVERY registered query — the driver's
@@ -105,6 +106,7 @@ def main() -> int:
     json_out = None
     materialize = False
     oracle_timeout = None
+    duckdb_mem = None
     skips: dict[str, str] = {}
     while argv and argv[0].startswith("--"):
         if argv[0] == "--json":
@@ -119,6 +121,9 @@ def main() -> int:
         elif argv[0] == "--skip":
             name, _, reason = argv[1].partition(":")
             skips[name] = reason or "skipped"
+            argv = argv[2:]
+        elif argv[0] == "--duckdb-mem":
+            duckdb_mem = argv[1]
             argv = argv[2:]
         else:
             raise SystemExit(f"unknown option {argv[0]}")
@@ -145,6 +150,18 @@ def main() -> int:
         sf_dir=sf_dir,
     )
     con = duckdb.connect()
+    if duckdb_mem:
+        # --duckdb-mem 40GB: pin DuckDB's budget and give it a spill
+        # directory. Default DuckDB sizes itself at ~80% of host RAM
+        # and does NOT see the Spark JVM squatting on the other half —
+        # at sf10 that overcommit killed the g1c/g2 oracles with
+        # host-memory OOM. A pinned limit + temp_directory turns the
+        # same oracles into out-of-core runs instead of aborts.
+        spill = Path("/tmp/duckdb_spill")
+        spill.mkdir(exist_ok=True)
+        con.sql(f"SET memory_limit='{duckdb_mem}'")
+        con.sql(f"SET temp_directory='{spill}'")
+        con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     if materialize:
