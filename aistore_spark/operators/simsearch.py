@@ -485,6 +485,20 @@ def ivf_topk(
         F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
     )
     assign = _cells(corpus, c, "neighbor_id", 1, id_col, vec_col)
+    # Round-robin the assignments before the scoring join. The
+    # vectorized _cells preserves the corpus scan's input splits (the
+    # pre-r11 shape ended in a window exchange that evened this out
+    # implicitly), so scoring parallelism would be the split count and
+    # — on a clustered corpus whose parquet order correlates with cell
+    # membership — one split would hold the heavily-probed cells:
+    # measured at sf10, one task carried 40+ min of the interpreted-dot
+    # work while twelve finished in seconds. The shuffle moves only
+    # (id, cell, vq) rows — linear bytes, trivial against the
+    # nprobe-scaled candidate scoring it parallelizes. The PQ read path
+    # (ivfpq_topk) re-shuffles via its codes-join and doesn't need it.
+    assign = assign.repartition(
+        assign.sparkSession.sparkContext.defaultParallelism
+    )
     probe = _cells(queries, c, "query_id", nprobe, id_col, vec_col).select(
         "query_id", "centroid_id", F.col("vq").alias("qq")
     )

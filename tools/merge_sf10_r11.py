@@ -27,6 +27,8 @@ SOURCES = [
     "CORRECTNESS_SF10_r11_new.json",
     "CORRECTNESS_SF10_r11_new2.json",
     "CORRECTNESS_SF10_r11_new3.json",  # ann9d + the real-HTTP rows
+    "CORRECTNESS_SF10_r11_new4.json",  # the 33 heavy rows + 4 reasoned skips
+    "CORRECTNESS_SF10_r11_new5.json",  # g1c/g2 re-attempt with --duckdb-mem
 ]
 
 
