@@ -737,6 +737,15 @@ def pq_adc_topk(
     and never again — this is the memory-bound regime PQ exists for.
     """
     codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    # Round-robin the codes before the ADC join — same reason as
+    # ivf_topk's assignment repartition: the vectorized pq_encode
+    # preserves the corpus scan's input splits, and the ADC join fans
+    # each code row out to every query matching its (m, code) key, so
+    # the dominant map-side work would run at split-count parallelism.
+    # The shuffle moves m small ints per vector — linear, trivial
+    # against the #queries-scaled fan-out it parallelizes. (ivfpq_topk
+    # doesn't need this: its codes-joins-assign shuffle does it.)
+    codes = codes.repartition(codes.sparkSession.sparkContext.defaultParallelism)
     table = _adc_table(queries, codebook, m, dim, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(table), ["m", "code"])

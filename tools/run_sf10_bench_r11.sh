@@ -1,11 +1,12 @@
 #!/bin/bash
 # sf10 bench leg, round 11: re-measure ONLY the rows whose code changed
 # since the r10 sweep (the five spread()-fixed single-core-scan victims
-# tx10/tx4/tx12/dd8/ann2 plus dd1, whose r10 artifact wall predates its
-# fix) and the five queries registered this round (ann9d, dd5b, dd12b,
+# tx10/tx4/tx12/dd8/ann2; dd1, whose r10 artifact wall predates its
+# fix; ann5/ann5b, whose scoring join got the round-robin repartition)
+# and the five queries registered this round (ann9d, dd5b, dd12b,
 # ds2b, ds3b). Everything else resumes from BENCH_r10_sf10's measured
 # walls — byte-identical code does not need a second decade re-pay.
-# The resume file is BENCH_r10_sf10.json parsed minus those 11 names
+# The resume file is BENCH_r10_sf10.json parsed minus those 13 names
 # (see NOTES_r11.md); single pass, 600 s cancel budget, same knobs as
 # the r10 sweep.
 cd /root/repo
