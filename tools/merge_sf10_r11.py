@@ -27,8 +27,11 @@ SOURCES = [
     "CORRECTNESS_SF10_r11_new.json",
     "CORRECTNESS_SF10_r11_new2.json",
     "CORRECTNESS_SF10_r11_new3.json",  # ann9d + the real-HTTP rows
-    "CORRECTNESS_SF10_r11_new4.json",  # the 33 heavy rows + 4 reasoned skips
-    "CORRECTNESS_SF10_r11_new5.json",  # g1c/g2 re-attempt with --duckdb-mem
+    "CORRECTNESS_SF10_r11_new4.json",  # heavy rows through g3 (first pass)
+    "CORRECTNESS_SF10_r11_new5.json",  # heavy tail after the ivf_topk fix
+    "CORRECTNESS_SF10_r11_new6.json",  # tx10 + g1c (--duckdb-mem 48GB leg)
+    "CORRECTNESS_SF10_r11_new7.json",  # g2/pipe3/ann8 retries + dd7 skip
+    "CORRECTNESS_SF10_r11_new8.json",  # pipe3/ann8 measured-infeasible skips
 ]
 
 
