@@ -32,6 +32,7 @@ SOURCES = [
     "CORRECTNESS_SF10_r11_new6.json",  # tx10 + g1c (--duckdb-mem 48GB leg)
     "CORRECTNESS_SF10_r11_new7.json",  # g2/pipe3/ann8 retries + dd7 skip
     "CORRECTNESS_SF10_r11_new8.json",  # pipe3/ann8 measured-infeasible skips
+    "CORRECTNESS_SF10_r11_new9.json",  # dd6/dd10 skip->green at 700s oracle cap
 ]
 
 
