@@ -33,6 +33,7 @@ SOURCES = [
     "CORRECTNESS_SF10_r11_new7.json",  # g2/pipe3/ann8 retries + dd7 skip
     "CORRECTNESS_SF10_r11_new8.json",  # pipe3/ann8 measured-infeasible skips
     "CORRECTNESS_SF10_r11_new9.json",  # dd6/dd10 skip->green at 700s oracle cap
+    "CORRECTNESS_SF10_r11_new10.json",  # pipe4 green; ann3b holds past 600s too
 ]
 
 
