@@ -58,16 +58,21 @@ DRIVER_CHECK_PRIORITY = [
     # post-r6 rows may rotate out once driver-green). Also rotated
     # out for the spread()-fix block: samp4 / tok3 / s14 / m11 (all
     # r8-r10 driver-green, fingerprints unchanged, sf1 hash-exact).
+    # Round 13 addition: per-item downloader error semantics over real
+    # HTTP (ds2c, verdict-r12 item 2 — TaskErrInfo mirror); ds2b stays
+    # front-loaded because its docstring edit changed its fingerprint.
+    # Rotated out to fit: tx4_fingerprint (r12 hash-green, fingerprint
+    # unchanged, sf1/sf10 hash-exact).
     "ann9d_ivfpq_sqrt_cells",
     "dd5b_embedding_neardup_sampled",
     "dd12b_minhash_estimate_capped",
     "ds2b_download_http",
     "ds3b_download_etl_http",
+    "ds2c_download_errors",
     # spread() fixes for the single-row-group scan serialization
     # (SCALE.md sf10 #1): body fingerprints changed, so each gets a
     # fresh hard row this round
     "tx10_heavy_phrases",
-    "tx4_fingerprint",
     "dd8_decontaminate",
     "ann2_lsh_bucket_stats",
     # Round 10 additions: the clustered-corpus IVF-PQ refine with the

@@ -3378,10 +3378,14 @@ def ds2b_download_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispatcher: ext/dload/dispatcher.go). The oracle reproduces
     size/checksum analytically from the path string, and the output
     carries nothing port-dependent (the plan bakes absolute URLs; the
-    frame keeps objname/size/checksum only). 100 TB: Connections caps
-    the per-job stream fan-out via partition count and each stream
-    throttles at its bytes_per_hour share — exactly the reference's
-    per-job limit shape; the fixture is the stand-in origin."""
+    frame keeps objname/size/checksum only). The fetch count (6,250 =
+    50,000 docs / 8) is SF-INVARIANT — documents carries a fixed row
+    count with SF-scaled text, so this row is a fixture-sized
+    real-I/O proof, not a throughput-vs-SF claim. 100 TB: Connections
+    caps the per-job stream fan-out via partition count and each
+    stream throttles at its bytes_per_hour share — exactly the
+    reference's per-job limit shape; the fixture is the stand-in
+    origin."""
     from aistore_spark.sources.http_fixture import loopback_url
 
     base = loopback_url()
@@ -3403,6 +3407,75 @@ def ds2b_download_http(spark: SparkSession, sf_dir: str) -> DataFrame:
         bytes_per_hour=64 * 2**30,
     )
     return out.select("objname", "size", "checksum")
+
+
+@register(
+    "ds2c_download_errors",
+    """
+    SELECT objname,
+           CASE WHEN ok THEN CAST(32 * rep AS BIGINT)
+                ELSE CAST(-1 AS BIGINT) END AS size,
+           CASE WHEN ok THEN md5(repeat(md5(p), CAST(rep AS INT)))
+                ELSE '__err__' END AS checksum,
+           CASE WHEN ok THEN '' ELSE 'HTTP Error 404: Not Found' END AS err
+    FROM (
+      SELECT 'dl-' || CAST(doc_id AS VARCHAR) || '.bin' AS objname,
+             '/ds2c/dl-' || CAST(doc_id AS VARCHAR) || '.bin' AS p,
+             doc_id % 16 = 0 AS ok,
+             1 + (('0x' || substr(
+                 md5('/ds2c/dl-' || CAST(doc_id AS VARCHAR) || '.bin'),
+                 1, 2))::BIGINT % 32) AS rep
+      FROM documents WHERE doc_id % 8 = 0
+    )
+    """,
+)
+def ds2c_download_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 per-item error semantics over REAL HTTP (verdict-r12 item
+    2): the reference's dispatcher records failed tasks as
+    ``TaskErrInfo{Name, Err}`` in the job status and keeps going
+    (``Errs []TaskErrInfo``, ext/dload/api.go:67,108-112, aggregated
+    across targets at api.go:289) — one flaky URL never aborts the
+    job. Here half the work items point at the fixture's
+    deterministic ``/404/`` path class; ``continue_on_err=True`` turns
+    each failure into an error row (err text, size=-1 sentinel,
+    checksum='__err__') while the good half moves real bytes, all in
+    one mapInPandas pass. Strict mode (the default
+    ``continue_on_err=False``) is pinned by a unit test: the same
+    plan raises out of the job on the first 404
+    (tests/test_sources_streaming.py). The oracle reproduces both row
+    classes analytically from the path string. 100 TB: error capture
+    is per-item inside the task loop — no retry shuffle, no job
+    restart; the error rows ARE the status report the reference
+    aggregates."""
+    from aistore_spark.sources.http_fixture import NOT_FOUND_PREFIX, loopback_url
+
+    base = loopback_url()
+    docs = load_table(spark, sf_dir, "documents")
+    # every 8th doc is a work item; every other one of those is routed
+    # into the fixture's 404 class → a deterministic 50/50 good/bad mix
+    path = F.when(
+        F.col("doc_id") % 16 == 0,
+        F.concat(F.lit("/ds2c/dl-"), F.col("doc_id").cast("string"), F.lit(".bin")),
+    ).otherwise(
+        F.concat(
+            F.lit(NOT_FOUND_PREFIX + "dl-"),
+            F.col("doc_id").cast("string"),
+            F.lit(".bin"),
+        )
+    )
+    plan = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.concat(F.lit(base), path).alias("url"),
+        F.concat(
+            F.lit("dl-"), F.col("doc_id").cast("string"), F.lit(".bin")
+        ).alias("objname"),
+    )
+    out = downloader.execute_download(
+        plan,
+        fetch=downloader.http_fetch,
+        connections=8,
+        continue_on_err=True,
+    )
+    return out.select("objname", "size", "checksum", "err")
 
 
 _DS4_LINKS = [

@@ -187,12 +187,20 @@ class TokenBucket:
         return 0.0
 
 
+#: sentinels for error rows when ``continue_on_err`` is set — fixed
+#: non-NULL values so downstream aggregations and the SQL oracle keep
+#: stable dtypes (a NULL bigint would drift to float64 in pandas).
+ERR_SIZE = -1
+ERR_CHECKSUM = "__err__"
+
+
 def execute_download(
     plan: DataFrame,
     fetch: FetchFn = fake_fetch,
     connections: int = 8,
     bytes_per_hour: int = 0,
     bucket_factory: Callable[[float], "TokenBucket"] | None = None,
+    continue_on_err: bool = False,
 ) -> DataFrame:
     """Run a download plan: ``mapInPandas`` fetch per work item.
 
@@ -201,6 +209,18 @@ def execute_download(
     > 0 rate-limits each stream with a token bucket at its
     ``bytes_per_hour / connections`` share (``Limits``,
     ``ext/dload/api.go:70-73``).
+
+    Per-item error semantics (``continue_on_err``): the reference's
+    dispatcher records failed tasks as ``TaskErrInfo{Name, Err}`` in
+    the job status and keeps downloading (``Errs []TaskErrInfo``,
+    ``ext/dload/api.go:67,108-112``, aggregated at ``api.go:289``) —
+    one flaky URL never kills the job. With ``continue_on_err=True``
+    a failed fetch emits an error row (``err`` = the exception text,
+    ``data`` NULL, ``size`` = :data:`ERR_SIZE`, ``checksum`` =
+    :data:`ERR_CHECKSUM`) and the task moves on; successful rows carry
+    ``err = ''``. With the default ``False``, the first failure raises
+    out of the task and fails the job — the strict mode a caller wants
+    when a partial ingest is worse than none.
     """
     plan = plan.repartition(connections)
     # clamp to >= 1 byte/hour per stream: a job limit below the stream
@@ -217,23 +237,42 @@ def execute_download(
                 else TokenBucket(per_stream)
             )
         for pdf in batches:
-            data = []
+            data: list[bytes | None] = []
+            sizes: list[int] = []
+            sums: list[str] = []
+            errs: list[str] = []
             for u in pdf["url"]:
-                body = fetch(u)
+                try:
+                    body = fetch(u)
+                except Exception as exc:  # noqa: BLE001
+                    if not continue_on_err:
+                        raise
+                    data.append(None)
+                    sizes.append(ERR_SIZE)
+                    sums.append(ERR_CHECKSUM)
+                    errs.append(str(exc))
+                    continue
                 if bucket is not None:
                     bucket.throttle(len(body))
                 data.append(body)
+                sizes.append(len(body))
+                sums.append(hashlib.md5(body).hexdigest())
+                errs.append("")
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
                     "objname": pdf["objname"],
                     "data": data,
-                    "size": [len(d) for d in data],
-                    "checksum": [hashlib.md5(d).hexdigest() for d in data],
+                    "size": pd.array(sizes, dtype="int64"),
+                    "checksum": sums,
+                    "err": errs,
                 }
             )
 
     return plan.mapInPandas(
         run,
-        schema="url string, objname string, data binary, size bigint, checksum string",
+        schema=(
+            "url string, objname string, data binary, size bigint, "
+            "checksum string, err string"
+        ),
     )

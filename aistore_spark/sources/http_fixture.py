@@ -40,6 +40,10 @@ _LOCK = threading.Lock()
 _SERVER: ThreadingHTTPServer | None = None
 _PORT: int | None = None
 
+#: path class the fixture deterministically 404s (urllib surfaces it
+#: as ``HTTP Error 404: Not Found`` — a stable, oracle-friendly text)
+NOT_FOUND_PREFIX = "/404/"
+
 
 def body_for_path(path: str) -> bytes:
     """The deterministic payload the fixture serves for ``path``."""
@@ -54,6 +58,13 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_GET(self):  # noqa: N802
+        # deterministic error class (verdict-r12 item 2): every path
+        # under /404/ is absent — the fixture's stand-in for the flaky
+        # origin whose failures the reference records per-task
+        # (TaskErrInfo, ext/dload/api.go:108-112) instead of aborting
+        if self.path.startswith(NOT_FOUND_PREFIX):
+            self.send_error(404, "Not Found")
+            return
         body = body_for_path(self.path)
         self.send_response(200)
         self.send_header("Content-Type", "application/octet-stream")

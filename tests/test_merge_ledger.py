@@ -1,0 +1,96 @@
+"""Ledger-tooling regression tests (verdict-r12 items 5 and 7).
+
+The sf10 merge must never let a mismatch row hide: a failed oracle
+comparison in ``tools/check_oracle.py`` has to carry a truthy ``err``
+and ``tools/merge_sf10.py`` has to classify any non-green, non-skip,
+non-rows-only row as a failure and exit nonzero.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+from merge_sf10 import classify, partial_key  # noqa: E402
+
+
+def test_classify_green_skip_rows_only():
+    assert classify({"hash_match": True, "err": None}) == "green"
+    assert classify({"hash_match": None, "err": "skipped: oracle cost"}) == "skip"
+    assert (
+        classify({"hash_match": None, "err": "no oracle (rows-only by design)"})
+        == "rows_only"
+    )
+
+
+def test_classify_mismatch_rows_are_failures():
+    # the silent-hole class verdict-r12 "what's wrong" #2 names: a row
+    # where the comparison ran and failed. With the check_oracle fix
+    # err is truthy; but even a legacy null-err row must classify as a
+    # failure, never as "neither".
+    assert classify({"hash_match": False, "err": "rows: 10 vs 11"}) == "failure"
+    assert classify({"hash_match": False, "err": "schema: [...] vs [...]"}) == "failure"
+    assert classify({"hash_match": False, "err": "value mismatch"}) == "failure"
+    assert classify({"hash_match": False, "err": None}) == "failure"
+    assert classify({"rows_match": True, "schema_match": True,
+                     "hash_match": False, "err": None}) == "failure"
+
+
+def test_partial_key_orders_new_suffixes():
+    names = ["CORRECTNESS_SF10_r13_new10.json", "CORRECTNESS_SF10_r13_new.json",
+             "CORRECTNESS_SF10_r13_new2.json"]
+    ordered = sorted((Path(n) for n in names), key=partial_key)
+    assert [p.name for p in ordered] == [
+        "CORRECTNESS_SF10_r13_new.json",
+        "CORRECTNESS_SF10_r13_new2.json",
+        "CORRECTNESS_SF10_r13_new10.json",
+    ]
+
+
+def test_check_oracle_sets_err_on_mismatch_paths():
+    """The row-count and schema mismatch paths must write rec['err']
+    (tools/check_oracle.py) — source-level pin so a refactor that
+    reintroduces the silent null-err row fails here."""
+    src = (REPO / "tools" / "check_oracle.py").read_text()
+    assert 'rec["err"] = f"rows: {len(sdf)} vs {len(odf)}"' in src
+    assert 'rec["err"] = f"schema:' in src
+
+
+def test_merge_exits_nonzero_on_forced_mismatch(tmp_path):
+    """End-to-end: a ledger partial with a mismatch row makes the merge
+    exit nonzero and report the row as a FAILURE."""
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    base = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True,
+            "err": None}
+        for n in names
+    }
+    # round 98 base ledger, round 99 partial that regresses one row
+    # with the legacy null err — the exact silent-hole shape
+    bad = names[0]
+    partial = {bad: {"rows_match": False, "schema_match": True,
+                     "hash_match": False, "err": None}}
+    (REPO / "CORRECTNESS_SF10_r98.json").write_text(json.dumps(base))
+    (REPO / "CORRECTNESS_SF10_r99_new.json").write_text(json.dumps(partial))
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/merge_sf10.py", "--round", "99",
+             "--base", "CORRECTNESS_SF10_r98.json"],
+            cwd=REPO, capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode != 0, proc.stdout + proc.stderr
+        assert "FAILURES" in proc.stdout and bad in proc.stdout
+        merged = json.loads((REPO / "CORRECTNESS_SF10_r99.json").read_text())
+        assert merged[bad]["hash_match"] is False
+        assert len(merged) == len(names)
+    finally:
+        for f in ("CORRECTNESS_SF10_r98.json", "CORRECTNESS_SF10_r99_new.json",
+                  "CORRECTNESS_SF10_r99.json"):
+            (REPO / f).unlink(missing_ok=True)

@@ -561,6 +561,11 @@ def test_download_http_throttles_on_wall_clock(spark):
         schema="url string, objname string",
     )
 
+    # unmeasured warm-up: the first mapInPandas pass pays Python-worker
+    # startup; under host contention that dwarfed the ~1 s throttle
+    # sleep and flipped the relative assertion (round-13 flake)
+    execute_download(plan, fetch=http_fetch, connections=1).collect()
+
     t0 = time.monotonic()
     fast = execute_download(plan, fetch=http_fetch, connections=1).collect()
     fast_wall = time.monotonic() - t0
@@ -581,3 +586,71 @@ def test_download_http_throttles_on_wall_clock(spark):
     assert slow_wall - fast_wall >= 0.6, (
         f"throttle did not bite: fast={fast_wall:.2f}s slow={slow_wall:.2f}s"
     )
+
+
+def test_download_continue_on_err_emits_error_rows(spark):
+    """verdict-r12 item 2: per-item error semantics mirror the
+    reference's TaskErrInfo (ext/dload/api.go:67,108-112) — with
+    continue_on_err the job finishes and yields exactly one error row
+    per bad URL; without it the first bad URL fails the job."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from aistore_spark.sources.downloader import ERR_CHECKSUM, ERR_SIZE
+
+    def flaky(url: str) -> bytes:
+        if "bad" in url:
+            raise OSError(f"connection refused: {url}")
+        return fake_fetch(url)
+
+    plan = spark.createDataFrame(
+        [(f"http://h/{k}-{i}.bin", f"{k}-{i}.bin")
+         for i in range(5) for k in ("ok", "bad")],
+        schema="url string, objname string",
+    )
+    # strict mode (default): one bad URL raises out of the job
+    with pytest.raises(PythonException, match="connection refused"):
+        execute_download(plan, fetch=flaky).collect()
+    # continue mode: every work item lands, bad ones as error rows
+    out = execute_download(plan, fetch=flaky, continue_on_err=True).collect()
+    assert len(out) == 10
+    good = [r for r in out if r.err == ""]
+    bad = [r for r in out if r.err != ""]
+    assert len(good) == 5 and len(bad) == 5
+    for r in bad:
+        assert r.objname.startswith("bad-")
+        assert r.err == f"connection refused: {r.url}"
+        assert r.size == ERR_SIZE and r.checksum == ERR_CHECKSUM
+        assert r.data is None
+    for r in good:
+        assert r.size == 32 and bytes(r.data) == fake_fetch(r.url)
+
+
+def test_download_404_over_real_http(spark):
+    """The loopback fixture's deterministic /404/ class exercises the
+    REAL http_fetch error path end to end."""
+    from aistore_spark.sources.downloader import ERR_SIZE, http_fetch
+    from aistore_spark.sources.http_fixture import (
+        NOT_FOUND_PREFIX,
+        body_for_path,
+        loopback_url,
+    )
+
+    base = loopback_url()
+    plan = spark.createDataFrame(
+        [
+            (base + "/t/a.bin", "a.bin"),
+            (base + NOT_FOUND_PREFIX + "b.bin", "b.bin"),
+        ],
+        schema="url string, objname string",
+    )
+    rows = {
+        r.objname: r
+        for r in execute_download(
+            plan, fetch=http_fetch, continue_on_err=True
+        ).collect()
+    }
+    assert rows["a.bin"].err == ""
+    assert bytes(rows["a.bin"].data) == body_for_path("/t/a.bin")
+    assert rows["b.bin"].err == "HTTP Error 404: Not Found"
+    assert rows["b.bin"].size == ERR_SIZE

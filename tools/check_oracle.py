@@ -252,6 +252,10 @@ def main() -> int:
         rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
         if not rec["schema_match"]:
             print(f"FAIL  {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            # err must be truthy on every failure path or the sf10 merge
+            # (tools/merge_sf10.py) classifies the row as neither green,
+            # skip, nor failure — a silent hole in the hard signal
+            rec["err"] = f"schema: {sorted(sdf.columns)} vs {sorted(odf.columns)}"[:300]
             failed.append(name)
             continue
         # The driver hashes raw values, so pandas dtype drift (DuckDB
@@ -269,6 +273,7 @@ def main() -> int:
             continue
         if not rec["rows_match"]:
             print(f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}")
+            rec["err"] = f"rows: {len(sdf)} vs {len(odf)}"
             failed.append(name)
             continue
         try:
