@@ -460,6 +460,17 @@ def _cells(
     )
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Round-robin exchange breaking input-split inheritance before a
+    compute-heavy stage. mapInPandas preserves the scan's input
+    splits, so on a clustered corpus one split can hold all the
+    heavily-probed rows — the r11 sf10 straggler (one 40-min task,
+    twelve idle). Seam kept separate so tests/test_skew.py can patch
+    it to identity and prove the bench straggler detector
+    (aistore_spark/skew.py) trips on exactly that plan shape."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -496,9 +507,7 @@ def ivf_topk(
     # (id, cell, vq) rows — linear bytes, trivial against the
     # nprobe-scaled candidate scoring it parallelizes. The PQ read path
     # (ivfpq_topk) re-shuffles via its codes-join and doesn't need it.
-    assign = assign.repartition(
-        assign.sparkSession.sparkContext.defaultParallelism
-    )
+    assign = _rebalance(assign)
     probe = _cells(queries, c, "query_id", nprobe, id_col, vec_col).select(
         "query_id", "centroid_id", F.col("vq").alias("qq")
     )
@@ -745,7 +754,7 @@ def pq_adc_topk(
     # The shuffle moves m small ints per vector — linear, trivial
     # against the #queries-scaled fan-out it parallelizes. (ivfpq_topk
     # doesn't need this: its codes-joins-assign shuffle does it.)
-    codes = codes.repartition(codes.sparkSession.sparkContext.defaultParallelism)
+    codes = _rebalance(codes)
     table = _adc_table(queries, codebook, m, dim, id_col, vec_col)
     scored = (
         codes.join(F.broadcast(table), ["m", "code"])

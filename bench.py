@@ -112,6 +112,16 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # straggler detection (verdict-r12 item 4): for every query whose
+    # wall is >= SPARK_GRAFT_SKEW_MIN_WALL (default 10 s), record the
+    # worst per-stage max/median task-duration ratio from the
+    # AppStatusStore; tools/bench_compare.py flags ratios > 8x. The
+    # r11 split-inheritance stragglers (one 40-min task in a 13-task
+    # stage) were caught by eyeballing — this automates that class.
+    from aistore_spark.skew import worst_task_skew
+
+    task_skew: dict[str, dict] = {}
+    skew_min_wall = float(os.environ.get("SPARK_GRAFT_SKEW_MIN_WALL", "10"))
     # SPARK_GRAFT_BENCH_RESUME=<partial.json>: preload a prior partial
     # flush and skip its queries (walls AND recorded errors) — a crash
     # or code fix mid-sweep at the big tiers must not re-pay hours of
@@ -172,7 +182,12 @@ def main() -> None:
                     f"(completed in {time.time() - t0:.1f}s despite cancel)"
                 )
                 break
-            best = min(best, time.time() - t0)
+            wall = time.time() - t0
+            if wall >= skew_min_wall and name not in task_skew:
+                skew = worst_task_skew(spark, int(t0 * 1000))
+                if skew is not None:
+                    task_skew[name] = skew
+            best = min(best, wall)
         # a finite best is a valid measurement even if a LATER run
         # errored/timed out — keep it; the error entry stays as a
         # supplementary flag alongside
@@ -337,6 +352,7 @@ def main() -> None:
         "canary_median_sec": canary_median,
         "cpu_canary": cpu_canary,
         "cpu_canary_median_sec": cpu_canary_median,
+        "task_skew": task_skew,
         "sf": sf,
     }
     if errors:
@@ -353,6 +369,14 @@ def main() -> None:
     line = dict(full)
     budget = 1900
     encoded = json.dumps(line, separators=(",", ":"))
+    if len(encoded) > budget and task_skew:
+        # compact skew to the 3 worst ratios; full per-stage detail
+        # stays in BENCH_FULL.json
+        worst3 = sorted(
+            task_skew.items(), key=lambda kv: -kv[1]["ratio"]
+        )[:3]
+        line["task_skew"] = {n: rec["ratio"] for n, rec in worst3}
+        encoded = json.dumps(line, separators=(",", ":"))
     if len(encoded) > budget:
         by_cost = sorted(per_query.items(), key=lambda kv: -kv[1])
         keep: dict[str, float] = {}

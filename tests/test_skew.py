@@ -138,3 +138,82 @@ def test_lsh_max_bucket_bounds_hot_bucket_work(spark):
         uncapped.select("doc_a", "doc_b")
     )
     assert extra.count() == 0
+
+
+def test_straggler_detector_trips_on_split_inherited_ivf(spark, monkeypatch):
+    """verdict-r12 item 4: the bench straggler probe
+    (aistore_spark/skew.py, wired into bench.py / flagged by
+    tools/bench_compare.py) must trip on exactly the r11 sf10 failure
+    shape — a clustered corpus whose input splits align with cell
+    membership, scored WITHOUT ivf_topk's round-robin rebalance: one
+    task then carries all the probed-cell scoring. With the rebalance
+    in place the same plan reads clean."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from aistore_spark.operators import simsearch
+    from aistore_spark.skew import stage_task_skew
+    from tools.bench_compare import SKEW_THRESHOLD
+
+    rng = np.random.default_rng(7)
+    dim, groups, per, nq = 64, 8, 1500, 800
+    cents = [
+        (g, [1.0 if g * 8 <= j < (g + 1) * 8 else 0.0 for j in range(dim)])
+        for g in range(groups)
+    ]
+    cent_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [c[0] for c in cents], "embedding": [c[1] for c in cents]}
+        )
+    )
+    # corpus ordered by group then range-partitioned on vec_id: split i
+    # holds exactly cell i's members — the clustered-parquet shape
+    rows_id, rows_vec = [], []
+    vid = 0
+    for g in range(groups):
+        base = np.array(cents[g][1])
+        noise = rng.normal(0, 0.01, size=(per, dim))
+        for i in range(per):
+            rows_id.append(vid)
+            rows_vec.append((base + noise[i]).tolist())
+            vid += 1
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": rows_id, "embedding": rows_vec})
+    ).repartitionByRange(groups, F.col("vec_id"))
+    # every query probes cell 0 -> all scoring lands in ONE split
+    q0 = np.array(cents[0][1])
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [100000 + i for i in range(nq)],
+                "embedding": [
+                    (q0 + rng.normal(0, 0.01, dim)).tolist() for _ in range(nq)
+                ],
+            }
+        )
+    )
+
+    def run():
+        t0 = int(time.time() * 1000)
+        simsearch.ivf_topk(corpus, cent_df, queries, k=5, nprobe=1).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return stage_task_skew(spark, t0)
+
+    # rebalance removed: the probe must flag a straggler stage
+    monkeypatch.setattr(simsearch, "_rebalance", lambda df: df)
+    skewed = run()
+    assert skewed, "no stage reading at all on the skewed plan"
+    assert skewed[0]["ratio"] > SKEW_THRESHOLD, (
+        f"detector did not trip: worst ratio {skewed[0]['ratio']}"
+    )
+    assert skewed[0]["n_tasks"] >= 4
+
+    # real rebalance: the same plan must read clean
+    monkeypatch.undo()
+    time.sleep(0.3)
+    clean = run()
+    worst = clean[0]["ratio"] if clean else 1.0
+    assert worst <= SKEW_THRESHOLD, f"rebalanced plan still skewed: {clean[0]}"

@@ -42,6 +42,10 @@ CANARY = [
     "ev7_pivot",
 ]
 
+#: max/median task-duration ratio above which a stage counts as a
+#: straggler (verdict-r12 item 4)
+SKEW_THRESHOLD = 8.0
+
 
 def load_artifact(path: str) -> dict:
     """Normalize either artifact shape to {queries, canary_median_sec}."""
@@ -141,6 +145,31 @@ def main() -> int:
             )
     if not flagged:
         print("  none — all drift within the canary band")
+    # straggler flags (verdict-r12 item 4): bench.py records per-query
+    # worst max/median task-duration ratios for walls >= 10 s; ratios
+    # above SKEW_THRESHOLD mean one task dominated the stage — the
+    # split-inheritance class the r11 sf10 sweep caught only by eye
+    skew = new.get("task_skew") or {}
+    skew_flagged = []
+    for name, rec in sorted(skew.items()):
+        ratio = rec["ratio"] if isinstance(rec, dict) else float(rec)
+        if ratio > SKEW_THRESHOLD:
+            detail = (
+                f" (stage {rec['stage']}: median {rec['median_ms']:.0f}ms, "
+                f"max {rec['max_ms']:.0f}ms over {rec['n_tasks']} tasks)"
+                if isinstance(rec, dict)
+                else ""
+            )
+            skew_flagged.append(f"  STRAGGLER {name}: ratio {ratio:.1f}x{detail}")
+    if skew:
+        print(
+            f"task-skew readings on {len(skew)} heavy queries; flagging "
+            f"max/median > {SKEW_THRESHOLD:.0f}x:"
+        )
+        for line in skew_flagged:
+            print(line)
+        if not skew_flagged:
+            print("  none — no stage exceeded the straggler threshold")
     t_old = sum(qo[n] for n in shared)
     t_new = sum(qn[n] for n in shared)
     if t_old > 0:
