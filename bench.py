@@ -127,10 +127,17 @@ def main() -> None:
     # or code fix mid-sweep at the big tiers must not re-pay hours of
     # completed measurements
     resume = os.environ.get("SPARK_GRAFT_BENCH_RESUME")
+    resumed_names: list[str] = []
     if resume and Path(resume).exists():
         prior = json.loads(Path(resume).read_text())
         per_query.update(prior.get("queries", {}))
         errors.update(prior.get("errors", {}))
+        # tag provenance in the artifact (verdict-r11 nit): a resumed
+        # wall was measured by an EARLIER process, possibly under
+        # different host load — cross-round reads should know which
+        resumed_names = sorted(
+            set(prior.get("queries", {})) | set(prior.get("errors", {}))
+        )
         print(
             f"[bench] resumed {len(per_query)} walls + {len(errors)} "
             f"errors from {resume}",
@@ -355,6 +362,8 @@ def main() -> None:
         "task_skew": task_skew,
         "sf": sf,
     }
+    if resumed_names:
+        full["resumed_queries"] = resumed_names
     if errors:
         full["errors"] = errors
     # Full artifact (all queries) goes to a file; the stdout line must
@@ -367,6 +376,11 @@ def main() -> None:
         json.dumps(full, indent=2) + "\n"
     )
     line = dict(full)
+    if resumed_names:
+        # full name list lives in BENCH_FULL.json; the stdout line
+        # carries the count only (the 2000-char driver capture)
+        line.pop("resumed_queries", None)
+        line["n_resumed"] = len(resumed_names)
     budget = 1900
     encoded = json.dumps(line, separators=(",", ":"))
     if len(encoded) > budget and task_skew:

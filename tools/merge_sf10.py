@@ -36,6 +36,34 @@ def partial_key(p: Path) -> int:
     return int(m.group(1) or 1)
 
 
+#: skip taxonomy (verdict-r12 item 6): permanently-structural skips are
+#: counted separately from convertible ones. "structural" = the row's
+#: registered config makes a single-node oracle infeasible BY DESIGN
+#: and a sized/bounded twin is the measured scale row; "measured-
+#: infeasible" = a concrete resource wall was measured and documented
+#: (NOTES_r11 taxonomy). Any other skip is "convertible" — raise the
+#: oracle cap / pin DuckDB memory and retry next sweep.
+SKIP_KINDS = {
+    # by-design-exhaustive baselines; bounded twins dd5b/dd12b and the
+    # LSH/SemDeDup rows are their scale paths
+    "ann1_brute_topk": "structural",
+    "dd5_embedding_neardup": "structural",
+    "dd12_minhash_estimate": "structural",
+    # fixed 16-cell quality-tier CONTRAST rows: probe 25-75% of the
+    # corpus per query by config (hash-exact at sf0.01/sf1); the
+    # engine's own sizing rule replaces them at scale — ann9d
+    # (sqrt-N cells, nprobe 20 of 447 at sf10) is the sized row,
+    # sf10 hash-exact as of round 13
+    "ann9b_ivfpq_refined": "structural",
+    "ann9c_ivfpq_refined_clustered": "structural",
+    # measured single-node DuckDB resource walls (NOTES_r11: >60 GB
+    # spill / 37 GiB unspillable pinned agg / 1.6 G-row ADC twin)
+    "dd7_dup_groups": "measured-infeasible",
+    "pipe3_dedup_report": "measured-infeasible",
+    "ann8_pq_adc_topk": "measured-infeasible",
+}
+
+
 def classify(rec: dict) -> str:
     err = str(rec.get("err") or "")
     if rec.get("hash_match") is True:
@@ -52,17 +80,20 @@ def main() -> int:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--base", default=None,
                     help="previous merged ledger (default: newest r<N)")
+    ap.add_argument("--prefix", default="CORRECTNESS_SF10",
+                    help="ledger family (e.g. CORRECTNESS_SF1)")
     args = ap.parse_args()
+    prefix = args.prefix
 
     base = args.base
     if base is None:
         prior = sorted(
-            REPO.glob("CORRECTNESS_SF10_r*.json"),
+            REPO.glob(f"{prefix}_r*.json"),
             key=lambda p: int(re.search(r"_r(\d+)", p.name).group(1)),
         )
         prior = [
             p for p in prior
-            if re.fullmatch(r"CORRECTNESS_SF10_r\d+\.json", p.name)
+            if re.fullmatch(re.escape(prefix) + r"_r\d+\.json", p.name)
             and int(re.search(r"_r(\d+)", p.name).group(1)) < args.round
         ]
         if not prior:
@@ -71,7 +102,7 @@ def main() -> int:
             base = prior[-1]
     sources: list[Path] = [Path(base)] if base else []
     sources += sorted(
-        REPO.glob(f"CORRECTNESS_SF10_r{args.round}_new*.json"),
+        REPO.glob(f"{prefix}_r{args.round}_new*.json"),
         key=partial_key,
     )
 
@@ -90,23 +121,33 @@ def main() -> int:
 
     registered = list(entry.queries())
     out = {n: merged[n] for n in sorted(merged)}
-    target = REPO / f"CORRECTNESS_SF10_r{args.round}.json"
-    target.write_text(json.dumps(out, indent=2) + "\n")
-
     buckets: dict[str, list[str]] = {
         "green": [], "skip": [], "rows_only": [], "failure": []
     }
+    kinds: dict[str, str] = {}
     for n, r in out.items():
-        buckets[classify(r)].append(n)
+        c = classify(r)
+        buckets[c].append(n)
+        if c == "skip":
+            kinds[n] = SKIP_KINDS.get(n, "convertible")
+            r["skip_kind"] = kinds[n]
+    target = REPO / f"{prefix}_r{args.round}.json"
+    target.write_text(json.dumps(out, indent=2) + "\n")
+
     missing = [n for n in registered if n not in out]
+    n_struct = sum(1 for k in kinds.values() if k == "structural")
+    n_meas = sum(1 for k in kinds.values() if k == "measured-infeasible")
+    n_conv = sum(1 for k in kinds.values() if k == "convertible")
     print(f"registered: {len(registered)}  rows: {len(out)}  -> {target.name}")
     print(
         f"hash-exact: {len(buckets['green'])}  reasoned skips: "
-        f"{len(buckets['skip'])}  rows-only: {len(buckets['rows_only'])}  "
-        f"failures: {len(buckets['failure'])}  not attempted: {len(missing)}"
+        f"{len(buckets['skip'])} ({n_struct} structural, {n_meas} "
+        f"measured-infeasible, {n_conv} convertible)  rows-only: "
+        f"{len(buckets['rows_only'])}  failures: {len(buckets['failure'])}  "
+        f"not attempted: {len(missing)}"
     )
     for n in sorted(buckets["skip"]):
-        print(f"  skip {n}: {str(out[n]['err'])[:110]}")
+        print(f"  skip[{kinds[n]}] {n}: {str(out[n]['err'])[:100]}")
     if buckets["failure"]:
         print(f"  FAILURES: {sorted(buckets['failure'])}")
     if missing:
