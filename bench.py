@@ -113,15 +113,17 @@ def main() -> None:
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     # straggler detection (verdict-r12 item 4): for every query whose
-    # wall is >= SPARK_GRAFT_SKEW_MIN_WALL (default 10 s), record the
-    # worst per-stage max/median task-duration ratio from the
-    # AppStatusStore; tools/bench_compare.py flags ratios > 8x. The
-    # r11 split-inheritance stragglers (one 40-min task in a 13-task
+    # wall is >= SPARK_GRAFT_SKEW_MIN_WALL (default 5 s — at the
+    # driver's sf0.1 tier the heaviest walls are ~7-10 s, so a 10 s
+    # floor would record nothing), capture the worst per-stage
+    # max/median task-duration ratio from the AppStatusStore;
+    # tools/bench_compare.py flags ratios > 8x. The r11
+    # split-inheritance stragglers (one 40-min task in a 13-task
     # stage) were caught by eyeballing — this automates that class.
     from aistore_spark.skew import worst_task_skew
 
     task_skew: dict[str, dict] = {}
-    skew_min_wall = float(os.environ.get("SPARK_GRAFT_SKEW_MIN_WALL", "10"))
+    skew_min_wall = float(os.environ.get("SPARK_GRAFT_SKEW_MIN_WALL", "5"))
     # SPARK_GRAFT_BENCH_RESUME=<partial.json>: preload a prior partial
     # flush and skip its queries (walls AND recorded errors) — a crash
     # or code fix mid-sweep at the big tiers must not re-pay hours of
