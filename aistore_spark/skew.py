@@ -17,7 +17,12 @@ status store costs nothing at any scale.
 
 The probe is advisory: any failure (store internals shifted between
 Spark versions, stage evicted from the retained window) degrades to
-"no reading", never to a failed bench run.
+"no reading", never to a failed bench run. Readings taken under heavy
+EXTERNAL host load can false-positive — a neighbor process stalling
+one task mimics data skew (measured r13: pipe3 read 12x while a
+24-thread DuckDB oracle churned beside it, then 1.0-1.06x across
+three quiet re-runs). Treat a flag as "re-run this query alone",
+not as proof of a plan defect.
 """
 
 from __future__ import annotations

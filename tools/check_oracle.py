@@ -161,6 +161,11 @@ def main() -> int:
         spill.mkdir(exist_ok=True)
         con.sql(f"SET memory_limit='{duckdb_mem}'")
         con.sql(f"SET temp_directory='{spill}'")
+        # cap the spill (r13: ann5b's twin wrote 65 GB of temp and
+        # filled the root disk, killing every LATER oracle with IO
+        # errors — a capped run fails alone, with a measured number)
+        spill_cap = os.environ.get("CHECK_ORACLE_SPILL_CAP", "50GB")
+        con.sql(f"SET max_temp_directory_size='{spill_cap}'")
         con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
