@@ -61,6 +61,11 @@ SKIP_KINDS = {
     "dd7_dup_groups": "measured-infeasible",
     "pipe3_dedup_report": "measured-infeasible",
     "ann8_pq_adc_topk": "measured-infeasible",
+    # r13: the 11.75M-row SemDeDup twin hit the capped spill dir at
+    # TWO measured budgets (46.5GiB temp @ 40GB mem, 63.3GiB @ 80GB
+    # mem, 68GB cap on an 80GB-free disk) — reclassified from
+    # convertible after the raised-budget retries
+    "dd9_semantic_dedup": "measured-infeasible",
 }
 
 
