@@ -977,8 +977,15 @@ def ivfpq_refine_topk(
     # vector width (10 GB at sf10 under the sized rule). Broadcast the
     # bare id-pair frame against the corpus first, then attach query
     # vectors from the tiny per-query frame.
+    # round-robin the corpus scan before the refine scoring join: the
+    # join inherits the scan's input splits, and on a clustered corpus
+    # the shortlisted rows concentrate — the r13 sf10 task-skew probe
+    # read this stage at 440x (one 50 s task, twelve at ~100 ms) before
+    # the exchange and ~1x after, same straggler class the r11 fixes
+    # killed in ivf_topk/pq_adc
     scored = (
-        v.join(F.broadcast(adc), "neighbor_id")
+        _rebalance(v)
+        .join(F.broadcast(adc), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
