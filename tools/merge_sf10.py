@@ -57,10 +57,11 @@ SKIP_KINDS = {
     "ann9b_ivfpq_refined": "structural",
     "ann9c_ivfpq_refined_clustered": "structural",
     # measured single-node DuckDB resource walls (NOTES_r11: >60 GB
-    # spill / 37 GiB unspillable pinned agg / 1.6 G-row ADC twin)
+    # spill / 37 GiB unspillable pinned agg). ann8 left this class in
+    # r13: its 1.6 G-row ADC twin went hash-exact out-of-core under
+    # the 80 GB pin (oracle 1226 s)
     "dd7_dup_groups": "measured-infeasible",
     "pipe3_dedup_report": "measured-infeasible",
-    "ann8_pq_adc_topk": "measured-infeasible",
     # r13: the 11.75M-row SemDeDup twin hit the capped spill dir at
     # TWO measured budgets (46.5GiB temp @ 40GB mem, 63.3GiB @ 80GB
     # mem, 68GB cap on an 80GB-free disk) — reclassified from
