@@ -193,7 +193,17 @@ def main() -> None:
                 break
             wall = time.time() - t0
             if wall >= skew_min_wall and name not in task_skew:
-                skew = worst_task_skew(spark, int(t0 * 1000))
+                # significance floor (r13): only stages whose LONGEST
+                # task is >= 10% of the query wall can be the recorded
+                # worst — a 6 s max inside a 95 s query read 88x
+                # (tiny-median scan stage, no wall impact) while the
+                # real straggler class puts 34-93% of the wall in one
+                # task (measured: r11's 40-min/43-min, r13's 50s/146s)
+                skew = worst_task_skew(
+                    spark,
+                    int(t0 * 1000),
+                    min_max_ms=max(1000.0, wall * 1000.0 * 0.10),
+                )
                 if skew is not None:
                     task_skew[name] = skew
             best = min(best, wall)
