@@ -63,12 +63,21 @@ DRIVER_CHECK_PRIORITY = [
     # front-loaded because its docstring edit changed its fingerprint.
     # Rotated out to fit: tx4_fingerprint (r12 hash-green, fingerprint
     # unchanged, sf1/sf10 hash-exact).
-    "ann9d_ivfpq_sqrt_cells",
-    "dd5b_embedding_neardup_sampled",
-    "dd12b_minhash_estimate_capped",
-    "ds2b_download_http",
+    # Round 14: ds2c STAYS front-loaded (its body refactored into the
+    # shared _ds2c_out helper → fingerprint changed); new rows ds2d
+    # (downloader job-status rollup, verdict-r13 item 7) and the
+    # changed-oracle IVF pair (ann5/_ivf_sql rewritten to
+    # list_dot_product — ann5b was already here); dd6b/ann8 get the
+    # one-hard-row re-check their r13 sf10 conversions earned
+    # (verdict-r13 item 8). Rotated out to fit: ann9d / dd5b / dd12b /
+    # ds2b (each r13 driver-green, fingerprints pinned at the r13
+    # close, sf1 + sf10 hash-exact).
     "ds3b_download_etl_http",
     "ds2c_download_errors",
+    "ds2d_download_status",
+    "ann5_ivf_topk",
+    "dd6b_simhash_prod",
+    "ann8_pq_adc_topk",
     # spread() fixes for the single-row-group scan serialization
     # (SCALE.md sf10 #1): body fingerprints changed, so each gets a
     # fresh hard row this round

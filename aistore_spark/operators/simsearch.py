@@ -948,8 +948,12 @@ def ivfpq_refine_topk(
     Scale shape: the ADC stage is :func:`ivfpq_topk` unchanged (corpus
     bytes move zero times); the refine joins the queries×shortlist
     frame (tiny, broadcast) against the corpus raw vectors — the
-    corpus is scanned once more but never shuffled, and only
-    shortlisted rows survive the join to be scored.
+    corpus is scanned once more through a linear-bytes round-robin
+    exchange (``_rebalance``, added r13: the refine scoring join must
+    not inherit the scan's input splits on a clustered corpus — the
+    sf10 task-skew probe read 440× without it, ~1× with it, mirroring
+    the r11 fix in :func:`ivf_topk`), and only shortlisted rows
+    survive the join to be scored.
 
     ``shortlist=None`` sizes the shortlist by the production rule
     :func:`refine_shortlist_size` from the corpus and centroid counts

@@ -23,6 +23,19 @@ from aistore_spark.operators.dsort import release_cached  # noqa: E402
 from aistore_spark.session import get_spark  # noqa: E402
 
 
+def record_worst_skew(
+    task_skew: dict[str, dict], name: str, skew: dict | None
+) -> None:
+    """Keep the WORST (highest-ratio) skew reading across a query's
+    min-of-N bench runs (verdict-r13 item 1): a straggler that appears
+    only on the second run must not be masked by a clean first reading.
+    """
+    if skew is None:
+        return
+    if name not in task_skew or skew["ratio"] > task_skew[name]["ratio"]:
+        task_skew[name] = skew
+
+
 def cpu_canaries(spark, runs: int = 2) -> dict[str, float]:
     """Fixed-size CPU-BOUND host-speed probes (verdict-r10 "what's
     wrong" #1): the sub-second overhead canaries are dominated by
@@ -140,6 +153,18 @@ def main() -> None:
         resumed_names = sorted(
             set(prior.get("queries", {})) | set(prior.get("errors", {}))
         )
+        # carry prior task_skew readings for the rows this run SKIPS
+        # (r14): a resumed wall keeps its original skew evidence rather
+        # than losing it from the new artifact. Rows re-run fresh this
+        # round start with no prior reading — a stale straggler must
+        # not mask (or be masked by) this round's measurement.
+        task_skew.update(
+            {
+                n: rec
+                for n, rec in (prior.get("task_skew") or {}).items()
+                if n in per_query or n in errors
+            }
+        )
         print(
             f"[bench] resumed {len(per_query)} walls + {len(errors)} "
             f"errors from {resume}",
@@ -192,7 +217,7 @@ def main() -> None:
                 )
                 break
             wall = time.time() - t0
-            if wall >= skew_min_wall and name not in task_skew:
+            if wall >= skew_min_wall:
                 # significance floor (r13): only stages whose LONGEST
                 # task is >= 10% of the query wall can be the recorded
                 # worst — a 6 s max inside a 95 s query read 88x
@@ -204,8 +229,7 @@ def main() -> None:
                     int(t0 * 1000),
                     min_max_ms=max(1000.0, wall * 1000.0 * 0.10),
                 )
-                if skew is not None:
-                    task_skew[name] = skew
+                record_worst_skew(task_skew, name, skew)
             best = min(best, wall)
         # a finite best is a valid measurement even if a LATER run
         # errored/timed out — keep it; the error entry stays as a

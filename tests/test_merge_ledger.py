@@ -94,3 +94,36 @@ def test_merge_exits_nonzero_on_forced_mismatch(tmp_path):
         for f in ("CORRECTNESS_SF10_r98.json", "CORRECTNESS_SF10_r99_new.json",
                   "CORRECTNESS_SF10_r99.json"):
             (REPO / f).unlink(missing_ok=True)
+
+
+def test_skip_taxonomy_is_pinned_to_the_rows():
+    """Verdict-r13 item 6: the skip taxonomy lives in merge_sf10's
+    hand-maintained SKIP_KINDS dict, so (a) a registry rename must not
+    silently orphan a taxonomy entry, and (b) every skip row in the
+    newest merged sf10 ledger must carry a kind — a kindless skip is
+    the 'convertible' backlog, which round 14 emptied (ann5b)."""
+    import re
+
+    import __spark_entry__ as entry
+    from merge_sf10 import SKIP_KINDS, classify
+
+    registered = set(entry.queries())
+    orphaned = sorted(set(SKIP_KINDS) - registered)
+    assert orphaned == [], (
+        f"SKIP_KINDS names not in the registry (rename?): {orphaned}"
+    )
+
+    merged = [
+        p for p in REPO.glob("CORRECTNESS_SF10_r*.json")
+        if re.fullmatch(r"CORRECTNESS_SF10_r\d+\.json", p.name)
+    ]
+    assert merged, "no merged sf10 ledger committed"
+    newest = max(merged, key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    ledger = json.loads(newest.read_text())
+    kindless = sorted(
+        n for n, rec in ledger.items()
+        if classify(rec) == "skip" and n not in SKIP_KINDS
+    )
+    assert kindless == [], (
+        f"{newest.name}: skip rows without a taxonomy kind: {kindless}"
+    )

@@ -217,3 +217,29 @@ def test_straggler_detector_trips_on_split_inherited_ivf(spark, monkeypatch):
     clean = run()
     worst = clean[0]["ratio"] if clean else 1.0
     assert worst <= SKEW_THRESHOLD, f"rebalanced plan still skewed: {clean[0]}"
+
+
+def test_record_worst_skew_keeps_the_higher_ratio_across_runs():
+    """Worst-of-runs recording (verdict-r13 item 5): bench.py's skew
+    map must let a straggler that appears only on the SECOND min-of-2
+    run overwrite a clean first reading, and must never let a cleaner
+    later run erase a recorded straggler."""
+    from bench import record_worst_skew
+
+    ts: dict[str, dict] = {}
+    record_worst_skew(ts, "q", None)
+    assert ts == {}
+
+    first = {"stage": 1, "ratio": 1.2, "max_ms": 500.0}
+    record_worst_skew(ts, "q", first)
+    assert ts["q"] is first
+
+    # second run reads WORSE -> overwrites (the r13 guard `name not in
+    # task_skew` silently dropped this reading)
+    worse = {"stage": 7, "ratio": 44.0, "max_ms": 50_000.0}
+    record_worst_skew(ts, "q", worse)
+    assert ts["q"] is worse
+
+    # a cleaner third reading never downgrades the record
+    record_worst_skew(ts, "q", {"stage": 7, "ratio": 2.0, "max_ms": 900.0})
+    assert ts["q"] is worse

@@ -160,7 +160,15 @@ def main() -> int:
                 if isinstance(rec, dict)
                 else ""
             )
-            skew_flagged.append(f"  STRAGGLER {name}: ratio {ratio:.1f}x{detail}")
+            # a triage note on the recorded entry (quiet-host re-run
+            # result, post-fix re-measure) rides along so a known
+            # external-contention residue reading is never re-triaged
+            # from scratch (ADVICE r13)
+            note = rec.get("note") if isinstance(rec, dict) else None
+            tag = f" [note: {note}]" if note else ""
+            skew_flagged.append(
+                f"  STRAGGLER {name}: ratio {ratio:.1f}x{detail}{tag}"
+            )
     if skew:
         print(
             f"task-skew readings on {len(skew)} heavy queries; flagging "
