@@ -148,10 +148,21 @@ def lsh_topk(
             ),
         )
         q = q.select("query_id", "qvec", F.explode(flips).alias("bucket"))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        quantized(vec_col).alias("cvec"),
-        sign_lsh_bucket(vec_col, n_bits).alias("bucket"),
+    # round-robin the RAW corpus before quantize/bucket/join (r14):
+    # the scoring join inherits the scan's input splits, and a
+    # single-row-group parquet (or a bucket-correlated file order)
+    # concentrates the per-pair dot work — the r14 sf10 task-skew
+    # sweep read this stage at 682x on ann3b (one 76 s task among 13,
+    # twelve at ~100 ms) before the exchange. The projection sits
+    # AFTER the exchange so the quantize/bucket compute spreads too;
+    # what stays in the scan task is only the parquet decode. Linear
+    # corpus bytes, same seam as ivf_topk's r11 fix.
+    c = _rebalance(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v"))
+    ).select(
+        "neighbor_id",
+        quantized("_v").alias("cvec"),
+        sign_lsh_bucket("_v", n_bits).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -594,16 +605,22 @@ def kmeans_train(
     broadcast ships to every task), assignment is ONE blocked numpy
     matmul per Arrow batch (:func:`_assign_topk` — no crossJoin, no
     window over the vector×centroid product), then one (centroid, dim)
-    agg. The corpus never shuffles, and the plan depth is constant in
-    *iters* because each pass's means are literals in the next pass's
-    closure (empty cells drop out, exactly as the SQL twin's GROUP BY
-    does).
+    agg. The corpus moves through ONE linear-bytes round-robin
+    exchange before the loop (r14: ``_assign_topk``'s mapInPandas
+    preserves the scan's input splits, so a single-row-group parquet
+    ran every pass's matmul in one task — the sf10 skew probe read
+    28x on ann6b), and the plan depth is constant in *iters* because
+    each pass's means are literals in the next pass's closure (empty
+    cells drop out, exactly as the SQL twin's GROUP BY does).
     """
     import numpy as np
 
-    v = corpus.select(
-        F.col(id_col).alias("vec"), quantized(vec_col).alias("vq")
-    )
+    # exchange first, quantize after — the projection compute spreads
+    # with the rows instead of running inside the (possibly single)
+    # scan split
+    v = _rebalance(
+        corpus.select(F.col(id_col).alias("vec"), F.col(vec_col).alias("_v"))
+    ).select("vec", quantized("_v").alias("vq"))
     ids, mat = _collect_cents(
         centroids.select(
             F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
