@@ -756,28 +756,38 @@ def pq_adc_topk(
     table. Smallest ADC wins (ties → lower neighbor id); self-matches
     excluded.
 
-    Scale shape: the distance table is queries × m × k codewords —
-    tiny, broadcast; the join keys on (m, code) against the encoded
-    corpus (m ints per vector), then one partial-aggregated sum per
-    (query, vector). Raw corpus vectors are read once at encode time
-    and never again — this is the memory-bound regime PQ exists for.
+    Scale shape: full-corpus ADC is all-pairs BY DESIGN (every query
+    scores every vector's code) — the candidate stream is the encoded
+    corpus × a broadcast query-id list, and each row costs one numpy
+    LUT gather (:func:`_adc_score`; r14 — previously the m-exploded
+    codes joined a broadcast per-query distance table and hash-agg'd,
+     4× the rows and a queries-scaled hash relation probed per row).
+    Per-partition exact top-k pruning bounds the rank shuffle at
+    partitions × queries × k rows. Raw corpus vectors are read once
+    at encode time and never again — the memory-bound regime PQ
+    exists for.
     """
-    codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    # Round-robin the codes before the ADC join — same reason as
-    # ivf_topk's assignment repartition: the vectorized pq_encode
-    # preserves the corpus scan's input splits, and the ADC join fans
-    # each code row out to every query matching its (m, code) key, so
-    # the dominant map-side work would run at split-count parallelism.
-    # The shuffle moves m small ints per vector — linear, trivial
-    # against the #queries-scaled fan-out it parallelizes. (ivfpq_topk
-    # doesn't need this: its codes-joins-assign shuffle does it.)
+    codes = pq_encode_wide(
+        corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    # Round-robin the codes before the fan-out — the vectorized
+    # pq_encode preserves the corpus scan's input splits, so the
+    # dominant scoring work would otherwise run at split-count
+    # parallelism. The shuffle moves one m-int code row per vector —
+    # linear, trivial against the #queries-scaled fan-out it
+    # parallelizes. (ivfpq_topk doesn't need this: its
+    # codes-joins-assign shuffle does it.)
     codes = _rebalance(codes)
-    table = _adc_table(queries, codebook, m, dim, id_col, vec_col)
-    scored = (
-        codes.join(F.broadcast(table), ["m", "code"])
+    q_ids, cids, lut = _adc_lut(queries, codebook, m, dim, id_col, vec_col)
+    qframe = queries.select(F.col(id_col).alias("query_id"))
+    cands = (
+        codes.crossJoin(F.broadcast(qframe))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d").alias("adc"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+    scored = _adc_score(
+        cands, q_ids, cids, lut, m,
+        k_keep=k if k <= _ADC_PARTIAL_TOPK_MAX else None,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
@@ -789,39 +799,174 @@ def pq_adc_topk(
     )
 
 
-def _adc_table(
+def pq_encode_wide(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`pq_encode`'s math with a WIDE output — ``(vec_id, codes
+    array<bigint>[m])``, one row per vector instead of one per
+    (vector, subspace). The ADC read paths consume this form so the
+    candidate stream is never exploded ×m (at sf100 the long form
+    turned 566M candidates into 4.5B join-probe rows — the r14
+    third-decade finding)."""
+    import numpy as np
+
+    sub = dim // m
+    cids, cmat = _collect_cents(
+        codebook.select(
+            F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
+        )
+    )
+    csub = cmat.reshape(len(cids), m, sub)
+    c2 = (csub**2).sum(axis=2)
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), quantized(vec_col).alias("vq")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vecs = (
+                np.stack(pdf["vq"].to_numpy())
+                .astype(np.float64)
+                .reshape(n, m, sub)
+            )
+            code = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                vj = vecs[:, j, :]
+                d = (
+                    (vj**2).sum(axis=1)[:, None]
+                    + c2[:, j][None, :]
+                    - 2.0 * (vj @ csub[:, j, :].T)
+                )
+                code[:, j] = cids[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(code),
+                }
+            )
+
+    return v.mapInPandas(run, schema="vec_id bigint, codes array<bigint>")
+
+
+def _adc_lut(
     queries: DataFrame,
     codebook: DataFrame,
     m: int,
     dim: int,
     id_col: str,
     vec_col: str,
-) -> DataFrame:
-    """Per-query ADC lookup table ``(query_id, m, code, d)`` — exact
-    integer L2 between each query subvector and every codeword.
-    queries x m x |codebook| rows: tiny, meant to broadcast."""
+) -> tuple:
+    """Driver-side numpy ADC lookup table — the FAISS shape of
+    the retired broadcast-joined ADC-table plan: ``lut[q_idx,
+    subspace, code_idx]`` = exact
+    integer L2 between the query subvector and the codeword. Returns
+    ``(q_ids sorted, code_ids sorted, lut int64[nq, m, k])``.
+
+    The table is queries-scaled (nq × m × k): 10M int64 at sf100's
+    20k queries — an 80 MB broadcast VARIABLE gathered by numpy at
+    ~ns/element. Its Catalyst twin (the broadcast-JOINED
+    retired in r14) probed a 41M-row hash relation once per
+    candidate×subspace row; measured at sf100 that was 4.5B
+    collision-chained lookups and the stage sat >35 min at full CPU
+    without finishing — the broadcast-join form does not survive the
+    third decade, this form does.
+
+    Exactness: operands are fixed-point integers (|q| ≤ 1e4), so every
+    squared difference and sub-dim sum is an exact integer in float64
+    before the int64 cast."""
+    import numpy as np
+
     sub = dim // m
-    spark = queries.sparkSession
-    cb = (
+    cids, cmat = _collect_cents(
         codebook.select(
             F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
         )
-        .crossJoin(spark.range(m).select(F.col("id").cast("int").alias("m")))
-        .select("code", "m", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw"))
     )
-    q = (
+    csub = cmat.reshape(len(cids), m, sub)  # (k, m, sub)
+    qrows = sorted(
         queries.select(
             F.col(id_col).alias("query_id"), quantized(vec_col).alias("qq")
-        )
-        .crossJoin(spark.range(m).select(F.col("id").cast("int").alias("m")))
-        .select("query_id", "m", F.slice("qq", F.col("m") * sub + 1, sub).alias("qs"))
+        ).collect(),  # queries-sized: bounded by the read-path contract
+        key=lambda r: r[0],
     )
-    l2 = F.aggregate(
-        F.zip_with(F.col("qs"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qsub = qmat.reshape(len(q_ids), m, sub)
+    lut = (
+        (qsub**2).sum(axis=2)[:, :, None]
+        + (csub**2).sum(axis=2).T[None, :, :]
+        - 2.0 * np.einsum("qms,kms->qmk", qsub, csub)
+    ).astype(np.int64)
+    return q_ids, cids, lut
+
+
+def _adc_score(
+    cands: DataFrame,
+    q_ids,
+    code_ids,
+    lut,
+    m: int,
+    k_keep: int | None = None,
+) -> DataFrame:
+    """Arrow-batched ADC scoring: per candidate row ``(query_id,
+    neighbor_id, codes[m])`` one vectorized LUT gather + row sum —
+    replaces the (m-exploded candidates) ⋈ (broadcast ADC table) ⋈
+    hash-agg chain with numpy. With ``k_keep`` (exact-k reads, k ≤
+    :data:`_ADC_PARTIAL_TOPK_MAX`) each partition additionally keeps
+    only its k best rows per query under the FINAL comparator (adc
+    asc, neighbor_id asc) — per-partition top-k is exact for a total
+    order, so the global window sees ≤ partitions × queries × k rows
+    instead of the full candidate stream."""
+    import numpy as np
+
+    def run(batches):
+        js = np.arange(m)
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qi = np.searchsorted(q_ids, pdf["query_id"].to_numpy())
+            ci = np.searchsorted(
+                code_ids, np.stack(pdf["codes"].to_numpy())
+            )
+            adc = lut[qi[:, None], js[None, :], ci].sum(axis=1)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc": adc,
+                }
+            )
+            if k_keep is None:
+                yield out
+                continue
+            acc = out if acc is None else pd.concat([acc, out])
+            acc = (
+                acc.sort_values(["query_id", "adc", "neighbor_id"])
+                .groupby("query_id", sort=False)
+                .head(k_keep)
+            )
+        if k_keep is not None and acc is not None:
+            yield acc
+
+    return cands.mapInPandas(
+        run, schema="query_id bigint, neighbor_id bigint, adc bigint"
     )
-    return q.join(cb, "m").select("query_id", "m", "code", l2.alias("d"))
+
+
+#: per-partition ADC top-k pruning is applied when k is at most this —
+#: retained rows per partition are bounded by queries × k, which at
+#: the sized-shortlist tier (k = shortlist ≈ √N/5 · nprobe) would be
+#: the full pair frame again, defeating the prune.
+_ADC_PARTIAL_TOPK_MAX = 64
 
 
 def ivfpq_topk(
@@ -847,11 +992,15 @@ def ivfpq_topk(
     scored.
 
     Scale shape: corpus bytes move zero times after encode — the
-    encoded index (m small ints + a cell id per vector) is the only
-    corpus-derived frame, it joins broadcast probes then the broadcast
-    ADC table, and the final agg is one combiner row per (query,
-    candidate). Recall = IVF recall within probed cells (PQ ADC ranks
-    approximately but deterministically).
+    encoded index (an m-int code array + a cell id per vector) is the
+    only corpus-derived frame; it joins broadcast probes, then each
+    candidate row is ADC-scored by ONE numpy LUT gather
+    (:func:`_adc_score` — r14: the previous broadcast-JOINED ADC
+    table was queries × m × k rows, and at sf100 the resulting 4.5B
+    collision-chained hash probes never finished; the LUT form is the
+    FAISS division of labor and also removes the ×m candidate
+    explosion and the hash agg). Recall = IVF recall within probed
+    cells (PQ ADC ranks approximately but deterministically).
     """
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
@@ -859,18 +1008,22 @@ def ivfpq_topk(
     assign = _cells(corpus, c, "vec_id", 1, id_col, vec_col).select(
         "vec_id", "centroid_id"
     )
-    codes = pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode_wide(
+        corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    )
     indexed = codes.join(assign, "vec_id")
     probe = _cells(queries, c, "query_id", nprobe, id_col, vec_col).select(
         "query_id", "centroid_id"
     )
-    table = _adc_table(queries, codebook, m, dim, id_col, vec_col)
-    scored = (
+    q_ids, cids, lut = _adc_lut(queries, codebook, m, dim, id_col, vec_col)
+    cands = (
         indexed.join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(table), ["query_id", "m", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("d").alias("adc"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")
+    )
+    scored = _adc_score(
+        cands, q_ids, cids, lut, m,
+        k_keep=k if k <= _ADC_PARTIAL_TOPK_MAX else None,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
@@ -880,6 +1033,34 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc")
     )
+
+
+def recall_held_nprobe(
+    n_cells: int, frac_num: int = 9, frac_den: int = 200, floor: int = 20
+) -> int:
+    """nprobe that HOLDS recall across corpus scale under the √N cell
+    rule: probe a constant FRACTION of the cells (default 9/200 =
+    4.5%, the fraction the registered sf10 economy config probes).
+
+    Third-decade measurement (r14, sf100 = 2M clustered vectors,
+    1414 cells, 64-query md5-stratified sample vs exact brute):
+    recall@10 at CONSTANT nprobe=20 decays with scale — 0.548 (sf1) →
+    0.438 (sf10) → 0.125 (sf100) — because the probed cell fraction
+    shrinks as nprobe/√N. At constant FRACTION it is scale-stable:
+    4.5% of cells reads 0.438 at BOTH sf10 (nprobe 20) and sf100
+    (nprobe 63) with the registered 1-iteration build, and 0.906 at
+    sf100 with a 3-iteration k-means build (iters is the other knob:
+    at 1414 cells the 1-pass stride-seeded centroids are noisy, which
+    the 44-cell fixture never exposed). Full grid in SCALE.md.
+
+    The trade is explicit: constant fraction ⇒ probed mass
+    ``(9/200)·N`` — linear, the price of constant recall on
+    MODE-SATURATED data (the replica fixture holds 16 clusters at
+    every scale, so new data adds density, not modes; a corpus whose
+    mode count grows with N keeps recall at constant nprobe, which is
+    why the registered economy row stays √N-sublinear). Integer rule
+    (ceil division) so a SQL oracle reproduces it exactly."""
+    return max(floor, -(-(frac_num * n_cells) // frac_den))
 
 
 def n_coarse_cells(n_corpus: int, floor: int = 16) -> int:
@@ -917,6 +1098,15 @@ def kmeans_centroid_frame(means: DataFrame) -> DataFrame:
         )
         .select(F.col("centroid_id").alias("vec_id"), "embedding")
     )
+
+
+#: refine pair-frame size above which ivfpq_refine_topk's sized path
+#: abandons the broadcast join for a plain shuffle join (r14): every
+#: task materializes the broadcast as an in-memory hash relation, so
+#: the cap is per-executor-memory-bound, not cluster-size-bound. 8M
+#: id-pairs ≈ 128 MB raw — comfortably broadcastable; the next decade
+#: (113M pairs at sf100) measurably is not.
+REFINE_BROADCAST_CAP_PAIRS = 8_000_000
 
 
 def refine_shortlist_size(
@@ -976,11 +1166,26 @@ def ivfpq_refine_topk(
     :func:`refine_shortlist_size` from the corpus and centroid counts
     (two metadata-cheap count jobs) — use this on clustered corpora,
     where any fixed constant under-shortlists the dense cells.
+
+    Third-decade lesson (r14, sf100): under the sized rule the pair
+    frame grows as queries × shortlist ≈ queries·√N — 3.6M rows at
+    sf10 but 113M at sf100 (2M vectors, 20k queries, shortlist 5658).
+    Force-broadcasting that frame makes EVERY task build a
+    hundred-million-row hash relation: the first sf100 attempt sat
+    >35 min in GC before it was killed. The sized path therefore
+    switches to a plain shuffle join once the pair count crosses
+    ``REFINE_BROADCAST_CAP_PAIRS`` — corpus and pairs both hash on
+    neighbor_id (linear bytes each), which is exactly the plan a
+    1000-executor cluster wants at that size anyway. Fixed-shortlist
+    callers (the registered ann9b/9c contrast tier) keep the
+    broadcast unconditionally.
     """
+    n_queries = None
     if shortlist is None:
         shortlist = refine_shortlist_size(
             corpus.count(), centroids.count(), nprobe, k
         )
+        n_queries = queries.count()
     adc = ivfpq_topk(
         corpus, centroids, codebook, queries,
         k=shortlist, nprobe=nprobe, m=m, dim=dim,
@@ -1004,9 +1209,14 @@ def ivfpq_refine_topk(
     # read this stage at 440x (one 50 s task, twelve at ~100 ms) before
     # the exchange and ~1x after, same straggler class the r11 fixes
     # killed in ivf_topk/pq_adc
+    big_pairs = (
+        n_queries is not None
+        and n_queries * shortlist > REFINE_BROADCAST_CAP_PAIRS
+    )
+    pair_join = adc if big_pairs else F.broadcast(adc)
     scored = (
         _rebalance(v)
-        .join(F.broadcast(adc), "neighbor_id")
+        .join(pair_join, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",

@@ -168,6 +168,13 @@ def main() -> int:
         con.sql(f"SET max_temp_directory_size='{spill_cap}'")
         con.sql("SET preserve_insertion_order=false")
     for t in TABLES:
+        # partial fixtures exist (the bench-only sf100 tier omits
+        # events — no scale-law row reads it); a missing table only
+        # matters if a requested oracle references it, which then
+        # fails with a clear error on its own row
+        if not Path(f"{sf_dir}/{t}.parquet").exists():
+            print(f"note: {sf_dir}/{t}.parquet absent — view skipped")
+            continue
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     if materialize:
         from aistore_spark.oracles import _CATALOGS
