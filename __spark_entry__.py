@@ -72,10 +72,19 @@ DRIVER_CHECK_PRIORITY = [
     # (verdict-r13 item 8). Rotated out to fit: ann9d / dd5b / dd12b /
     # ds2b (each r13 driver-green, fingerprints pinned at the r13
     # close, sf1 + sf10 hash-exact).
-    "ds3b_download_etl_http",
+    # Round 15: new row ann9e (the recall-held IVF-PQ tier, verdict-r14
+    # item 3 — the configuration whose sf100 recall invariant read
+    # 0.906; now oracle-gated end to end). Rotated out to fit:
+    # ds3b_download_etl_http (r14 driver-green, fingerprint pinned at
+    # the r14 close, sf1 + sf10 hash-exact).
+    # Round 15 also front-loads dd9 (its oracle restructured to
+    # list_dot_product — same technique/reason as ann5b in r14);
+    # rotated out to fit: ann5_ivf_topk (r14 driver-green, fingerprint
+    # pinned at the r14 close, sf1 + sf10 hash-exact).
+    "ann9e_ivfpq_recall_held",
+    "dd9_semantic_dedup",
     "ds2c_download_errors",
     "ds2d_download_status",
-    "ann5_ivf_topk",
     "dd6b_simhash_prod",
     "ann8_pq_adc_topk",
     # spread() fixes for the single-row-group scan serialization

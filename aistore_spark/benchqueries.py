@@ -4122,36 +4122,35 @@ def dd5b_embedding_neardup_sampled(
 
 @register(
     "dd9_semantic_dedup",
-    f"""
-    WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings
-               WHERE vec_id < 16),
+    """
+    WITH qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS centroid_id, vq FROM qz WHERE vec_id < 16),
     scored AS (
       SELECT v.vec_id, c.centroid_id,
-             sum({_QELEM.format(side='v')} * {_QELEM.format(side='c')}) AS cdot
-      FROM embeddings v, c, range(1, 65) t(i)
-      GROUP BY 1, 2
+             list_dot_product(v.vq, c.vq) AS cdot
+      FROM qz v, c
     ),
-    vassign AS (
+    vassign AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM (
         SELECT vec_id, centroid_id,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cdot DESC, centroid_id) AS rn
         FROM scored
       ) WHERE rn = 1
-    ),
-    pairs AS (
-      SELECT va.centroid_id AS centroid_id,
-             a.vec_id AS vec_a, b.vec_id AS vec_b,
-             CAST(sum({_QELEM.format(side='a')}
-                      * {_QELEM.format(side='b')}) AS BIGINT) AS dot
-      FROM embeddings a
-      JOIN vassign va ON a.vec_id = va.vec_id
-      JOIN vassign vb ON va.centroid_id = vb.centroid_id
-      JOIN embeddings b ON b.vec_id = vb.vec_id AND a.vec_id < b.vec_id,
-      range(1, 65) t(i)
-      GROUP BY 1, 2, 3
     )
-    SELECT centroid_id, vec_a, vec_b, dot FROM pairs WHERE dot >= 40000000
+    SELECT va.centroid_id AS centroid_id,
+           a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(list_dot_product(a.vq, b.vq) AS BIGINT) AS dot
+    FROM qz a
+    JOIN vassign va ON a.vec_id = va.vec_id
+    JOIN vassign vb ON va.centroid_id = vb.centroid_id
+    JOIN qz b ON b.vec_id = vb.vec_id AND a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.vq, b.vq) AS BIGINT) >= 40000000
     """,
 )
 def dd9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4162,7 +4161,16 @@ def dd9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale; cross-cell pairs are out of scope by the SemDeDup
     premise that semantic duplicates co-cluster. Same 40M threshold as
     dd5, so the output is exactly dd5's pair set restricted to
-    co-clustered pairs."""
+    co-clustered pairs.
+
+    r15 oracle restructure (verdict-r14 item 4, the ann5b technique):
+    the within-cell pair dots run over pre-quantized BIGINT lists via
+    ``list_dot_product`` instead of a 64-way ``range`` unnest + sum —
+    the unnest multiplied the ~1.2G-row sf10 candidate stream by 64
+    and was the measured external-sort wall (46.5/63.3 GiB spill at
+    two budgets). Same fixed-point semantics (round(x*1e4) per element
+    BEFORE the multiply; exact in the double accumulator), values
+    identical at sf0.01."""
     emb = load_table(spark, sf_dir, "embeddings")
     return simsearch.semantic_cell_pairs(
         emb, emb.filter(F.col("vec_id") < 16), threshold=40_000_000
@@ -6477,6 +6485,214 @@ def ann9d_ivfpq_sqrt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivfpq_refine_topk(
         corpus, cents, codebook, queries,
         k=10, nprobe=_ANN9D_NPROBE, m=8, dim=64, shortlist=None,
+    )
+
+
+_ANN9E_SQL = f"""
+    WITH {_CLUSTERED_PRELUDE}
+    qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT)) AS vq
+      FROM ccorpus
+    ),
+    qzd AS MATERIALIZED (
+      SELECT vec_id, list_transform(vq, x -> CAST(x AS DOUBLE)) AS vd
+      FROM qz
+    ),
+    params AS (
+      SELECT n,
+             greatest(16, s + CASE WHEN (s + 1) * (s + 1) <= n THEN 1
+                                   WHEN s * s > n THEN -1 ELSE 0 END) AS k
+      FROM (SELECT n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s
+            FROM (SELECT count(*) AS n FROM qz))
+    ),
+    np AS (SELECT greatest(20, (9 * k + 199) // 200) AS np FROM params),
+    strd AS (SELECT greatest(1, n // k) AS stride FROM params),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS centroid_id, vd AS cvec FROM qzd
+      WHERE vec_id % (SELECT stride FROM strd) = 0
+    ),
+    asg1 AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_dot_product(v.vd, c.cvec)
+                                           DESC, c.centroid_id) AS rn
+        FROM qzd v, c0 c) WHERE rn = 1
+    ),
+    kc1 AS MATERIALIZED (
+      SELECT centroid_id,
+             list(CAST(mean_q AS DOUBLE) ORDER BY dim) AS cvec
+      FROM (
+        SELECT a.centroid_id, CAST(j AS BIGINT) AS dim,
+               CAST(sum(v.vq[CAST(j AS INT)]) // count(*) AS BIGINT)
+                 AS mean_q
+        FROM asg1 a JOIN qz v USING (vec_id), range(1, 65) t(j)
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    asg2 AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_dot_product(v.vd, c.cvec)
+                                           DESC, c.centroid_id) AS rn
+        FROM qzd v, kc1 c) WHERE rn = 1
+    ),
+    kc2 AS MATERIALIZED (
+      SELECT centroid_id,
+             list(CAST(mean_q AS DOUBLE) ORDER BY dim) AS cvec
+      FROM (
+        SELECT a.centroid_id, CAST(j AS BIGINT) AS dim,
+               CAST(sum(v.vq[CAST(j AS INT)]) // count(*) AS BIGINT)
+                 AS mean_q
+        FROM asg2 a JOIN qz v USING (vec_id), range(1, 65) t(j)
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    asg3 AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_dot_product(v.vd, c.cvec)
+                                           DESC, c.centroid_id) AS rn
+        FROM qzd v, kc2 c) WHERE rn = 1
+    ),
+    kc AS MATERIALIZED (
+      SELECT centroid_id,
+             list(CAST(mean_q AS DOUBLE) ORDER BY dim) AS cvec
+      FROM (
+        SELECT a.centroid_id, CAST(j AS BIGINT) AS dim,
+               CAST(sum(v.vq[CAST(j AS INT)]) // count(*) AS BIGINT)
+                 AS mean_q
+        FROM asg3 a JOIN qz v USING (vec_id), range(1, 65) t(j)
+        GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    subs AS MATERIALIZED (
+      SELECT vec_id, CAST(s.m AS BIGINT) AS m,
+             array_slice(vd, s.m * 8 + 1, s.m * 8 + 8) AS sv,
+             list_dot_product(array_slice(vd, s.m * 8 + 1, s.m * 8 + 8),
+                              array_slice(vd, s.m * 8 + 1, s.m * 8 + 8))
+               AS s2
+      FROM qzd, range(0, 8) s(m)
+    ),
+    cw AS MATERIALIZED (
+      SELECT vec_id AS code, m, sv AS cw_sv, s2 AS c2
+      FROM subs WHERE vec_id < 64
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT v.vec_id, v.m, c.code,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.m
+                 ORDER BY v.s2 + c.c2
+                          - 2 * list_dot_product(v.sv, c.cw_sv), c.code)
+                 AS rn
+        FROM subs v JOIN cw c ON c.m = v.m) WHERE rn = 1
+    ),
+    cscored AS (
+      SELECT v.vec_id, c.centroid_id,
+             list_dot_product(v.vd, c.cvec) AS cdot
+      FROM qzd v, kc c
+    ),
+    vassign AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM cscored) WHERE rn = 1
+    ),
+    qprobe AS MATERIALIZED (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cdot DESC, centroid_id) AS rn
+        FROM cscored WHERE vec_id % 100 = 0)
+      WHERE rn <= (SELECT np FROM np)
+    ),
+    tbl AS MATERIALIZED (
+      SELECT v.vec_id AS query_id, v.m, c.code,
+             CAST(v.s2 + c.c2 - 2 * list_dot_product(v.sv, c.cw_sv)
+               AS BIGINT) AS d
+      FROM subs v JOIN cw c ON c.m = v.m
+      WHERE v.vec_id % 100 = 0
+    ),
+    slsz AS (
+      SELECT greatest(40,
+               ((SELECT np FROM np) * (SELECT n FROM params) + 5 * kn - 1)
+               // (5 * kn)) AS sl
+      FROM (SELECT count(*) AS kn FROM kc)
+    ),
+    adc AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(sum(t.d) AS BIGINT) AS adc
+      FROM qprobe p
+      JOIN vassign a ON a.centroid_id = p.centroid_id
+                    AND a.vec_id <> p.query_id
+      JOIN codes k ON k.vec_id = a.vec_id
+      JOIN tbl t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code
+      GROUP BY 1, 2
+    ),
+    sl AS (
+      SELECT query_id, neighbor_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id)
+              <= (SELECT sl FROM slsz)
+    ),
+    dots AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_dot_product(q.vd, n.vd) AS BIGINT) AS dot
+      FROM sl s
+      JOIN qzd q ON q.vec_id = s.query_id
+      JOIN qzd n ON n.vec_id = s.neighbor_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank, neighbor_id, dot
+    FROM dots
+    WINDOW w AS (PARTITION BY query_id ORDER BY dot DESC, neighbor_id)
+    QUALIFY row_number() OVER w <= 10
+"""
+
+
+@register("ann9e_ivfpq_recall_held", _ANN9E_SQL)
+def ann9e_ivfpq_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ refine at the RECALL-HELD tier (verdict-r14 item 3): the
+    configuration a recall-SLA user actually runs at scale — √N cells
+    (simsearch.n_coarse_cells), a 3-ITERATION k-means build (at √N
+    cells the 1-pass stride-seeded centroids are noisy; iters is the
+    accuracy knob the 44-cell fixture never exposed), and nprobe from
+    simsearch.recall_held_nprobe — a constant FRACTION of the cells
+    (4.5%) instead of ann9d's constant count. The sf100 grid (r14,
+    SCALE.md) measured why both knobs exist: constant nprobe=20 decays
+    0.548 → 0.438 → 0.125 across three decades on mode-saturated data,
+    while this configuration reads recall@10 = 0.906 at sf100
+    (BENCH_r14_sf100.json invariant). The oracle reproduces the FULL
+    build+read chain — three assign/floor-div-mean passes, the
+    ceil-division nprobe rule, PQ encode, the sized shortlist, exact
+    integer-MIPS rerank — so the green row proves the recall-held
+    SIZING RULES end to end, not one tuned constant. 100 TB: same
+    plan shape as ann9d (build: per-pass one √N-row broadcast + one
+    combiner row per vector; read: probes broadcast, corpus never
+    shuffles); probed mass is (9/200)·N — linear, the explicit price
+    of constant recall on data whose mode count does not grow with
+    scale (the quality-vs-economy trade a recall SLA buys)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    corpus, _ = _clustered_corpus(emb)
+    k_cells = simsearch.n_coarse_cells(n)
+    stride = max(1, n // k_cells)
+    seeds = corpus.filter(F.col("vec_id") % stride == 0)
+    cents = simsearch.kmeans_centroid_frame(
+        simsearch.kmeans_train(corpus, seeds, iters=3)
+    ).localCheckpoint(eager=True)
+    codebook = corpus.filter(F.col("vec_id") < 64)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    return simsearch.ivfpq_refine_topk(
+        corpus, cents, codebook, queries,
+        k=10, nprobe=simsearch.recall_held_nprobe(k_cells),
+        m=8, dim=64, shortlist=None,
     )
 
 

@@ -933,10 +933,24 @@ def _adc_score(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            qi = np.searchsorted(q_ids, pdf["query_id"].to_numpy())
-            ci = np.searchsorted(
-                code_ids, np.stack(pdf["codes"].to_numpy())
-            )
+            bq = pdf["query_id"].to_numpy()
+            bc = np.stack(pdf["codes"].to_numpy())
+            qi = np.searchsorted(q_ids, bq).clip(0, len(q_ids) - 1)
+            ci = np.searchsorted(code_ids, bc).clip(0, len(code_ids) - 1)
+            # membership check (ADVICE-r14): searchsorted on an absent
+            # id gathers a WRONG LUT row silently — a caller whose
+            # queries/codebook frame diverged from the LUT build must
+            # fail loudly, not mis-rank. One vectorized compare per
+            # Arrow batch, ~free next to the gather.
+            if not (
+                np.array_equal(q_ids[qi], bq)
+                and np.array_equal(code_ids[ci], bc)
+            ):
+                raise ValueError(
+                    "_adc_score: candidate query_id/code not present in "
+                    "the ADC LUT — candidates were built against a "
+                    "different queries/codebook frame"
+                )
             adc = lut[qi[:, None], js[None, :], ci].sum(axis=1)
             out = pd.DataFrame(
                 {
@@ -1176,16 +1190,18 @@ def ivfpq_refine_topk(
     switches to a plain shuffle join once the pair count crosses
     ``REFINE_BROADCAST_CAP_PAIRS`` — corpus and pairs both hash on
     neighbor_id (linear bytes each), which is exactly the plan a
-    1000-executor cluster wants at that size anyway. Fixed-shortlist
-    callers (the registered ann9b/9c contrast tier) keep the
-    broadcast unconditionally.
+    1000-executor cluster wants at that size anyway. The cap applies
+    to EXPLICIT-shortlist callers too (ADVICE-r14: a caller passing
+    the 5658 value the sized rule produces at sf100 must not re-create
+    the >35-min GC-death broadcast) — the query count is one count job
+    over the queries frame, which the ADC LUT path already collects to
+    the driver whole, so the extra job is noise.
     """
-    n_queries = None
     if shortlist is None:
         shortlist = refine_shortlist_size(
             corpus.count(), centroids.count(), nprobe, k
         )
-        n_queries = queries.count()
+    n_queries = queries.count()
     adc = ivfpq_topk(
         corpus, centroids, codebook, queries,
         k=shortlist, nprobe=nprobe, m=m, dim=dim,
@@ -1209,10 +1225,7 @@ def ivfpq_refine_topk(
     # read this stage at 440x (one 50 s task, twelve at ~100 ms) before
     # the exchange and ~1x after, same straggler class the r11 fixes
     # killed in ivf_topk/pq_adc
-    big_pairs = (
-        n_queries is not None
-        and n_queries * shortlist > REFINE_BROADCAST_CAP_PAIRS
-    )
+    big_pairs = n_queries * shortlist > REFINE_BROADCAST_CAP_PAIRS
     pair_join = adc if big_pairs else F.broadcast(adc)
     scored = (
         _rebalance(v)

@@ -23,6 +23,22 @@ from aistore_spark.operators.dsort import release_cached  # noqa: E402
 from aistore_spark.session import get_spark  # noqa: E402
 
 
+def resumed_provenance(prior: dict) -> list[str]:
+    """Names to tag ``resumed_queries`` when resuming from ``prior``.
+
+    A completed prior artifact: everything it carries was measured by
+    an earlier process — all names are resumed. A crash PARTIAL of the
+    current sweep: its walls are THIS round's fresh measurements — only
+    the rows the partial itself inherited (its own resumed_queries)
+    keep the tag (verdict-r14 item 5: the r14 sf10 sweep crash-resumed
+    and mis-tagged ~15 fresh walls as resumed).
+    """
+    loaded = set(prior.get("queries", {})) | set(prior.get("errors", {}))
+    if prior.get("partial"):
+        return sorted(set(prior.get("resumed_queries", [])) & loaded)
+    return sorted(loaded)
+
+
 def record_worst_skew(
     task_skew: dict[str, dict], name: str, skew: dict | None
 ) -> None:
@@ -149,10 +165,10 @@ def main() -> None:
         errors.update(prior.get("errors", {}))
         # tag provenance in the artifact (verdict-r11 nit): a resumed
         # wall was measured by an EARLIER process, possibly under
-        # different host load — cross-round reads should know which
-        resumed_names = sorted(
-            set(prior.get("queries", {})) | set(prior.get("errors", {}))
-        )
+        # different host load — cross-round reads should know which.
+        # Crash partials of the current sweep propagate provenance
+        # instead of blanket-tagging (see resumed_provenance).
+        resumed_names = resumed_provenance(prior)
         # carry prior task_skew readings for the rows this run SKIPS
         # (r14): a resumed wall keeps its original skew evidence rather
         # than losing it from the new artifact. Rows re-run fresh this
@@ -246,9 +262,20 @@ def main() -> None:
         )
         partial = os.environ.get("SPARK_GRAFT_BENCH_PARTIAL")
         if partial:
+            # the partial must carry task_skew (ADVICE-r14: a crash
+            # resume would otherwise drop every skew reading this
+            # process captured) and its OWN provenance list, so a
+            # resume-from-partial can distinguish this round's fresh
+            # walls from genuinely inherited ones
             Path(partial).write_text(
                 json.dumps(
-                    {"queries": per_query, "errors": errors, "partial": True}
+                    {
+                        "queries": per_query,
+                        "errors": errors,
+                        "task_skew": task_skew,
+                        "resumed_queries": resumed_names,
+                        "partial": True,
+                    }
                 )
                 + "\n"
             )

@@ -127,3 +127,35 @@ def test_skip_taxonomy_is_pinned_to_the_rows():
     assert kindless == [], (
         f"{newest.name}: skip rows without a taxonomy kind: {kindless}"
     )
+
+
+def test_resumed_provenance_excludes_fresh_partial_walls():
+    # verdict-r14 item 5: the r14 sf10 sweep crashed mid-run and
+    # resumed from its own partial; the partial's FRESH walls (measured
+    # this round) were blanket-tagged resumed. A partial resume must
+    # tag only the names the partial itself inherited.
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    # bench.py imports spark-session helpers at module level but does
+    # not start a session until main(); importing is cheap and safe
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    partial = {
+        "partial": True,
+        "queries": {"ann5b": 126.8, "tx12": 111.3, "old_row": 3.0},
+        "errors": {"dd9": "timeout"},
+        # only old_row was inherited by the crashed process
+        "resumed_queries": ["old_row"],
+    }
+    assert bench.resumed_provenance(partial) == ["old_row"]
+
+    # a COMPLETED prior artifact (no partial flag) still tags all rows
+    done = {"queries": {"a": 1.0, "b": 2.0}, "errors": {"c": "x"}}
+    assert bench.resumed_provenance(done) == ["a", "b", "c"]
+
+    # legacy partial without the new provenance list: nothing can be
+    # proven inherited, so nothing is tagged (walls stay, tag drops)
+    legacy = {"partial": True, "queries": {"a": 1.0}, "errors": {}}
+    assert bench.resumed_provenance(legacy) == []

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -128,6 +129,24 @@ def run(sf_dir: str, json_out: str | None) -> int:
     import __spark_entry__ as entrymod
 
     con = duckdb.connect()
+    # Budget the DuckDB leg exactly like tools/check_oracle.py does
+    # (verdict-r14 item 4): the bare connection self-sizes at ~80% of
+    # host RAM, ignores the Spark JVM, and keeps insertion order — at
+    # sf10 that combination spilled >60 GB of external-sort temp and
+    # exhausted the disk (the r13/r14 dd7 skip), while dd2's oracle —
+    # the SAME pairs-prefix shape — ran green under check_oracle's
+    # pinned budget. Env knobs mirror the check_oracle names.
+    mem = os.environ.get("DUCKDB_MEM", "40GB")
+    spill = Path("/tmp/duckdb_spill")
+    spill.mkdir(exist_ok=True)
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql(f"SET temp_directory='{spill}'")
+    con.sql(
+        "SET max_temp_directory_size="
+        f"'{os.environ.get('CHECK_ORACLE_SPILL_CAP', '50GB')}'"
+    )
+    con.sql("SET preserve_insertion_order=false")
+    con.sql(f"SET threads TO {os.environ.get('CHECK_ORACLE_CPUS', '24')}")
     con.sql(
         "CREATE VIEW documents AS "
         f"SELECT * FROM '{sf_dir}/documents.parquet'"
@@ -136,6 +155,7 @@ def run(sf_dir: str, json_out: str | None) -> int:
     pairs = con.sql(
         _DUP_PAIRS_CTES + "SELECT doc_a, doc_b FROM pairs"
     ).df()
+    con.close()  # release spill temp before the Spark leg starts
     print(f"duckdb pairs: {len(pairs)} rows ({time.time() - t0:.1f}s)")
     t0 = time.time()
     exp_dd7, exp_pipe3 = expected_frames(pairs)

@@ -1,6 +1,9 @@
 #!/bin/bash
 # sf10 correctness, round 13 leg 3 (the raised-budget retries that
-# produced the final 168/177 ledger). Budgets per query, as measured:
+# produced the final 168/177 ledger). DuckDB memory pin defaults to
+# the 80 GB the final retries used; override with DUCKDB_MEM=40GB to
+# reproduce the 40 GB readings in the table below.
+# Budgets per query, as measured:
 #   dd6b  — 900 s cap, 40 GB pin            -> hash-exact (634 s)
 #   ann3b — 1800 s cap, 80 GB pin           -> hash-exact
 #   ann8  — 1800 s cap, 80 GB pin           -> hash-exact (1226 s,
@@ -25,5 +28,5 @@ CHECK_ORACLE_CPUS=${CHECK_ORACLE_CPUS:-24} \
 CHECK_ORACLE_SPILL_CAP=${CHECK_ORACLE_SPILL_CAP:-68GB} \
 python tools/check_oracle.py \
   --json "$OUT" --materialize \
-  --oracle-timeout "${ORACLE_TIMEOUT:-1800}" --duckdb-mem 80GB \
+  --oracle-timeout "${ORACLE_TIMEOUT:-1800}" --duckdb-mem "${DUCKDB_MEM:-80GB}" \
   /root/repo/_scale/sf10 "$Q"
