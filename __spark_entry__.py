@@ -44,113 +44,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # fingerprints; most also hash-exact at sf1 in
 # CORRECTNESS_SF1_r07.json).
 DRIVER_CHECK_PRIORITY = [
-    # (a) changed-or-new since last driver-green (fingerprint-pinned).
-    # Round 11 additions: the √N coarse-cell ANN sizing row (ann9d,
-    # verdict-r10 #2) and the two budget-bounded second-decade
-    # baselines (dd5b sampled brute force, dd12b capped calibration —
-    # verdict-r10 #6), plus the real-HTTP downloader execution rows
-    # (ds2b fetch + ds3b ETL-on-ingest, verdict-r10 #4). Dropped to
-    # fit: s2c_custom_props / tx5b_bpe_learned / tx5c_bpe_doc_tokens /
-    # tok2_pack_bpe / tx11_bm25_topk (each hash-green in committed
-    # driver ledgers with unchanged fingerprints, sf1 hash-exact —
-    # test_driver_contract now counts green rows from ALL committed
-    # rounds, not just the r4-r6 full-coverage sweeps, so stable
-    # post-r6 rows may rotate out once driver-green). Also rotated
-    # out for the spread()-fix block: samp4 / tok3 / s14 / m11 (all
-    # r8-r10 driver-green, fingerprints unchanged, sf1 hash-exact).
-    # Round 13 addition: per-item downloader error semantics over real
-    # HTTP (ds2c, verdict-r12 item 2 — TaskErrInfo mirror); ds2b stays
-    # front-loaded because its docstring edit changed its fingerprint.
-    # Rotated out to fit: tx4_fingerprint (r12 hash-green, fingerprint
-    # unchanged, sf1/sf10 hash-exact).
-    # Round 14: ds2c STAYS front-loaded (its body refactored into the
-    # shared _ds2c_out helper → fingerprint changed); new rows ds2d
-    # (downloader job-status rollup, verdict-r13 item 7) and the
-    # changed-oracle IVF pair (ann5/_ivf_sql rewritten to
-    # list_dot_product — ann5b was already here); dd6b/ann8 get the
-    # one-hard-row re-check their r13 sf10 conversions earned
-    # (verdict-r13 item 8). Rotated out to fit: ann9d / dd5b / dd12b /
-    # ds2b (each r13 driver-green, fingerprints pinned at the r13
-    # close, sf1 + sf10 hash-exact).
-    # Round 15: new row ann9e (the recall-held IVF-PQ tier, verdict-r14
-    # item 3 — the configuration whose sf100 recall invariant read
-    # 0.906; now oracle-gated end to end). Rotated out to fit:
-    # ds3b_download_etl_http (r14 driver-green, fingerprint pinned at
-    # the r14 close, sf1 + sf10 hash-exact).
-    # Round 15 also front-loads dd9 (its oracle restructured to
-    # list_dot_product — same technique/reason as ann5b in r14);
-    # rotated out to fit: ann5_ivf_topk (r14 driver-green, fingerprint
-    # pinned at the r14 close, sf1 + sf10 hash-exact).
+    # Round 15 rebuild of the front 50. The member-name contract
+    # widened from lpad(orderkey, 8) to lpad(orderkey, 9) (verdict-r14
+    # item 7: make d1's sf100 name axis a true 10x decade), which
+    # touches the members/batch-request catalog SQL inlined into 39
+    # oracles — every one of those queries changed fingerprint and so
+    # must re-earn a driver-green row this round (the round-7
+    # contract). Plus the two r15 rows: ann9e (new — the recall-held
+    # IVF-PQ tier, verdict-r14 item 3) and dd9 (oracle restructured to
+    # list_dot_product, the ann5b technique — verdict-r14 item 4).
     "ann9e_ivfpq_recall_held",
     "dd9_semantic_dedup",
-    "ds2c_download_errors",
-    "ds2d_download_status",
-    "dd6b_simhash_prod",
-    "ann8_pq_adc_topk",
-    # spread() fixes for the single-row-group scan serialization
-    # (SCALE.md sf10 #1): body fingerprints changed, so each gets a
-    # fresh hard row this round
-    "tx10_heavy_phrases",
-    "dd8_decontaminate",
-    "ann2_lsh_bucket_stats",
-    # Round 10 additions: the clustered-corpus IVF-PQ refine with the
-    # SIZED shortlist rule (ann9c, verdict-r9 #5), the chunk-log
-    # compaction row (m13, verdict-r9 #7), and the write-side real-I/O
-    # leg (p1b durable pack + mm12 media decode from on-disk shards,
-    # verdict-r9 #6); st1/m12 re-front-loaded (r10 touched their
-    # empty-group md5 / scratch-path code).
-    "ann9c_ivfpq_refined_clustered",
-    "m13_catalog_compact",
-    "p1b_pack_archive_io",
-    "mm12_media_decode_io",
-    # Round 9 additions: the real-I/O leg (s4d/g1c/d8 — genuine on-disk
-    # tar shards read via binaryFile, verdict-r8 #1), the first oracle
-    # rows for the G4 BatchLoader frame and the streaming-dedup batch
-    # mirror (verdict-r8 #2), and the ACID catalog MERGE over the
-    # transactional chunk log (m12, verdict-r8 #4).
-    "s4d_shard_index_io",
-    "g1c_assemble_batches_io",
+    # the 39 member-name-contract queries (9-digit widening)
+    "dsort_pipeline",
+    "d1_sort_alphanumeric",
+    "d2_sort_content_int",
+    "d2f_sort_content_float",
+    "d2s_sort_content_string",
+    "d3_seeded_shuffle",
+    "d4_md5_order",
+    "d5_reshard",
+    "d6_pack_shards",
+    "d7_topk_largest",
     "d8_dsort_io",
+    "j1_get_batch",
+    "j1b_mixed_entries",
+    "j2_ekm_route",
+    "j5_group_records",
+    "g1_assemble_batches",
+    "g1_mixed_batches",
+    "g1c_assemble_batches_io",
+    "g2_coloc_routing",
+    "g3_output_formats",
     "g4_batch_loader",
-    "st1_dedup_stream_mirror",
-    "m12_catalog_upsert",
+    "p1_pack_archive",
+    "p1b_pack_archive_io",
+    "p2_extract_member",
+    "p3_extract_regex_pack",
+    "p4_archive_append",
+    "s4_archive_listing",
+    "s4b_zip_listing",
+    "s4c_lz4_listing",
+    "s4d_shard_index_io",
+    "s8_range_reads",
+    "a2_shard_summary",
+    "a5_duplicate_records",
+    "f1_prefix_ext_breakdown",
+    "f2_template_select",
+    "f3_explicit_names",
+    "f4_regex_modes",
+    "f6_size_dispatch",
+    "t3_multiobj_transform",
+    # verdict-r5 high-risk rechecks not already above (machine-pinned
+    # by test_driver_contract.test_recheck_slots...)
     "dd2_ngram_jaccard",
     "dd7_dup_groups",
-    "dsort_pipeline",
-    "ann5b_ivf_quality",
-    "ann9b_ivfpq_refined",
-    "ann6b_kmeans_train",
-    "ann3b_lsh_multiprobe",
+    # remaining slots: one-green r14 rows + this round's sf10
+    # conversion targets keep a recheck row
+    "dd6b_simhash_prod",
     "pipe3_dedup_report",
-    "dd10_substring_spans",
-    "dd11_bloom_probe",
-    "tx12_hashed_classifier",
-    "ann7b_pq_train",
-    "mm11_dhash_neardup",
-    "ev4_late_events",
-    "pipe4_quality_gate",
-    "ev5_asof_join",
-    "ev6_range_join",
-    "j4c_hash_ring",
-    "tx13_vocab_overlap",
-    "dd12_minhash_estimate",
-    "a7_rollup",
-    "ev7_pivot",
-    "f2b_template_udtf",
-    "ev8_funnel",
-    "samp5_diverse_sample",
-    "tx14_novelty",
-    "mm11b_dhash_exact",
-    # (b) re-checks (trimmed by 4 vs r9 to fit ann9c/m13/p1b/mm12 in
-    # the front 50 — tx9_pii_redact, tx10_heavy_phrases,
-    # t12_ws_etl_channel, t13_face_detect dropped, all hard-green in
-    # the r9 driver ledger with unchanged fingerprints; previously
-    # dropped and still fingerprint-stable: mm10, d5, dd6b, dd9, j1b,
-    # t11)
-    "g3_output_formats",
-    "g1_mixed_batches",
-    "g1_assemble_batches",
-    "p1_pack_archive",
+    "ds2c_download_errors",
+    "ds2d_download_status",
+    "st1_dedup_stream_mirror",
+    "m12_catalog_upsert",
+    "m13_catalog_compact",
 ]
 
 

@@ -422,7 +422,7 @@ def a6_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracles.with_catalogs(
         """
         SELECT ext, count(*) AS n, CAST(sum(size) AS BIGINT) AS bytes
-        FROM members WHERE member LIKE 'rec-0000%' GROUP BY ext
+        FROM members WHERE member LIKE 'rec-00000%' GROUP BY ext
         """,
         "members",
     ),
@@ -430,7 +430,7 @@ def a6_size_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f1_prefix_ext_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: prefix predicate feeding an aggregation (api/apc/lsmsg.go:218)."""
     return (
-        filters.select_prefix(_members(spark, sf_dir), "rec-0000", name_col="member")
+        filters.select_prefix(_members(spark, sf_dir), "rec-00000", name_col="member")
         .groupBy("ext")
         .agg(F.count("*").alias("n"), F.sum("size").alias("bytes"))
     )
@@ -443,7 +443,7 @@ def f1_prefix_ext_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT m.member AS member, m.size AS size
         FROM members m
         JOIN (
-          SELECT 'rec-' || lpad(CAST(r AS VARCHAR), 8, '0') || '.jpg' AS name
+          SELECT 'rec-' || lpad(CAST(r AS VARCHAR), 9, '0') || '.jpg' AS name
           FROM range(0, 9999, 2) t(r)
         ) e ON m.member = e.name
         """,
@@ -453,23 +453,23 @@ def f1_prefix_ext_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f2_template_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: brace-template selection (cmn/cos/template.go:32-142).
 
-    Template rec-{00000000..00009998..2}.jpg expands executor-side and
-    broadcast-semi-joins the member catalog.
+    Template rec-{000000000..000009998..2}.jpg expands executor-side
+    and broadcast-semi-joins the member catalog.
     """
     return filters.select_by_template(
         _members(spark, sf_dir),
         spark,
-        "rec-{00000000..00009998..2}.jpg",
+        "rec-{000000000..000009998..2}.jpg",
         name_col="member",
     ).select("member", "size")
 
 
 _F3_NAMES = [
-    "rec-00000001",
-    "rec-00000007",
-    "rec-00000643",
-    "rec-00004242",
-    "rec-00099999",
+    "rec-000000001",
+    "rec-000000007",
+    "rec-000000643",
+    "rec-000004242",
+    "rec-000099999",
 ]
 
 
@@ -478,8 +478,8 @@ _F3_NAMES = [
     oracles.with_catalogs(
         """
         SELECT v.req_name AS req_name, count(m.member) AS found
-        FROM (VALUES ('rec-00000001'), ('rec-00000007'), ('rec-00000643'),
-                     ('rec-00004242'), ('rec-00099999')) v(req_name)
+        FROM (VALUES ('rec-000000001'), ('rec-000000007'), ('rec-000000643'),
+                     ('rec-000004242'), ('rec-000099999')) v(req_name)
         LEFT JOIN members m ON m.base = v.req_name
         GROUP BY v.req_name
         """,
@@ -500,7 +500,7 @@ def f3_explicit_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT member,
                regexp_extract(member, '^(.*)\.[^.]+$', 1) AS wdskey
         FROM members
-        WHERE regexp_matches(member, '^rec-00001\d\d\d\.(cls|xml)$')
+        WHERE regexp_matches(member, '^rec-000001\d\d\d\.(cls|xml)$')
         """,
         "members",
     ),
@@ -508,7 +508,7 @@ def f3_explicit_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f4_regex_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4: archregx multi-match + wdskey extraction (cmn/archive/read.go:25-38)."""
     return filters.select_regex(
-        _members(spark, sf_dir), r"^rec-00001\d\d\d\.(cls|xml)$", mode="regexp"
+        _members(spark, sf_dir), r"^rec-000001\d\d\d\.(cls|xml)$", mode="regexp"
     ).select(
         "member",
         F.regexp_extract(F.col("member"), r"^(.*)\.[^.]+$", 1).alias("wdskey"),
@@ -1099,7 +1099,7 @@ def p1_pack_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT member, size, md5(member || ':' || key_str) AS payload_md5
         FROM members
-        WHERE shard = 'shard-00000.tar' AND member = 'rec-00000128.jpg'
+        WHERE shard = 'shard-00000.tar' AND member = 'rec-000000128.jpg'
         """,
         "members",
     ),
@@ -1108,7 +1108,7 @@ def p2_extract_member(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: single archived-file point read via the member catalog
     (= P5 shard index; ais/tgtobj.go:1341-1368)."""
     hit = archive.extract_member(
-        _members(spark, sf_dir), "shard-00000.tar", "rec-00000128.jpg"
+        _members(spark, sf_dir), "shard-00000.tar", "rec-000000128.jpg"
     )
     return hit.select(
         "member", "size",
@@ -1130,7 +1130,7 @@ def p2_extract_member(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT 'resp-1' AS response, member, size,
                  length(member || ':' || key_str) AS psz
           FROM members
-          WHERE regexp_matches(member, '^rec-0000[01][0-9][0-9][0-9]\\.(jpg|cls)$')
+          WHERE regexp_matches(member, '^rec-00000[01][0-9][0-9][0-9]\\.(jpg|cls)$')
         )
         GROUP BY response
         """,
@@ -1141,7 +1141,7 @@ def p3_extract_regex_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: archregx multi-match extraction streamed back as one TAR
     (ais/tgtobj.go:1370-1400)."""
     hits = archive.extract_matching(
-        _members(spark, sf_dir), r"^rec-0000[01][0-9][0-9][0-9]\.(jpg|cls)$"
+        _members(spark, sf_dir), r"^rec-00000[01][0-9][0-9][0-9]\.(jpg|cls)$"
     ).withColumn("response", F.lit("resp-1"))
     return archive.pack_members(hits, shard_col="response")
 
@@ -1485,7 +1485,7 @@ def d8_dsort_io(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH e AS (
           SELECT member, min(key_str) AS key_str,
-                 CAST(substr(member, 5, 8) AS BIGINT) % 23 AS out_id
+                 CAST(substr(member, 5, 9) AS BIGINT) % 23 AS out_id
           FROM members WHERE {_IO_SAMPLE_WHERE}
           GROUP BY member
         ),
@@ -1540,7 +1540,7 @@ def p1b_pack_archive_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = mem.groupBy("member").agg(
         F.min(F.struct("key_str", "bytes")).alias("m")
     )
-    okey = F.regexp_extract("member", r"rec-(\d{8})", 1).cast("bigint")
+    okey = F.regexp_extract("member", r"rec-(\d{9})", 1).cast("bigint")
     tagged = uniq.select(
         F.concat(
             F.lit("pack-"),
@@ -3624,7 +3624,7 @@ def ds4_backend_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS pos
           FROM members
         )
-        WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-0000%'
+        WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-00000%'
         ORDER BY path LIMIT 50
         """,
         "members",
@@ -3642,7 +3642,7 @@ def s4_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inside.filter(
             (F.col("shard") == "shard-00042.tar")
-            & F.col("member").startswith("rec-0000")
+            & F.col("member").startswith("rec-00000")
         )
         .select(
             F.concat(F.col("shard"), F.lit("/"), F.col("member")).alias("path"),
@@ -3668,7 +3668,7 @@ def s4_archive_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT member,
                  length(member || ':' || min(key_str)) AS psz
           FROM members
-          WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-0000%'
+          WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-00000%'
           GROUP BY member
         )
         """,
@@ -3682,7 +3682,7 @@ def s4b_zip_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmn/archive/read.go:137-165)."""
     sel = _members(spark, sf_dir).filter(
         (F.col("shard") == "shard-00042.tar")
-        & F.col("member").startswith("rec-0000")
+        & F.col("member").startswith("rec-00000")
     )
     return archive.zip_round_trip_listing(sel)
 
@@ -3702,7 +3702,7 @@ def s4b_zip_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT member,
                  length(member || ':' || min(key_str)) AS psz
           FROM members
-          WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-0000%'
+          WHERE shard = 'shard-00042.tar' AND member LIKE 'rec-00000%'
           GROUP BY member
         )
         """,
@@ -3716,7 +3716,7 @@ def s4c_lz4_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytic USTAR layout (cmn/archive/mime.go:25-29)."""
     sel = _members(spark, sf_dir).filter(
         (F.col("shard") == "shard-00042.tar")
-        & F.col("member").startswith("rec-0000")
+        & F.col("member").startswith("rec-00000")
     )
     return archive.tar_lz4_round_trip_listing(sel)
 
@@ -4492,7 +4492,7 @@ def tx7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                'xf/' || m.member AS new_name
         FROM members m
         JOIN (
-          SELECT 'rec-' || lpad(CAST(r AS VARCHAR), 8, '0') || '.cls' AS name
+          SELECT 'rec-' || lpad(CAST(r AS VARCHAR), 9, '0') || '.cls' AS name
           FROM range(0, 2000, 4) t(r)
         ) sel ON m.member = sel.name
         """,
@@ -4507,7 +4507,7 @@ def t3_multiobj_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads."""
     members = _members(spark, sf_dir)
     sel = filters.select_by_template(
-        members, spark, "rec-{00000000..00001996..4}.cls", name_col="member"
+        members, spark, "rec-{000000000..000001996..4}.cls", name_col="member"
     )
     with_data = sel.select(
         F.col("member").alias("name"),
@@ -8371,10 +8371,10 @@ def m11_lifecycle_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 'shard-' || lpad(CAST((r * 37) % 20000 % 128
                              AS VARCHAR), 5, '0') || '.tar'
                       ELSE 'rec-' || lpad(CAST((r * 37) % 20000 AS VARCHAR),
-                             8, '0') || '.jpg' END AS objname,
+                             9, '0') || '.jpg' END AS objname,
                  CASE WHEN r % 3 = 1
                       THEN 'rec-' || lpad(CAST((r * 37) % 20000 AS VARCHAR),
-                             8, '0') || '.cls'
+                             9, '0') || '.cls'
                       ELSE '' END AS archpath,
                  CASE WHEN r % 3 = 2 THEN 2 ELSE 0 END AS rstart,
                  CASE WHEN r % 3 = 2 THEN
@@ -8451,14 +8451,14 @@ def g4_batch_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(600):
         rid = (i * 37) % 20000
         if i % 3 == 0:
-            loader.add(f"rec-{rid:08d}.jpg")
+            loader.add(f"rec-{rid:09d}.jpg")
         elif i % 3 == 1:
             loader.add_entry(
-                f"shard-{rid % 128:05d}.tar", archpath=f"rec-{rid:08d}.cls"
+                f"shard-{rid % 128:05d}.tar", archpath=f"rec-{rid:09d}.cls"
             )
         else:
             loader.add_entry(
-                f"rec-{rid:08d}.jpg",
+                f"rec-{rid:09d}.jpg",
                 start=2,
                 length=-1 if i % 2 == 1 else 5,
             )

@@ -118,7 +118,7 @@ def members_catalog(lineitem: DataFrame) -> DataFrame:
     """
     ok = F.col("l_orderkey")
     ln = F.col("l_linenumber")
-    base = F.concat(F.lit("rec-"), F.lpad(ok.cast("string"), 8, "0"))
+    base = F.concat(F.lit("rec-"), F.lpad(ok.cast("string"), 9, "0"))
     ext = (
         F.when(ln % 3 == 0, "jpg").when(ln % 3 == 1, "cls").otherwise("xml")
     )
@@ -183,7 +183,7 @@ def batch_requests(events: DataFrame) -> DataFrame:
         F.col("event_id").alias("req_idx"),
         F.lit("ais://shards").alias("bucket"),
         F.concat(
-            F.lit("rec-"), F.lpad(rid.cast("string"), 8, "0"), F.lit(".jpg")
+            F.lit("rec-"), F.lpad(rid.cast("string"), 9, "0"), F.lit(".jpg")
         ).alias("objname"),
     )
 
@@ -208,7 +208,7 @@ def mixed_batch_requests(events: DataFrame) -> DataFrame:
     rid = (F.col("user_id") * 131 + F.col("event_id") * 7) % 20000
     kind = F.col("event_id") % 3
     is_arch = (kind == 1) | ((kind == 2) & (F.col("user_id") % 2 == 1))
-    rec = F.concat(F.lit("rec-"), F.lpad(rid.cast("string"), 8, "0"))
+    rec = F.concat(F.lit("rec-"), F.lpad(rid.cast("string"), 9, "0"))
     shard = F.concat(
         F.lit("shard-"), F.lpad((rid % 128).cast("string"), 5, "0"), F.lit(".tar")
     )
@@ -246,9 +246,9 @@ def mixed_batch_requests(events: DataFrame) -> DataFrame:
 # rlike) and RE2 (DuckDB regexp_matches). Records matching no pattern
 # hit the missing-key policy.
 EKM_RULES: list[tuple[str, str, int]] = [
-    ("^rec-00000", "ekm-low-%d.tar", 1),
-    ("^rec-0000[12]", "ekm-mid-%d.tar", 2),
-    ("^rec-000[0-9]", "ekm-high-%d.tar", 3),
+    ("^rec-000000", "ekm-low-%d.tar", 1),
+    ("^rec-00000[12]", "ekm-mid-%d.tar", 2),
+    ("^rec-0000[0-9]", "ekm-high-%d.tar", 3),
 ]
 
 

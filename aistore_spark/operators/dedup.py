@@ -377,11 +377,27 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     # Single pass: one md5 (two for bits>32) per word occurrence, all
     # *bits* vote sums as parallel agg columns (partial/final combine;
     # no word x position row blow-up, shuffle carries `bits` ints/doc).
+    #
+    # UNCONDITIONAL round-robin before the explode (r15 dd6b sf100
+    # triage): the vote work — 2 md5 + `bits` substring-CASEs per word
+    # occurrence — runs in the partial agg, which inherits the SCAN's
+    # splits. Row groups are the split atoms, so a corpus written with
+    # few/giant row groups caps the whole fingerprint stage at the
+    # row-group count regardless of maxPartitionBytes (measured: 4
+    # busy tasks of 32, 783 s wall, on a 5-row-group 500k-doc file —
+    # and spread()'s partition-COUNT heuristic cannot see it, because
+    # Spark still reports 32 byte-range splits, 27 of them empty).
+    # The exchange ships each doc row once — linear bytes, ~2 orders
+    # cheaper than the per-word compute it parallelizes; same seam and
+    # rationale as simsearch.lsh_topk / ivf_topk (r11/r14 fixes).
+    docs = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism
+    )
     cols = [F.md5("word").alias("digest")]
     if bits > 32:
         cols.append(F.md5(F.concat(F.lit("#"), F.col("word"))).alias("digest2"))
     digests = (
-        spread(documents)
+        docs
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .select("doc_id", *cols)
     )

@@ -51,10 +51,10 @@ SELECT
   'ais://shards'                                                AS bucket,
   'shard-' || lpad(CAST(l_orderkey % 128 AS VARCHAR), 5, '0')
            || '.tar'                                            AS shard,
-  'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0')           AS base,
+  'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 9, '0')           AS base,
   CASE l_linenumber % 3
     WHEN 0 THEN 'jpg' WHEN 1 THEN 'cls' ELSE 'xml' END          AS ext,
-  'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0') || '.'
+  'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 9, '0') || '.'
          || CASE l_linenumber % 3
               WHEN 0 THEN 'jpg' WHEN 1 THEN 'cls' ELSE 'xml'
             END                                                 AS member,
@@ -62,7 +62,7 @@ SELECT
   CAST(round(l_extendedprice * 100, 0) AS BIGINT)               AS key_int,
   l_extendedprice                                               AS key_float,
   l_returnflag || l_linestatus || '-' || 'rec-'
-      || lpad(CAST(l_orderkey AS VARCHAR), 8, '0')              AS key_str,
+      || lpad(CAST(l_orderkey AS VARCHAR), 9, '0')              AS key_str,
   l_orderkey                                                    AS orderkey,
   CAST(l_linenumber AS BIGINT)                                  AS linenumber
 FROM lineitem
@@ -73,7 +73,7 @@ SELECT
   event_id                                                      AS req_idx,
   'ais://shards'                                                AS bucket,
   'rec-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000
-                      AS VARCHAR), 8, '0') || '.jpg'            AS objname
+                      AS VARCHAR), 9, '0') || '.jpg'            AS objname
 FROM events
 """
 
@@ -86,12 +86,12 @@ SELECT
        THEN 'shard-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000 % 128
                                   AS VARCHAR), 5, '0') || '.tar'
        ELSE 'rec-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000
-                                AS VARCHAR), 8, '0') || '.jpg'
+                                AS VARCHAR), 9, '0') || '.jpg'
   END                                                           AS objname,
   CASE WHEN (event_id % 3 = 1)
          OR (event_id % 3 = 2 AND user_id % 2 = 1)
        THEN 'rec-' || lpad(CAST((user_id * 131 + event_id * 7) % 20000
-                                AS VARCHAR), 8, '0')
+                                AS VARCHAR), 9, '0')
             || CASE WHEN event_id % 3 = 1 THEN '.cls' ELSE '.xml' END
        ELSE ''
   END                                                           AS archpath,

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 #: bump when the on-disk layout or payload derivation changes — stale
 #: cached fixtures from an older format are rebuilt, not trusted
-FORMAT_VERSION = 2
+#: (v3: member names widened to lpad(orderkey, 9) — verdict-r14 item 7)
+FORMAT_VERSION = 3
 
 #: above this member count the fixture keeps the deterministic
 #: ``orderkey % 16 == 0`` stratum only: USTAR overhead is ~1.5 KiB per

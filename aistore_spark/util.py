@@ -49,6 +49,15 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     scale (many files / row groups) the scan splits naturally and this
     becomes a no-op — it only repartitions when the current partition
     count is below ``parallelism / min_factor``.
+
+    KNOWN BLIND SPOT (r15 dd6b sf100 triage): the partition COUNT can
+    overstate real parallelism. Spark slices a file into byte-range
+    splits but row groups are the split atoms — a file with few/giant
+    row groups reports many splits with all rows concentrated in a
+    few (measured: 32 reported splits, 5 non-empty, 4-way-parallel
+    fingerprint stage, 783 s wall). Paths whose per-byte compute
+    dwarfs one linear exchange (simhash's 2-md5 + 64-CASE votes per
+    word) should round-robin UNCONDITIONALLY instead of calling this.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism

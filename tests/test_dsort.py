@@ -133,7 +133,7 @@ def test_ekm_missing_key_policies(spark, sf_dir):
     from aistore_spark.sources.tables import load_table
 
     recs = spark.createDataFrame(
-        [("rec-00000001",), ("rec-00001234",), ("zzz-99999999",)],
+        [("rec-000000001",), ("rec-000001234",), ("zzz-99999999",)],
         schema="base string",
     )
     ekm = ekm_table(spark)

@@ -26,7 +26,8 @@ feasible:
   parquet (the member-name derivation re-expressed in SQL), ranks are
   exactly 1..N with no gaps or dups (checked via min/max/distinct).
 
-Writes BENCH_r14_sf100.json: walls, task_skew, invariant verdicts.
+Writes BENCH_r15_sf100.json (default): walls, task_skew, invariant
+verdicts.
 Usage: python tools/bench_sf100.py [out.json]
 """
 
@@ -55,6 +56,12 @@ ROWS = [
     "dd1_exact_dedup",
     "d1_sort_alphanumeric",
     "dd6b_simhash_prod",
+    # r15 sideways extension (verdict-r14 item 6): the heaviest sf10
+    # text/dedup families with no third-decade reading until now —
+    # LSH→verify (dd2) and the hashed linear classifier (tx12), each
+    # with a structural invariant + pure-Python sampled recompute
+    "dd2_ngram_jaccard",
+    "tx12_hashed_classifier",
     "ann9d_ivfpq_sqrt_cells",
 ]
 
@@ -220,6 +227,167 @@ def _inv_dd6b(spark) -> dict:
     }
 
 
+def _inv_dd2(spark) -> dict:
+    """LSH→verify at the third decade: pair-structure conservation
+    (doc_a < doc_b, no dup pairs, every row's own (common, n_a, n_b)
+    satisfies the registered 1/20 threshold) plus an INDEPENDENT
+    sampled recompute — a md5-stratified ~1/65536 slice of the output
+    pairs has its exact word-3-gram Jaccard rebuilt from the raw
+    texts in pure driver Python (hashlib-free set ops, no Spark
+    expressions), and common/n_a/n_b must match the pair row."""
+    from aistore_spark.sources.tables import load_table
+
+    out = QUERIES["dd2_ngram_jaccard"](spark, SF_DIR).localCheckpoint(
+        eager=True
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_a", "doc_b").alias("nd"),
+        F.sum(
+            F.when(F.col("doc_a") < F.col("doc_b"), 0).otherwise(1)
+        ).alias("bad_order"),
+        F.sum(
+            F.when(
+                F.col("common") * 20
+                >= (F.col("n_a") + F.col("n_b") - F.col("common")),
+                0,
+            ).otherwise(1)
+        ).alias("below_threshold"),
+    ).collect()[0]
+    sampled = out.filter(
+        F.substring(F.md5(F.concat_ws("|", "doc_a", "doc_b")), 1, 4)
+        == "0000"
+    ).collect()  # ~1/65536 of pairs — driver-bounded by construction
+    ids = sorted(
+        {r["doc_a"] for r in sampled} | {r["doc_b"] for r in sampled}
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin(ids))
+        .select("doc_id", "text")
+        .collect()  # 2 x sampled pairs docs — driver-bounded
+    }
+
+    def sh3(t: str) -> set:
+        w = t.split(" ")
+        if len(w) < 3:
+            return set()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    mism = 0
+    for r in sampled:
+        a, b = sh3(texts[r["doc_a"]]), sh3(texts[r["doc_b"]])
+        if (
+            len(a) != r["n_a"]
+            or len(b) != r["n_b"]
+            or len(a & b) != r["common"]
+        ):
+            mism += 1
+    ok = (
+        agg["n"] == agg["nd"]
+        and agg["bad_order"] == 0
+        and agg["below_threshold"] == 0
+        and mism == 0
+        and len(sampled) > 0
+    )
+    return {
+        "check": "pair structure + threshold conservation + sampled "
+        "exact-Jaccard recompute from raw text (pure Python)",
+        "n_pairs": agg["n"],
+        "below_threshold": agg["below_threshold"],
+        "n_sampled_recomputed": len(sampled),
+        "jaccard_mismatches": mism,
+        "pass": bool(ok),
+    }
+
+
+def _inv_tx12(spark) -> dict:
+    """Hashed classifier at the third decade: every document scored
+    exactly once, label == sign(score) everywhere, the full
+    4096-bucket weight table matches a pure-Python hashlib rebuild
+    (the 'weight checksum'), and a md5-stratified ~1/4096 doc sample
+    has its features + score recomputed end to end in driver Python
+    (hashlib md5 → bucket → weight → integer sum)."""
+    import hashlib
+
+    from aistore_spark.operators import text as text_ops
+    from aistore_spark.sources.tables import load_table
+
+    out = QUERIES["tx12_hashed_classifier"](spark, SF_DIR).localCheckpoint(
+        eager=True
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("score_e3") >= 0) == (F.col("label") == 1), 0
+            ).otherwise(1)
+        ).alias("bad_label"),
+        F.sum("score_e3").alias("score_checksum"),
+        F.sum("n_feats").alias("feats_checksum"),
+    ).collect()[0]
+
+    def pyw(b: int) -> int:
+        return (
+            int(hashlib.md5(f"w0:{b}".encode()).hexdigest()[:8], 16) % 2001
+            - 1000
+        )
+
+    wtab = [pyw(b) for b in range(4096)]
+    spark_w = {
+        r["bucket"]: r["w_e3"]
+        for r in text_ops.hashed_weights(spark, 4096, "w0").collect()
+    }
+    w_mism = sum(1 for b in range(4096) if spark_w[b] != wtab[b])
+
+    sample = (
+        docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+            == "000"
+        )
+        .select("doc_id", "text")
+        .join(out, "doc_id")
+        .collect()  # ~1/4096 of docs — driver-bounded
+    )
+
+    def pyscore(t: str) -> tuple:
+        w = t.split(" ")
+        feats = [f"u:{x}" for x in w]
+        if len(w) >= 2:
+            feats += [f"b:{w[i]} {w[i + 1]}" for i in range(len(w) - 1)]
+        s = 0
+        for ft in feats:
+            s += wtab[int(hashlib.md5(ft.encode()).hexdigest()[:8], 16) % 4096]
+        return len(feats), s
+
+    s_mism = 0
+    for r in sample:
+        nf, sc = pyscore(r["text"])
+        if nf != r["n_feats"] or sc != r["score_e3"]:
+            s_mism += 1
+    ok = (
+        agg["n"] == n_docs
+        and agg["bad_label"] == 0
+        and w_mism == 0
+        and s_mism == 0
+        and len(sample) > 0
+    )
+    return {
+        "check": "one row per doc + label sign + full weight-table "
+        "checksum vs pure-Python hashlib + sampled end-to-end score "
+        "recompute",
+        "n_scored_vs_docs": [agg["n"], n_docs],
+        "weight_mismatches": w_mism,
+        "n_sampled_recomputed": len(sample),
+        "score_mismatches": s_mism,
+        "score_checksum": agg["score_checksum"],
+        "pass": bool(ok),
+    }
+
+
 def _inv_d1(spark) -> dict:
     import duckdb
 
@@ -238,7 +406,7 @@ def _inv_d1(spark) -> dict:
     con.execute("SET threads TO 16")
     expected = con.execute(
         f"""
-        SELECT count(DISTINCT 'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 8, '0')
+        SELECT count(DISTINCT 'rec-' || lpad(CAST(l_orderkey AS VARCHAR), 9, '0')
                || '.' || CASE l_linenumber % 3 WHEN 0 THEN 'jpg'
                                               WHEN 1 THEN 'cls'
                                               ELSE 'xml' END)
@@ -264,7 +432,7 @@ def _inv_d1(spark) -> dict:
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--invariants-only"]
     inv_only = "--invariants-only" in sys.argv[1:]
-    out_path = Path(args[0] if args else "BENCH_r14_sf100.json")
+    out_path = Path(args[0] if args else "BENCH_r15_sf100.json")
     spark = get_spark("aistore_spark_sf100", cpus=32)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()  # warm FS
 
@@ -302,6 +470,8 @@ def main() -> int:
     for name, fn in (
         ("d1_sort_alphanumeric", _inv_d1),
         ("dd6b_simhash_prod", _inv_dd6b),
+        ("dd2_ngram_jaccard", _inv_dd2),
+        ("tx12_hashed_classifier", _inv_tx12),
         ("ann9d_ivfpq_sqrt_cells", _inv_ann9d),
     ):
         if name in invariants:
@@ -323,8 +493,8 @@ def main() -> int:
         "task_skew": task_skew,
         "invariants": invariants,
         "note": "bench-only third-decade tier (tools/gen_sf100.py): "
-        "scale-law rows only; d1's axis caps at 6.66x sf10 names "
-        "(8-digit member-name bound)",
+        "scale-law rows only; d1's name axis is a true 10x since the "
+        "r15 9-digit member-name widening",
     }
     out_path.write_text(json.dumps(art, indent=1) + "\n")
     print(json.dumps(art))

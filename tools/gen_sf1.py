@@ -37,8 +37,16 @@ def main() -> int:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
+        # bounded row groups for the wide-row tables: a single default
+        # 122880-row group makes Spark's scan one-task no matter what
+        # maxPartitionBytes says (row groups are the split atoms), and
+        # every CPU-heavy scan-stage derivation serializes (the r15
+        # dd6b sf100 triage: 4 row groups -> 4 busy tasks of 32,
+        # 783 s wall). 2048-row documents groups ~= 6-60 MB each.
+        rg = {"documents": 2048, "embeddings": 16384}.get(t)
+        opt = f", ROW_GROUP_SIZE {rg}" if rg else ""
         con.execute(
-            f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET{opt})"
         )
         n = con.execute(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")

@@ -17,7 +17,7 @@ the catalog derivations impose name-format bounds:
   BPE family scales by bytes (shingle count is linear in bytes) while
   names stay unique.
 - ``lineitem``: 100x rows; orderkey stride 1,000,000 (not sf1's 2^20)
-  keeps the max key at 99.6M — inside the member-name ``lpad(.., 8)``
+  keeps the max key at 99.6M — well inside the member-name ``lpad(.., 9)``
   bound the same truncation hazard would break at k>=95.
 - ``events`` / ``embeddings``: 100x rows, id strides as in gen_sf1.
 
@@ -49,7 +49,12 @@ def main() -> int:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
-        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        # bounded row groups (see gen_sf1.py note; r15 dd6b triage):
+        # row groups are Spark's split atoms — the default single-CTAS
+        # 122880-row groups serialize every scan-stage derivation
+        rg = {"documents": 2048, "embeddings": 16384}.get(t)
+        opt = f", ROW_GROUP_SIZE {rg}" if rg else ""
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET{opt})")
         n = con.execute(
             f"SELECT count(*) FROM '{out}/{t}.parquet'"
         ).fetchone()[0]
@@ -94,7 +99,7 @@ def main() -> int:
             COPY (SELECT doc_id, text, lang, source,
                          length(text) AS n_chars
                   FROM '{out}/documents.parquet')
-            TO '{out}/documents2.parquet' (FORMAT PARQUET)
+            TO '{out}/documents2.parquet' (FORMAT PARQUET, ROW_GROUP_SIZE 2048)
             """
         )
         Path(out, "documents2.parquet").replace(Path(out, "documents.parquet"))
@@ -129,8 +134,8 @@ def main() -> int:
         f"SELECT max(l_orderkey) FROM {src('lineitem')}"
     ).fetchone()[0]
     assert max_ok < LI_STRIDE, "stride must exceed the source orderkey range"
-    assert (REPLICAS - 1) * LI_STRIDE + max_ok < 10**8, (
-        "member names lpad(orderkey, 8) — keys must stay 8-digit"
+    assert (REPLICAS - 1) * LI_STRIDE + max_ok < 10**9, (
+        "member names lpad(orderkey, 9) — keys must stay 9-digit"
     )
     li_cols = [
         r[0]

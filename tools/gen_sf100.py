@@ -14,12 +14,13 @@ discipline as tools/gen_sf10.py; per-table axes:
   with scale — deliberately: the hot-bucket sub-split (max_bucket) is
   the code path a 100 TB dedup run lives or dies by.
 - ``embeddings``: 1000 replicas = 2,000,000 vectors (no name bounds).
-- ``lineitem``: 666 replicas, orderkey stride 150,000 (sf0.1 max key
-  149,999) -> max key 99,899,999, inside the member-name
-  ``lpad(_, 8)`` bound (gen_sf10 note: truncation past the bound
-  aliases names and breaks every name-keyed plan). 666x is the cap
-  the 8-digit format allows from this source — d1's third-decade
-  point is 6.66x sf10 names, not 10x; SCALE.md reads it as such.
+- ``lineitem``: 1000 replicas, orderkey stride 150,000 (sf0.1 max
+  key 149,999) -> max key 149,999,999, inside the member-name
+  ``lpad(_, 9)`` bound (r15: the catalog contract widened from 8 to 9
+  digits — verdict-r14 item 7 — precisely so this axis measures a
+  TRUE 10x decade; under the old 8-digit bound the cap was 666x and
+  d1's third-decade point was partial. lpad TRUNCATION past the bound
+  aliases names and breaks every name-keyed plan, hence the assert).
 - ``events`` is OMITTED: none of the five scale-law rows touches it,
   and 100x events would be ~1 GB of parquet spent on nothing this
   tier measures. The dims are copied verbatim (tiny).
@@ -39,7 +40,7 @@ SRC = "/root/testdata/sf0.1"
 EMB_REPLICAS = 1000
 DOC_REPLICAS = 100
 DOC_SECTIONS = 10
-LI_REPLICAS = 666
+LI_REPLICAS = 1000
 LI_STRIDE = 150_000
 
 
@@ -53,7 +54,12 @@ def main() -> int:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
-        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        # bounded row groups (see gen_sf1.py note; r15 dd6b triage):
+        # row groups are Spark's split atoms — the default single-CTAS
+        # 122880-row groups serialize every scan-stage derivation
+        rg = {"documents": 2048, "embeddings": 16384}.get(t)
+        opt = f", ROW_GROUP_SIZE {rg}" if rg else ""
+        con.execute(f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET{opt})")
         n = con.execute(
             f"SELECT count(*) FROM '{out}/{t}.parquet'"
         ).fetchone()[0]
@@ -97,8 +103,8 @@ def main() -> int:
         f"SELECT max(l_orderkey) FROM {src('lineitem')}"
     ).fetchone()[0]
     assert max_ok < LI_STRIDE, "stride must exceed the source orderkey range"
-    assert (LI_REPLICAS - 1) * LI_STRIDE + max_ok < 10**8, (
-        "member names lpad(orderkey, 8) — keys must stay 8-digit"
+    assert (LI_REPLICAS - 1) * LI_STRIDE + max_ok < 10**9, (
+        "member names lpad(orderkey, 9) — keys must stay 9-digit"
     )
     li_cols = [
         r[0]

@@ -1,0 +1,26 @@
+#!/bin/bash
+# sf1 rows for round 15's new/changed queries (verdict-r14 items 3, 4
+# and 7): ann9e (new recall-held IVF-PQ tier), dd9 (oracle
+# restructured to list_dot_product), and the 39 member-name-contract
+# queries whose results changed under the lpad(orderkey, 9) widening
+# (the catalog SQL is inlined into their oracles, so every row gets a
+# fresh hash-exact reading at the second decade).
+cd /root/repo
+SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-48g} python tools/check_oracle.py \
+  --json "${1:-CORRECTNESS_SF1_r15_changed.json}" --materialize \
+  --oracle-timeout "${ORACLE_TIMEOUT:-1800}" \
+  /root/repo/_scale/sf1 \
+  ann9e_ivfpq_recall_held dd9_semantic_dedup \
+  dsort_pipeline d1_sort_alphanumeric d2_sort_content_int \
+  d2f_sort_content_float d2s_sort_content_string d3_seeded_shuffle \
+  d4_md5_order d5_reshard d6_pack_shards d7_topk_largest d8_dsort_io \
+  j1_get_batch j1b_mixed_entries j2_ekm_route j5_group_records \
+  g1_assemble_batches g1_mixed_batches g1c_assemble_batches_io \
+  g2_coloc_routing g3_output_formats g4_batch_loader \
+  p1_pack_archive p1b_pack_archive_io p2_extract_member \
+  p3_extract_regex_pack p4_archive_append \
+  s4_archive_listing s4b_zip_listing s4c_lz4_listing \
+  s4d_shard_index_io s8_range_reads \
+  a2_shard_summary a5_duplicate_records \
+  f1_prefix_ext_breakdown f2_template_select f3_explicit_names \
+  f4_regex_modes f6_size_dispatch t3_multiobj_transform
