@@ -775,9 +775,22 @@ def f5_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def d1_sort_alphanumeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D1: global alphanumeric sort (ext/dsort/sort.go:34-48)."""
-    names = _members(spark, sf_dir).select("member").distinct()
-    return dsort.global_rank(names, ["member"]).select("rank", "member")
+    """D1: global alphanumeric sort (ext/dsort/sort.go:34-48).
+
+    The DISTINCT and the rank exchange are partitioned by DATA SIZE
+    (dsort.sized_partitions), not the session shuffle default: at the
+    sf100 true-10x name axis (600M member rows, ~326M distinct) the
+    32-partition final hash-agg held ~10M keys per task and OOMed;
+    ~2M-row partitions keep every task's working set bounded at any
+    scale. One metadata-cheap count() sizes it; the explicit
+    repartition(n, member) hash-clusters the frame so dropDuplicates
+    adds no second exchange."""
+    mem = _members(spark, sf_dir).select("member")
+    n_parts = dsort.sized_partitions(spark, mem.count())
+    names = mem.repartition(n_parts, "member").dropDuplicates()
+    return dsort.global_rank(
+        names, ["member"], num_partitions=n_parts
+    ).select("rank", "member")
 
 
 @register(

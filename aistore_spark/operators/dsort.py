@@ -49,6 +49,26 @@ from pyspark.sql import functions as F
 from aistore_spark.util import pin, release_cached  # noqa: F401  (re-export)
 
 
+def sized_partitions(
+    spark, n_rows: int, target_rows: int = 2_000_000
+) -> int:
+    """Shuffle-partition count sized from the DATA, floored at the
+    session parallelism — for corpus-scale aggregations that must not
+    inherit ``spark.sql.shuffle.partitions`` (r15, d1 at the true-10x
+    sf100 axis: a 600M-row DISTINCT into the session's 32 partitions
+    put ~10M distinct keys in every final hash-agg task and died with
+    AGGREGATE_OUT_OF_MEMORY under 32-way concurrency; ~2M rows per
+    partition keeps each task's hash map ~100-200 MB at any scale).
+    A 1000-executor cluster sets shuffle.partitions in the thousands,
+    but operator code should not bet on the session default — AQE can
+    merge small partitions, it cannot split an under-partitioned
+    aggregate."""
+    return max(
+        spark.sparkContext.defaultParallelism,
+        -(-max(0, n_rows) // target_rows),
+    )
+
+
 def _offsets_by_partition(
     parted: DataFrame, weight_col: Column, order_cols: list[Column]
 ) -> DataFrame:

@@ -56,16 +56,16 @@ SKIP_KINDS = {
     # sf10 hash-exact as of round 13
     "ann9b_ivfpq_refined": "structural",
     "ann9c_ivfpq_refined_clustered": "structural",
-    # measured single-node DuckDB resource walls (NOTES_r11: >60 GB
-    # spill / 37 GiB unspillable pinned agg). ann8 left this class in
-    # r13: its 1.6 G-row ADC twin went hash-exact out-of-core under
-    # the 80 GB pin (oracle 1226 s)
-    "dd7_dup_groups": "measured-infeasible",
-    "pipe3_dedup_report": "measured-infeasible",
-    # r13: the 11.75M-row SemDeDup twin hit the capped spill dir at
-    # TWO measured budgets (46.5GiB temp @ 40GB mem, 63.3GiB @ 80GB
-    # mem, 68GB cap on an 80GB-free disk) — reclassified from
-    # convertible after the raised-budget retries
+    # dd7/pipe3 LEFT this class in r15: the >60 GB spill traced to
+    # tools/cc_twin.py's unbudgeted DuckDB connection (self-sized vs
+    # the Spark JVM, insertion order preserved); under check_oracle's
+    # pin/spill config the same pairs prefix ran in 37.9 s and both
+    # rows went hash-exact via the Python-BFS twin.
+    # dd9: FINAL after a THIRD measured budget (r15) — the oracle was
+    # restructured to list_dot_product (no 64-way unnest, the ann5b
+    # technique) and still spilled 63.3 GiB at an 80 GB pin; the
+    # within-cell pair join's intermediate is the wall, not the dot
+    # arithmetic (40GB r11 / 80GB r13 / restructured 80GB r15).
     "dd9_semantic_dedup": "measured-infeasible",
 }
 
