@@ -60,9 +60,16 @@ ROWS = [
     # text/dedup families with no third-decade reading until now —
     # LSH→verify (dd2) and the hashed linear classifier (tx12), each
     # with a structural invariant + pure-Python sampled recompute
-    "dd2_ngram_jaccard",
     "tx12_hashed_classifier",
     "ann9d_ivfpq_sqrt_cells",
+    # dd2 runs LAST: its LSH->verify exchange is O(pairs x
+    # shingles/doc) rows — ~600 GB of shuffle at sf100, beyond this
+    # host's free disk (measured r15: "No space left on device" at
+    # ~67 GB free). On a fleet that shuffle is linear and spread
+    # (~hundreds of MB per executor at 1000 nodes), so the single-host
+    # wall is recorded as a measured error row rather than hidden; a
+    # crash here must not cost the rows before it.
+    "dd2_ngram_jaccard",
 ]
 
 
@@ -437,6 +444,7 @@ def main() -> int:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()  # warm FS
 
     walls: dict[str, float] = {}
+    errors: dict[str, str] = {}
     task_skew: dict[str, dict] = {}
     if inv_only:
         # keep the already-measured walls/skew; recompute only the
@@ -447,14 +455,22 @@ def main() -> int:
         task_skew = prior.get("task_skew", {})
     else:
         for name in ROWS:
-            walls[name] = _timed(
-                spark,
-                name,
-                task_skew,
-                persist_to=ANN9D_OUT
-                if name == "ann9d_ivfpq_sqrt_cells"
-                else None,
-            )
+            # fault isolation (r15): a row that exhausts a HOST
+            # resource (dd2's sf100 shuffle vs free disk) records a
+            # measured error instead of aborting the leg
+            try:
+                walls[name] = _timed(
+                    spark,
+                    name,
+                    task_skew,
+                    persist_to=ANN9D_OUT
+                    if name == "ann9d_ivfpq_sqrt_cells"
+                    else None,
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                print(f"[sf100] {name}: ERROR {errors[name][:120]}",
+                      flush=True)
 
     invariants = {}
     if inv_only:
@@ -476,6 +492,12 @@ def main() -> int:
     ):
         if name in invariants:
             continue
+        if name in errors:
+            invariants[name] = {
+                "check": "skipped — timed run errored (see errors)",
+                "pass": None,
+            }
+            continue
         t0 = time.time()
         invariants[name] = fn(spark)
         invariants[name]["check_sec"] = round(time.time() - t0, 1)
@@ -490,6 +512,7 @@ def main() -> int:
         "unit": "sec",
         "sf": 100.0,
         "queries": walls,
+        "errors": errors,
         "task_skew": task_skew,
         "invariants": invariants,
         "note": "bench-only third-decade tier (tools/gen_sf100.py): "
