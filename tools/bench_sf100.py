@@ -440,7 +440,12 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--invariants-only"]
     inv_only = "--invariants-only" in sys.argv[1:]
     out_path = Path(args[0] if args else "BENCH_r15_sf100.json")
-    spark = get_spark("aistore_spark_sf100", cpus=32)
+    # sf_dir sizes the heap from the 11 GB fixture (auto_driver_mem):
+    # the r14/early-r15 legs ran on the 8 GB no-sf_dir default and
+    # survived only because the under-split fixture throttled scan
+    # concurrency; the bounded-row-group fixture unleashes 32-way
+    # Arrow ingestion and blew that heap in ann9d (r15, measured)
+    spark = get_spark("aistore_spark_sf100", cpus=32, sf_dir=SF_DIR)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()  # warm FS
 
     walls: dict[str, float] = {}
@@ -471,6 +476,11 @@ def main() -> int:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:400]
                 print(f"[sf100] {name}: ERROR {errors[name][:120]}",
                       flush=True)
+            # flush after every row: a wall-clock cut mid-leg must not
+            # erase the hours of walls already measured
+            out_path.write_text(json.dumps(
+                {"partial": True, "queries": walls, "errors": errors,
+                 "task_skew": task_skew, "sf": 100.0}, indent=1) + "\n")
 
     invariants = {}
     if inv_only:
