@@ -122,7 +122,14 @@ def test_skip_taxonomy_is_pinned_to_the_rows():
     ledger = json.loads(newest.read_text())
     kindless = sorted(
         n for n, rec in ledger.items()
-        if classify(rec) == "skip" and n not in SKIP_KINDS
+        if classify(rec) == "skip"
+        and n not in SKIP_KINDS
+        # r15: a renamed-contract row whose sf10 re-attempt did not fit
+        # the round carries its own explanation (prior_green = the
+        # round whose hash-exact row attested the OLD names) — that IS
+        # the convertible backlog, explicitly tagged, not a kindless
+        # hole. Anything else unexplained still fails.
+        and not rec.get("prior_green")
     )
     assert kindless == [], (
         f"{newest.name}: skip rows without a taxonomy kind: {kindless}"

@@ -1,7 +1,9 @@
 """Third-decade (sf100) bench leg for the scale-law rows — verdict-r13
-item 4.
+item 4; extended sideways in r15 (verdict-r14 item 6) with the two
+heaviest text/dedup families (dd2 LSH→verify, tx12 hashed classifier),
+each carrying a structural invariant + a pure-Python sampled recompute.
 
-Times the five rows whose 100 TB story rests on a scaling LAW (not
+Times the rows whose 100 TB story rests on a scaling LAW (not
 just a plan shape) at /root/repo/_scale/sf100 (tools/gen_sf100.py),
 with the task-skew probe active, and attaches a per-row CORRECTNESS
 INVARIANT — the single-node DuckDB oracle is infeasible at this tier

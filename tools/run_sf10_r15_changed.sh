@@ -14,17 +14,14 @@ python tools/check_oracle.py \
   --oracle-timeout "${ORACLE_TIMEOUT:-1800}" \
   --duckdb-mem "${DUCKDB_MEM:-40GB}" \
   /root/repo/_scale/sf10 \
-  ann9e_ivfpq_recall_held \
-  dsort_pipeline d1_sort_alphanumeric d2_sort_content_int \
-  d2f_sort_content_float d2s_sort_content_string d3_seeded_shuffle \
-  d4_md5_order d5_reshard d6_pack_shards d7_topk_largest d8_dsort_io \
-  j1_get_batch j1b_mixed_entries j2_ekm_route j5_group_records \
-  g1_assemble_batches g1_mixed_batches g1c_assemble_batches_io \
-  g2_coloc_routing g3_output_formats g4_batch_loader \
-  p1_pack_archive p1b_pack_archive_io p2_extract_member \
-  p3_extract_regex_pack p4_archive_append \
-  s4_archive_listing s4b_zip_listing s4c_lz4_listing \
-  s4d_shard_index_io s8_range_reads \
-  a2_shard_summary a5_duplicate_records \
   f1_prefix_ext_breakdown f2_template_select f3_explicit_names \
-  f4_regex_modes f6_size_dispatch t3_multiobj_transform
+  f4_regex_modes f6_size_dispatch s4_archive_listing s4b_zip_listing \
+  s4c_lz4_listing s8_range_reads p2_extract_member p3_extract_regex_pack \
+  p4_archive_append j2_ekm_route j5_group_records g2_coloc_routing \
+  t3_multiobj_transform a2_shard_summary a5_duplicate_records \
+  d3_seeded_shuffle d4_md5_order d5_reshard d7_topk_largest \
+  d2_sort_content_int d2f_sort_content_float d2s_sort_content_string \
+  j1_get_batch j1b_mixed_entries g1_assemble_batches g1_mixed_batches \
+  g3_output_formats g4_batch_loader p1_pack_archive d1_sort_alphanumeric \
+  d6_pack_shards dsort_pipeline s4d_shard_index_io g1c_assemble_batches_io \
+  d8_dsort_io p1b_pack_archive_io ann9e_ivfpq_recall_held
