@@ -53,6 +53,11 @@ DRIVER_CHECK_PRIORITY = [
     # contract). Plus the two r15 rows: ann9e (new — the recall-held
     # IVF-PQ tier, verdict-r14 item 3) and dd9 (oracle restructured to
     # list_dot_product, the ann5b technique — verdict-r14 item 4).
+    # Round 16: dd2b is new (the LSH→verify family's bounded
+    # third-decade twin, verdict-r15 item 5) and must earn its first
+    # driver-green row; dd9's oracle was restructured again (ADVICE-r15:
+    # single-evaluation pair dot via a CTE) so it re-earns its hash.
+    "dd2b_ngram_jaccard_capped",
     "ann9e_ivfpq_recall_held",
     "dd9_semantic_dedup",
     # the 39 member-name-contract queries (9-digit widening)
@@ -107,7 +112,8 @@ DRIVER_CHECK_PRIORITY = [
     "ds2d_download_status",
     "st1_dedup_stream_mirror",
     "m12_catalog_upsert",
-    "m13_catalog_compact",
+    # m13_catalog_compact rotated out for r16's new dd2b row — it
+    # earned a fresh driver-green hash in CORRECTNESS_r15.json
 ]
 
 

@@ -2060,6 +2060,89 @@ def dd2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd2b_ngram_jaccard_capped",
+    oracles.with_catalogs(
+        f"""
+        WITH wp AS ({_WP_SQL}),
+        sh AS ({_SHINGLES_SQL}),
+        mh AS (
+          SELECT doc_id, CAST(r AS INT) AS band,
+                 min(md5(CAST(r AS VARCHAR) || '|' || shingle)) AS minhash
+          FROM sh, range(0, 8) t(r)
+          GROUP BY doc_id, r
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM mh a
+          JOIN mh b ON a.band = b.band AND a.minhash = b.minhash
+                    AND a.doc_id < b.doc_id
+        ),
+        capped AS (
+          SELECT * FROM cand
+          WHERE ('0x' || substr(md5(CAST(doc_a AS VARCHAR) || '|'
+                                    || CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT
+                % 16 = 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS common
+          FROM capped c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CAST(16 AS BIGINT) AS sample_den
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE common * 20 >= (sa.n_sh + sb.n_sh - common) * 1
+        """,
+        "objects",
+    ),
+)
+def dd2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd2's LSH→verify pipeline, BUDGET-BOUNDED on a capped candidate
+    stratum (verdict-r15 item 5, the dd12b pattern): candidate
+    generation — the scalable (band, minhash)-keyed LSH part — runs in
+    full, then the verify stage exact-Jaccards only a deterministic
+    md5 1/16 stratum of the candidate PAIR keys (util.md5_bucket on
+    ``doc_a|doc_b``). The cap is recorded in the row (``sample_den``),
+    so a ledger reader sees the bound, not a silently-shrunk pair set.
+
+    Why this row exists: dd2's sf100 verify shuffle is O(candidates ×
+    shingles/doc) rows — measured ~600 GB at sf100, beyond a single
+    host's free disk (an honest resource wall; per-node hundreds of MB
+    on a real fleet). This twin gives the LSH→verify family a GREEN
+    third-decade data point inside the single-host budget: verify cost
+    O(candidates/16), everything else identical to dd2's shape. Dup
+    statistics on a uniform pair stratum scale by the recorded
+    denominator."""
+    docs = load_table(spark, sf_dir, "documents")
+    from aistore_spark.util import md5_bucket, pin
+
+    sh = pin(dedup.shingles(docs, n=3))
+    cand = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
+    capped = cand.filter(
+        md5_bucket(
+            F.concat_ws(
+                "|",
+                F.col("doc_a").cast("string"),
+                F.col("doc_b").cast("string"),
+            ),
+            16,
+        )
+        == 0
+    )
+    ver = dedup.jaccard_verify(
+        docs, capped, n=3, threshold_num=1, threshold_den=20, shingles_df=sh
+    )
+    return ver.select("doc_a", "doc_b", "common", "n_a", "n_b").withColumn(
+        "sample_den", F.lit(16).cast("bigint")
+    )
+
+
+@register(
     "dd3_lsh_candidates",
     oracles.with_catalogs(
         f"""
@@ -4156,14 +4239,17 @@ def dd5b_embedding_neardup_sampled(
         FROM scored
       ) WHERE rn = 1
     )
-    SELECT va.centroid_id AS centroid_id,
-           a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(list_dot_product(a.vq, b.vq) AS BIGINT) AS dot
-    FROM qz a
-    JOIN vassign va ON a.vec_id = va.vec_id
-    JOIN vassign vb ON va.centroid_id = vb.centroid_id
-    JOIN qz b ON b.vec_id = vb.vec_id AND a.vec_id < b.vec_id
-    WHERE CAST(list_dot_product(a.vq, b.vq) AS BIGINT) >= 40000000
+    , pairs AS (
+      SELECT va.centroid_id AS centroid_id,
+             a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(list_dot_product(a.vq, b.vq) AS BIGINT) AS dot
+      FROM qz a
+      JOIN vassign va ON a.vec_id = va.vec_id
+      JOIN vassign vb ON va.centroid_id = vb.centroid_id
+      JOIN qz b ON b.vec_id = vb.vec_id AND a.vec_id < b.vec_id
+    )
+    SELECT centroid_id, vec_a, vec_b, dot
+    FROM pairs WHERE dot >= 40000000
     """,
 )
 def dd9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

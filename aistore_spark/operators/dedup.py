@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aistore_spark.util import pin, spread
+from aistore_spark.util import pin, round_robin, spread
 
 
 def exact_dedup(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -390,9 +390,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     # The exchange ships each doc row once — linear bytes, ~2 orders
     # cheaper than the per-word compute it parallelizes; same seam and
     # rationale as simsearch.lsh_topk / ivf_topk (r11/r14 fixes).
-    docs = documents.repartition(
-        documents.sparkSession.sparkContext.defaultParallelism
-    )
+    docs = round_robin(documents)
     cols = [F.md5("word").alias("digest")]
     if bits > 32:
         cols.append(F.md5(F.concat(F.lit("#"), F.col("word"))).alias("digest2"))

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aistore_spark.util import round_robin
+
 QUANT = 10_000
 
 
@@ -479,7 +481,7 @@ def _rebalance(df: DataFrame) -> DataFrame:
     twelve idle). Seam kept separate so tests/test_skew.py can patch
     it to identity and prove the bench straggler detector
     (aistore_spark/skew.py) trips on exactly that plan shape."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return round_robin(df)
 
 
 def ivf_topk(
@@ -1201,6 +1203,12 @@ def ivfpq_refine_topk(
         shortlist = refine_shortlist_size(
             corpus.count(), centroids.count(), nprobe, k
         )
+    # one materialization shared by the cap-check count, the probe
+    # assignment, the driver LUT collect, and the refine q-vector
+    # frame (ADVICE-r15: the cap-check count used to recompute the
+    # caller's derived query frame from scratch). Query frames are
+    # bounded (the ANN query set), so the pinned partitions are small.
+    queries = queries.localCheckpoint(eager=True)
     n_queries = queries.count()
     adc = ivfpq_topk(
         corpus, centroids, codebook, queries,

@@ -105,6 +105,26 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start every shuffle OVER-partitioned and let AQE coalesce the
+        # small ones (r16, the generalized d1 lesson): AQE can merge
+        # small partitions, it cannot split an under-partitioned
+        # aggregate — a corpus-scale DISTINCT/groupBy that inherits the
+        # session default puts its whole key space in `cpus` hash maps
+        # (d1's 600M-row DISTINCT OOMed that way at sf100). 8x cores
+        # locally (~256); a real cluster sets this in the thousands.
+        # Derived frames (LSH pair sets, shingle DISTINCTs) get the
+        # headroom with no per-operator count job; explicitly-sized
+        # exchanges (dsort.sized_partitions, repartition(n, ...)) are
+        # unaffected. SPARK_GRAFT_AQE_HEADROOM tunes the factor (a
+        # real cluster sets it so initialPartitionNum lands in the
+        # thousands; 0 disables for A/B measurement).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(
+                max(cpus, 4)
+                * max(1, int(os.environ.get("SPARK_GRAFT_AQE_HEADROOM", "8")))
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata's events.ts is parquet TIMESTAMP(NANOS) — Spark has no

@@ -66,6 +66,18 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     return df
 
 
+def round_robin(df):
+    """UNCONDITIONAL round-robin exchange to full default parallelism —
+    the one audited spelling of the row-group blind-spot fix (r15
+    verdict nit: the idiom lived twice, in ``simsearch._rebalance``
+    and inline in ``dedup.simhash``). Use before a compute-heavy
+    stage that inherits the scan's input splits: :func:`spread`'s
+    partition-COUNT heuristic cannot see a few-giant-row-group file
+    (32 reported byte-range splits, 5 non-empty), so paths whose
+    per-byte compute dwarfs one linear exchange must not gate on it."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def md5_bucket(col, mod):
     """Deterministic bucket in ``[0, mod)`` from the first 8 hex digits
     of md5(col) — THE engine-portable bucketing primitive (hash_split,

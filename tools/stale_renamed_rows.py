@@ -13,6 +13,7 @@ Exits 0 and prints what it rewrote (possibly nothing).
 from __future__ import annotations
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -42,8 +43,12 @@ def main() -> int:
         if not rec:
             continue
         src = str(rec.get("source") or "")
-        fresh = "r15" in src or not src  # rows written this round carry
-        # no source tag (merge adds it only when carrying forward)
+        # rows written this round carry no source tag (merge adds it
+        # only when carrying forward). Match the round tag precisely —
+        # a substring test would also hit e.g. "r150" (ADVICE-r15) —
+        # and treat any round >= 15 as fresh (post-widening).
+        m = re.search(r"(?<![0-9a-zA-Z])r(\d+)(?![0-9])", src)
+        fresh = not src or (m is not None and int(m.group(1)) >= 15)
         if rec.get("hash_match") is True and not fresh:
             d[name] = {
                 "rows_match": None, "schema_match": None,
