@@ -6724,15 +6724,30 @@ _ANN9E_SQL = f"""
                // (5 * kn)) AS sl
       FROM (SELECT count(*) AS kn FROM kc)
     ),
+    ncodes AS MATERIALIZED (
+      SELECT vec_id, list(code ORDER BY m) AS cl FROM codes GROUP BY vec_id
+    ),
+    qlut AS MATERIALIZED (
+      SELECT query_id, list(d ORDER BY m, code) AS lut
+      FROM tbl GROUP BY query_id
+    ),
+    -- per-pair ADC as a streaming LUT projection (r16): the join-and-
+    -- GROUP-BY form creates one hash-agg group PER CANDIDATE PAIR over
+    -- the 8x m-expanded probe join; at the recall-held tier on this
+    -- mode-saturated fixture the probed MASS is linear by design, and
+    -- that aggregate spilled >55 GiB of temp at sf10 under BOTH a
+    -- 40 GB and an 80 GB DuckDB memory pin. lut[m*64 + code + 1]
+    -- indexes the same BIGINT d values the join matched, so the
+    -- integer ADC sum is bit-identical.
     adc AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             CAST(sum(t.d) AS BIGINT) AS adc
+             CAST(list_sum(list_transform(range(0, 8), m ->
+               l.lut[m * 64 + k.cl[m + 1] + 1])) AS BIGINT) AS adc
       FROM qprobe p
       JOIN vassign a ON a.centroid_id = p.centroid_id
                     AND a.vec_id <> p.query_id
-      JOIN codes k ON k.vec_id = a.vec_id
-      JOIN tbl t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code
-      GROUP BY 1, 2
+      JOIN ncodes k ON k.vec_id = a.vec_id
+      JOIN qlut l ON l.query_id = p.query_id
     ),
     sl AS (
       SELECT query_id, neighbor_id FROM adc

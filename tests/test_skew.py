@@ -243,3 +243,48 @@ def test_record_worst_skew_keeps_the_higher_ratio_across_runs():
     # a cleaner third reading never downgrades the record
     record_worst_skew(ts, "q", {"stage": 7, "ratio": 2.0, "max_ms": 900.0})
     assert ts["q"] is worse
+
+
+def test_round_robin_defeats_row_group_blindspot(spark, tmp_path):
+    """util.round_robin is the one audited spelling of the row-group
+    blind-spot fix (r15 dd6b triage; r16 folded the two call-site
+    idioms into it): a parquet file with a few giant row groups
+    reports many byte-range splits but only a few NON-EMPTY ones, and
+    spread()'s partition-count heuristic no-ops on it. round_robin
+    must redistribute to full default parallelism with every
+    partition non-trivially loaded."""
+    from aistore_spark.util import round_robin, spread
+
+    p = str(tmp_path / "giant_rg.parquet")
+    # one writer task -> one file with a single big row group
+    spark.range(100_000).coalesce(1).write.mode("overwrite").parquet(p)
+    prior = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # slice the one-row-group file into many byte-range splits:
+        # the scan REPORTS >= parallelism partitions but only ONE can
+        # be non-empty (row groups are the split atoms)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+        df = spark.read.parquet(p)
+        target = spark.sparkContext.defaultParallelism
+        assert df.rdd.getNumPartitions() >= target
+        nonempty = df.groupBy(
+            F.spark_partition_id().alias("pid")
+        ).count().collect()
+        assert len(nonempty) == 1
+        # the blind spot: spread()'s COUNT heuristic sees "enough"
+        # partitions and keeps the degenerate layout
+        assert (
+            spread(df).rdd.getNumPartitions() == df.rdd.getNumPartitions()
+        )
+        rr = round_robin(df)
+        rr_counts = [
+            r["count"]
+            for r in rr.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        ]
+        assert len(rr_counts) == target
+        assert min(rr_counts) > 0
+        assert max(rr_counts) <= 2 * (100_000 // target)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prior)

@@ -67,6 +67,13 @@ SKIP_KINDS = {
     # within-cell pair join's intermediate is the wall, not the dot
     # arithmetic (40GB r11 / 80GB r13 / restructured 80GB r15).
     "dd9_semantic_dedup": "measured-infeasible",
+    # ann9e: THREE measured budgets (r16) — 40 GB pin, 80 GB pin, and
+    # 80 GB pin with the adc stage restructured to a single-evaluation
+    # LUT-list projection (hash-exact at sf0.01/sf1 in that form); all
+    # exhausted the 55.8 GiB disk-capped temp. The probed mass is the
+    # tier's design: 4.5% of cells = 22.5% of brute mass on the
+    # mode-saturated fixture (89,967,115 pairs at sf10, measured).
+    "ann9e_ivfpq_recall_held": "measured-infeasible",
 }
 
 
