@@ -90,13 +90,22 @@ ROWS = [
     # LSH→verify (dd2) and the hashed linear classifier (tx12), each
     # with a structural invariant + pure-Python sampled recompute
     "tx12_hashed_classifier",
-    "ann9d_ivfpq_sqrt_cells",
-    # r16 (verdict-r15 items 4+5): the recall-held ANN tier and the
-    # LSH→verify family's budget-bounded third-decade twin, measured
-    # on the bounded-row-group fixture with the fixture-sized heap
-    "ann9e_ivfpq_recall_held",
+    # r16 (verdict-r15 item 5): the LSH→verify family's budget-bounded
+    # third-decade twin — runs BEFORE the ANN rows so its first sf100
+    # reading cannot be starved by an ANN overrun
     "dd2b_ngram_jaccard_capped",
+    # r16 (verdict-r15 item 4): both ANN tiers on the bounded-row-group
+    # fixture with the fixture-sized heap. These run LAST of the timed
+    # rows: the recall-held tier's probed mass is ~22% of brute by
+    # design (measured at sf10), so its wall carries the most schedule
+    # risk; each earlier row's wall AND invariant are already flushed.
+    "ann9d_ivfpq_sqrt_cells",
+    "ann9e_ivfpq_recall_held",
 ]
+# Non-ANN invariants run INLINE, the moment their row's output is
+# persisted (r16: the r15 leg batched every invariant after every
+# wall, so a wall-clock cut mid-leg produced walls with NO verdicts —
+# the exact partial-artifact defect this file exists to kill).
 # dd2 runs LAST — after every other row AND after the invariant pass:
 # its LSH->verify exchange is O(pairs x shingles/doc) rows — ~600 GB
 # of shuffle at sf100, beyond this host's free disk (measured r15:
@@ -608,7 +617,54 @@ def main() -> int:
         prior_partial = bool(prior.get("partial", False)) or (
             len(walls) + len(errors) < len(ROWS) + 1  # + the disk-wall row
         )
-    else:
+    invariants: dict[str, dict] = {}
+    if inv_only:
+        # a prior leg's passing invariants stand (their inputs did not
+        # change); only re-run ones that are absent or failed
+        invariants.update(
+            {
+                k: v
+                for k, v in prior.get("invariants", {}).items()
+                if v.get("pass") is True
+            }
+        )
+
+    inv_fns = {
+        "d1_sort_alphanumeric": _inv_d1,
+        "dd6b_simhash_prod": _inv_dd6b,
+        "dd2b_ngram_jaccard_capped": _inv_dd2b,
+        "tx12_hashed_classifier": _inv_tx12,
+    }
+
+    def _partial_flush() -> None:
+        # flush after every row AND every invariant: a wall-clock cut
+        # mid-leg must not erase the hours of evidence already measured
+        out_path.write_text(json.dumps(
+            {"partial": True, "queries": walls, "errors": errors,
+             "task_skew": task_skew, "invariants": invariants,
+             "sf": 100.0}, indent=1) + "\n")
+
+    def _run_inv(name, fn) -> None:
+        if name in invariants:
+            return
+        if name in errors:
+            invariants[name] = {
+                "check": "skipped — timed run errored (see errors)",
+                "pass": None,
+            }
+            return
+        t0 = time.time()
+        try:
+            invariants[name] = fn(spark)
+        except Exception as exc:  # noqa: BLE001
+            invariants[name] = {
+                "check": f"ERRORED: {type(exc).__name__}: {exc}"[:300],
+                "pass": False,
+            }
+        invariants[name]["check_sec"] = round(time.time() - t0, 1)
+        print(f"[sf100] invariant {name}: {invariants[name]}", flush=True)
+
+    if not inv_only:
         for name in ROWS:
             # fault isolation (r15): a row that exhausts a HOST
             # resource records a measured error instead of aborting
@@ -621,42 +677,20 @@ def main() -> int:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:400]
                 print(f"[sf100] {name}: ERROR {errors[name][:120]}",
                       flush=True)
-            # flush after every row: a wall-clock cut mid-leg must not
-            # erase the hours of walls already measured
-            out_path.write_text(json.dumps(
-                {"partial": True, "queries": walls, "errors": errors,
-                 "task_skew": task_skew, "sf": 100.0}, indent=1) + "\n")
+            _partial_flush()
+            # each row's invariant runs the moment its output exists
+            # (INLINE_INV rationale above)
+            if name in inv_fns:
+                _run_inv(name, inv_fns[name])
+                _partial_flush()
+    else:
+        for name, fn in inv_fns.items():
+            _run_inv(name, fn)
 
-    invariants = {}
-    if inv_only:
-        # a prior leg's passing invariants stand (their inputs did not
-        # change); only re-run ones that are absent or failed
-        invariants.update(
-            {
-                k: v
-                for k, v in prior.get("invariants", {}).items()
-                if v.get("pass") is True
-            }
-        )
-    for name, fn in (
-        ("d1_sort_alphanumeric", _inv_d1),
-        ("dd6b_simhash_prod", _inv_dd6b),
-        ("dd2b_ngram_jaccard_capped", _inv_dd2b),
-        ("tx12_hashed_classifier", _inv_tx12),
-        ("ann9d_ivfpq_sqrt_cells", _inv_ann9d),
-    ):
-        if name in invariants:
-            continue
-        if name in errors:
-            invariants[name] = {
-                "check": "skipped — timed run errored (see errors)",
-                "pass": None,
-            }
-            continue
-        t0 = time.time()
-        invariants[name] = fn(spark)
-        invariants[name]["check_sec"] = round(time.time() - t0, 1)
-        print(f"[sf100] invariant {name}: {invariants[name]}", flush=True)
+    # the ANN invariant needs BOTH persisted outputs (one brute-force
+    # truth computation scores the two tiers), so it runs after ann9e
+    _run_inv("ann9d_ivfpq_sqrt_cells", _inv_ann9d)
+    _partial_flush()
     # ann9e shares the brute-force truth computation with ann9d's
     # invariant (one function, both persisted outputs scored); give the
     # registered row its own ledger entry with its own gate verdict
