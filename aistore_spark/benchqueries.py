@@ -15,6 +15,7 @@ Registry keys follow SURVEY.md §2 operator ids (s1_, f2_, j1_, d6_ ...).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2115,12 +2116,23 @@ def dd2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     host's free disk (an honest resource wall; per-node hundreds of MB
     on a real fleet). This twin gives the LSH→verify family a GREEN
     third-decade data point inside the single-host budget: verify cost
-    O(candidates/16), everything else identical to dd2's shape. Dup
+    O(candidates/den), everything else identical to dd2's shape. Dup
     statistics on a uniform pair stratum scale by the recorded
-    denominator."""
+    denominator.
+
+    The denominator is the BUDGET KNOB and every output row records it
+    (``sample_den``): the registered/oracle-gated stratum is 1/16
+    (sf0.01, sf1, sf10 hash-exact), and ``SPARK_GRAFT_DD2B_DEN`` widens
+    it where 1/16 still exceeds a host budget — measured r16 at sf100:
+    the 1/16 verify intermediate (~1.5M pairs × ~1.1K shingles/doc on
+    the 10×-longer replica docs) is itself a >66 GB shuffle
+    (ENOSPC, recorded in BENCH_r16_sf100.json's errors), so the
+    third-decade leg runs den=64. The oracle twin pins den=16, which
+    is what every oracle-gated tier runs."""
     docs = load_table(spark, sf_dir, "documents")
     from aistore_spark.util import md5_bucket, pin
 
+    den = int(os.environ.get("SPARK_GRAFT_DD2B_DEN", "16"))
     sh = pin(dedup.shingles(docs, n=3))
     cand = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
     capped = cand.filter(
@@ -2130,7 +2142,7 @@ def dd2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_a").cast("string"),
                 F.col("doc_b").cast("string"),
             ),
-            16,
+            den,
         )
         == 0
     )
@@ -2138,7 +2150,7 @@ def dd2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, capped, n=3, threshold_num=1, threshold_den=20, shingles_df=sh
     )
     return ver.select("doc_a", "doc_b", "common", "n_a", "n_b").withColumn(
-        "sample_den", F.lit(16).cast("bigint")
+        "sample_den", F.lit(den).cast("bigint")
     )
 
 

@@ -67,6 +67,13 @@ from aistore_spark.skew import worst_task_skew  # noqa: E402
 from bench import record_worst_skew  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF100_DIR", "/root/repo/_scale/sf100")
+# the third-decade leg runs dd2b at a 1/64 stratum: the oracle-gated
+# 1/16 stratum's verify intermediate alone (~1.5M pairs x ~1.1K
+# shingles on the 10x-longer replica docs) is a >66 GB shuffle —
+# measured ENOSPC, recorded in BENCH_r16_sf100.json's errors. The
+# denominator rides in every output row and the invariant checks
+# against what the rows declare.
+os.environ.setdefault("SPARK_GRAFT_DD2B_DEN", "64")
 ANN9D_OUT = "/tmp/sf100_ann9d_out.parquet"
 # rows whose output is small enough to persist (pairs / per-doc / topk
 # frames — MBs to ~1 GB); their invariants read the persisted frame so
@@ -203,6 +210,8 @@ def _inv_ann9d(spark) -> dict:
             F.col("query_id").isin(sample_ids)
         )
     )
+    for df in (truth, queries, corpus):
+        df.unpersist()
     return {
         "check": "recall@10 vs exact brute, 64 md5-stratified queries; "
         "economy (registered ann9d: nprobe=20, 1-iter, from its "
@@ -257,6 +266,7 @@ def _inv_dd6b(spark) -> dict:
         .count()
     )
     n_sampled = sampled.count()
+    fp.unpersist()
     ok = (
         agg["n"] == agg["nd"]
         and agg["maxh"] <= 3
@@ -354,7 +364,8 @@ def _inv_dd2(spark) -> dict:
 def _inv_dd2b(spark) -> dict:
     """dd2b at the third decade: the dd2 conservation suite on the
     capped output — doc_a < doc_b, no dup pairs, every row satisfies
-    the registered 1/20 threshold, sample_den == 16 everywhere — plus
+    the registered 1/20 threshold, sample_den == the row-declared
+    denominator everywhere — plus
     CAP MEMBERSHIP: every pair's md5 bucket really is 0 mod 16
     (full-frame Spark recount AND hashlib recompute on the sampled
     slice), and a md5-stratified ~1/4096 slice has its exact
@@ -364,6 +375,12 @@ def _inv_dd2b(spark) -> dict:
     from aistore_spark.sources.tables import load_table
 
     out = spark.read.parquet(PERSIST["dd2b_ngram_jaccard_capped"])
+    # the cap denominator is the row-recorded budget knob
+    # (SPARK_GRAFT_DD2B_DEN; 16 at every oracle-gated tier, widened at
+    # sf100 where the 1/16 verify intermediate alone exceeds host
+    # disk) — the invariant checks against what the rows DECLARE
+    dens = [r["sample_den"] for r in out.select("sample_den").distinct().collect()]
+    den = dens[0] if len(dens) == 1 else -1
     agg = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_a", "doc_b").alias("nd"),
@@ -377,7 +394,7 @@ def _inv_dd2b(spark) -> dict:
                 0,
             ).otherwise(1)
         ).alias("below_threshold"),
-        F.sum(F.when(F.col("sample_den") == 16, 0).otherwise(1)).alias(
+        F.sum(F.when(F.col("sample_den") == den, 0).otherwise(1)).alias(
             "bad_den"
         ),
         F.sum(
@@ -397,7 +414,7 @@ def _inv_dd2b(spark) -> dict:
                     16,
                     10,
                 ).cast("bigint")
-                % 16
+                % F.lit(den)
                 == 0,
                 0,
             ).otherwise(1)
@@ -434,10 +451,11 @@ def _inv_dd2b(spark) -> dict:
         ):
             mism += 1
         key = f"{r['doc_a']}|{r['doc_b']}".encode()
-        if int(hashlib.md5(key).hexdigest()[:8], 16) % 16 != 0:
+        if int(hashlib.md5(key).hexdigest()[:8], 16) % den != 0:
             cap_mism += 1
     ok = (
-        agg["n"] == agg["nd"]
+        den > 0
+        and agg["n"] == agg["nd"]
         and agg["bad_order"] == 0
         and agg["below_threshold"] == 0
         and agg["bad_den"] == 0
@@ -448,8 +466,10 @@ def _inv_dd2b(spark) -> dict:
     )
     return {
         "check": "dd2 conservation suite on the capped output + cap "
-        "membership (full Spark recount + sampled hashlib recompute) "
-        "+ sampled exact-Jaccard recompute from raw text (pure Python)",
+        "membership vs the row-declared denominator (full Spark "
+        "recount + sampled hashlib recompute) + sampled exact-Jaccard "
+        "recompute from raw text (pure Python)",
+        "sample_den": den,
         "n_pairs": agg["n"],
         "below_threshold": agg["below_threshold"],
         "outside_cap": agg["outside_cap"],
@@ -547,9 +567,11 @@ def _inv_tx12(spark) -> dict:
 def _inv_d1(spark) -> dict:
     import duckdb
 
-    out = QUERIES["d1_sort_alphanumeric"](spark, SF_DIR).localCheckpoint(
-        eager=True
-    )
+    # ONE aggregation pass, NO checkpoint: pinning the 600M-row
+    # permutation in executor storage leaked ~18 GB of cached blocks
+    # into the NEXT timed row (measured r16: dd6b read 433 s on the
+    # leg vs 140 s quiet with d1's invariant checkpoint live)
+    out = QUERIES["d1_sort_alphanumeric"](spark, SF_DIR)
     agg = out.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("rank").alias("rmin"),
@@ -586,8 +608,18 @@ def _inv_d1(spark) -> dict:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--invariants-only"]
-    inv_only = "--invariants-only" in sys.argv[1:]
+    argv = sys.argv[1:]
+    inv_only = "--invariants-only" in argv
+    resume = "--resume" in argv
+    # --retry NAME: on resume, re-run a row whose prior attempt is an
+    # error row — the prior error is KEPT in the artifact under
+    # NAME@prior (a measured budget reading is evidence, not debris)
+    retries = {argv[i + 1] for i, a in enumerate(argv) if a == "--retry"}
+    args = [
+        a
+        for i, a in enumerate(argv)
+        if not a.startswith("--") and (i == 0 or argv[i - 1] != "--retry")
+    ]
     out_path = Path(args[0] if args else "BENCH_r16_sf100.json")
     # sf_dir sizes the heap from the 11 GB fixture (auto_driver_mem):
     # the r14/early-r15 legs ran on the 8 GB no-sf_dir default and
@@ -618,6 +650,22 @@ def main() -> int:
             len(walls) + len(errors) < len(ROWS) + 1  # + the disk-wall row
         )
     invariants: dict[str, dict] = {}
+    if resume and not inv_only:
+        # crash/cut recovery (r16, used after the dd2b@1/16 ENOSPC took
+        # the whole leg down): reload every flushed wall, skew reading,
+        # error row and invariant verdict; the timed loop below skips
+        # rows that already have a wall or an error, so only the
+        # missing tail runs
+        prior = json.loads(out_path.read_text())
+        walls = prior.get("queries", {})
+        task_skew = prior.get("task_skew", {})
+        errors = prior.get("errors", {})
+        invariants = dict(prior.get("invariants", {}))
+        for r in retries:
+            if r in errors:
+                errors[f"{r}@prior"] = "RETRIED: " + errors.pop(r)
+            invariants.pop(r, None)
+            walls.pop(r, None)
     if inv_only:
         # a prior leg's passing invariants stand (their inputs did not
         # change); only re-run ones that are absent or failed
@@ -663,23 +711,36 @@ def main() -> int:
             }
         invariants[name]["check_sec"] = round(time.time() - t0, 1)
         print(f"[sf100] invariant {name}: {invariants[name]}", flush=True)
+        # drop every cached/checkpointed block the check created before
+        # the next TIMED row starts — lingering invariant state is
+        # wall-clock contamination (the d1-checkpoint lesson above)
+        release_cached()
+        import gc as _gc
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     if not inv_only:
         for name in ROWS:
-            # fault isolation (r15): a row that exhausts a HOST
-            # resource records a measured error instead of aborting
-            # the leg
-            try:
-                walls[name] = _timed(
-                    spark, name, task_skew, persist_to=PERSIST.get(name)
-                )
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
-                print(f"[sf100] {name}: ERROR {errors[name][:120]}",
-                      flush=True)
-            _partial_flush()
+            if name not in walls and name not in errors:
+                # fault isolation (r15): a row that exhausts a HOST
+                # resource records a measured error instead of
+                # aborting the leg
+                try:
+                    walls[name] = _timed(
+                        spark, name, task_skew,
+                        persist_to=PERSIST.get(name),
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                    print(f"[sf100] {name}: ERROR {errors[name][:120]}",
+                          flush=True)
+                _partial_flush()
             # each row's invariant runs the moment its output exists
-            # (INLINE_INV rationale above)
+            # (INLINE_INV rationale above); no-op when the verdict was
+            # already carried over by --resume
             if name in inv_fns:
                 _run_inv(name, inv_fns[name])
                 _partial_flush()
@@ -740,10 +801,24 @@ def main() -> int:
         DISK_WALL_ROW not in errors
     ):
         _flush(partial=True)  # everything but dd2 is already final
+        # BALLAST (r16): the dd2b@1/16 ENOSPC didn't just abort its
+        # job — with the disk at 0 bytes even stdout/log writes raised
+        # and took the whole leg process down. Reserve 1 GiB up front
+        # and release it the moment the crash lands, so the artifact
+        # flush (and the interpreter) always have disk to stand on.
+        ballast = Path("/tmp/sf100_ballast.bin")
+        try:
+            bfd = os.open(str(ballast), os.O_WRONLY | os.O_CREAT, 0o600)
+            os.posix_fallocate(bfd, 0, 1 << 30)  # REAL blocks, not sparse
+            os.close(bfd)
+        except OSError:
+            pass
         try:
             walls[DISK_WALL_ROW] = _timed(spark, DISK_WALL_ROW, task_skew)
+            ballast.unlink(missing_ok=True)
             invariants[DISK_WALL_ROW] = _inv_dd2(spark)
         except Exception as exc:  # noqa: BLE001
+            ballast.unlink(missing_ok=True)
             errors[DISK_WALL_ROW] = f"{type(exc).__name__}: {exc}"[:400]
             invariants[DISK_WALL_ROW] = {
                 "check": "skipped — timed run errored (see errors)",
@@ -760,6 +835,8 @@ def main() -> int:
             except Exception:  # noqa: BLE001
                 pass
             time.sleep(5)
+        finally:
+            ballast.unlink(missing_ok=True)
     elif DISK_WALL_ROW in errors and DISK_WALL_ROW not in invariants:
         invariants[DISK_WALL_ROW] = {
             "check": "skipped — timed run errored (see errors)",
