@@ -57,6 +57,13 @@ DRIVER_CHECK_PRIORITY = [
     # third-decade twin, verdict-r15 item 5) and must earn its first
     # driver-green row; dd9's oracle was restructured again (ADVICE-r15:
     # single-evaluation pair dot via a CTE) so it re-earns its hash.
+    # Round 16 (optimization round): queries whose implementation
+    # fingerprint changed while being optimized re-earn their
+    # driver-green row — the rotation contract does not care WHY the
+    # source changed. Rotated out to make room: p2_extract_member /
+    # p4_archive_append (driver-green r15, fingerprints unchanged).
+    "dd12_minhash_estimate",
+    "dd12b_minhash_estimate_capped",
     "dd2b_ngram_jaccard_capped",
     "ann9e_ivfpq_recall_held",
     "dd9_semantic_dedup",
@@ -84,9 +91,7 @@ DRIVER_CHECK_PRIORITY = [
     "g4_batch_loader",
     "p1_pack_archive",
     "p1b_pack_archive_io",
-    "p2_extract_member",
     "p3_extract_regex_pack",
-    "p4_archive_append",
     "s4_archive_listing",
     "s4b_zip_listing",
     "s4c_lz4_listing",

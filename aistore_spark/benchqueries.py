@@ -8138,7 +8138,10 @@ def dd12_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aistore_spark.util import pin
 
     sh = pin(dedup.shingles(docs, n=3))
-    cand = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
+    # pinned: cand feeds the calibration join AND the verify stage —
+    # without the pin the LSH candidate subtree executes once per
+    # consumer (r16, guide §2.4)
+    cand = pin(dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh))
     ver = dedup.jaccard_verify(
         docs, cand, n=3, threshold_num=0, threshold_den=1, shingles_df=sh
     )
@@ -8241,16 +8244,20 @@ def dd12b_minhash_estimate_capped(
 
     sh = pin(dedup.shingles(docs, n=3))
     cand = dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh)
-    capped = cand.filter(
-        md5_bucket(
-            F.concat_ws(
-                "|",
-                F.col("doc_a").cast("string"),
-                F.col("doc_b").cast("string"),
-            ),
-            16,
+    # pinned: the capped stratum feeds the calibration join AND the
+    # verify stage (r16, guide §2.4 — same seam as dd12)
+    capped = pin(
+        cand.filter(
+            md5_bucket(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_a").cast("string"),
+                    F.col("doc_b").cast("string"),
+                ),
+                16,
+            )
+            == 0
         )
-        == 0
     )
     ver = dedup.jaccard_verify(
         docs, capped, n=3, threshold_num=0, threshold_den=1, shingles_df=sh

@@ -65,6 +65,14 @@ def shingles(
     """Word n-gram shingles, one row per distinct (doc, shingle).
 
     JVM-side only: split + sequence/transform + explode — no Python.
+
+    Within-doc dedup is ``array_distinct`` BEFORE the explode (r16,
+    guide §2.4 "remove shuffles outright"): doc ids are unique, so a
+    post-explode ``.distinct()`` can only ever collapse rows within
+    one document — the same set a local array dedup produces with no
+    exchange. The old plan paid a full (doc_id, shingle) hash shuffle
+    + two hash aggregates over the widest frame of the dd2 family;
+    this one is map-only above the spread exchange.
     """
     documents = spread(documents)
     words = F.split(F.col(text_col), " ")
@@ -75,9 +83,8 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        documents.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+    return documents.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
@@ -194,8 +201,13 @@ def jaccard_verify(
     """
     # dedup the pair list: a caller may union several candidate
     # generators (LSH + SimHash overlap), and a duplicated pair would
-    # multiply `common` and break the threshold arithmetic
-    cand = candidates.select("doc_a", "doc_b").distinct()
+    # multiply `common` and break the threshold arithmetic.
+    # PINNED (r16): the pair list feeds three plan branches (both
+    # docs_in arms and the common join), and without the pin Catalyst
+    # re-executes the whole candidate-generation subtree — the LSH
+    # minhash agg + self-join — once per branch (measured 3x in the
+    # dd2 before plan, plans/r16/dd2_ngram_jaccard_before.txt).
+    cand = pin(candidates.select("doc_a", "doc_b").distinct())
     docs_in = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -245,7 +257,12 @@ def minhash_bands(
         ).alias(f"_mh{b}")
         for b in range(bands)
     ]
-    per_doc = sh.groupBy("doc_id").agg(*aggs)
+    # PINNED (r16): min(<string md5>) has an immutable agg buffer, so
+    # Spark plans this as SortAggregate+Sort (not HashAggregate) over
+    # every shingle row — and the LSH self-join consumes this frame on
+    # BOTH sides, which re-ran the whole chain twice per query before
+    # the pin. per_doc is one short row per document (bands columns).
+    per_doc = pin(sh.groupBy("doc_id").agg(*aggs))
     stack_args = ", ".join(f"{b}, _mh{b}" for b in range(bands))
     return per_doc.selectExpr(
         "doc_id", f"stack({bands}, {stack_args}) as (band, minhash)"
@@ -632,11 +649,23 @@ def dup_groups(
     at least one pair (singletons are their own group by definition and
     are omitted — at corpus scale they are the overwhelming majority).
     """
+    # Both edge directions from ONE pass over the pair frame (r16): the
+    # previous self-union referenced the pairs subtree twice, so an
+    # unpinned caller (dd7) executed the whole LSH→verify pipeline
+    # twice. explode-of-two-structs emits the same row multiset with a
+    # single reference — guide §2.4, same rows, one evaluation.
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = edges.distinct().localCheckpoint(eager=True)
 
     if local_edges_threshold is None:
