@@ -6368,11 +6368,20 @@ def _clustered_corpus(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
             lambda x: F.round(x.cast("double") * 16, 0).cast("bigint"),
         ).alias("b"),
     )
-    corpus = pts.join(F.broadcast(centers), "cid").select(
-        "vec_id",
-        F.zip_with(
-            "a", "b", lambda c, e: ((c + e).cast("double") / F.lit(64.0))
-        ).alias("embedding"),
+    # pinned (r16): the clustered corpus feeds up to six consumers in
+    # the ann9d/9e build+read chains (seeds/codebook/queries filters,
+    # the kmeans passes, the fused index pass, the refine vector
+    # frame) — the broadcast join + interpreted zip_with re-derived
+    # per consumer without it
+    from aistore_spark.util import pin as _pin
+
+    corpus = _pin(
+        pts.join(F.broadcast(centers), "cid").select(
+            "vec_id",
+            F.zip_with(
+                "a", "b", lambda c, e: ((c + e).cast("double") / F.lit(64.0))
+            ).alias("embedding"),
+        )
     )
     cents = centers.select(
         F.col("cid").alias("vec_id"),

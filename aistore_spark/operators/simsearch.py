@@ -619,10 +619,20 @@ def kmeans_train(
 
     # exchange first, quantize after — the projection compute spreads
     # with the rows instead of running inside the (possibly single)
-    # scan split
-    v = _rebalance(
-        corpus.select(F.col(id_col).alias("vec"), F.col(vec_col).alias("_v"))
-    ).select("vec", quantized("_v").alias("vq"))
+    # scan split. PINNED (r16): every training pass re-reads this
+    # frame (iters-1 driver collects + the final lazy pass), so
+    # without the pin the scan + exchange + quantize chain re-executes
+    # per pass — guide §5 caching: reused AND more expensive to
+    # recompute than to hold.
+    from aistore_spark.util import pin
+
+    v = pin(
+        _rebalance(
+            corpus.select(
+                F.col(id_col).alias("vec"), F.col(vec_col).alias("_v")
+            )
+        ).select("vec", quantized("_v").alias("vq"))
+    )
     ids, mat = _collect_cents(
         centroids.select(
             F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
@@ -781,16 +791,10 @@ def pq_adc_topk(
     # codes-joins-assign shuffle does it.)
     codes = _rebalance(codes)
     q_ids, cids, lut = _adc_lut(queries, codebook, m, dim, id_col, vec_col)
-    qframe = queries.select(F.col(id_col).alias("query_id"))
-    cands = (
-        codes.crossJoin(F.broadcast(qframe))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "codes")
-    )
-    scored = _adc_score(
-        cands, q_ids, cids, lut, m,
-        k_keep=k if k <= _ADC_PARTIAL_TOPK_MAX else None,
-    )
+    # r16: the query fan-out happens inside the scoring kernel — the
+    # old crossJoin(broadcast(query ids)) shipped Q×N candidate rows
+    # through Arrow just so _adc_score could gather them row-wise.
+    scored = _adc_topk_full_scan(codes, q_ids, cids, lut, m, k)
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )
@@ -856,6 +860,88 @@ def pq_encode_wide(
             )
 
     return v.mapInPandas(run, schema="vec_id bigint, codes array<bigint>")
+
+
+def _assign_encode_wide(
+    corpus: DataFrame,
+    centroids_q: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ONE corpus pass producing both the rn=1 cell assignment and the
+    wide PQ codes — ``(vec_id, centroid_id, codes[m])`` (r16, guide
+    §1.2/§2.4): ivfpq_topk previously scanned the corpus twice (one
+    mapInPandas for :func:`_cells`, one for :func:`pq_encode_wide`)
+    and re-joined the two corpus-sized frames on vec_id — a shuffle
+    of both sides that exists only because the index was built in two
+    passes. The fused kernel runs the same two numpy blocks per Arrow
+    batch and the join disappears.
+
+    Exactness: identical math to the two parents — blocked argmax-dot
+    with ties to the LOWER centroid id (ids sorted, lexsort), per-
+    subspace argmin L2 with ties to the lower code (first minimum on
+    the code-sorted matrix); all operands fixed-point ints exact in
+    float64."""
+    import numpy as np
+
+    sub = dim // m
+    ids, mat = _collect_cents(centroids_q.select("centroid_id", "cvec"))
+    cids, cmat = _collect_cents(
+        codebook.select(
+            F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
+        )
+    )
+    csub = cmat.reshape(len(cids), m, sub)
+    c2 = (csub**2).sum(axis=2)
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), quantized(vec_col).alias("vq")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            flat = np.stack(pdf["vq"].to_numpy()).astype(np.float64)
+            # cell assignment: blocked max-dot, first max = lowest id
+            best_d = best_c = None
+            for s in range(0, len(ids), _CENT_BLOCK):
+                scores = flat @ mat[s : s + _CENT_BLOCK].T
+                blk_ids = np.broadcast_to(
+                    ids[s : s + _CENT_BLOCK], scores.shape
+                )
+                if best_d is not None:
+                    scores = np.concatenate([best_d, scores], axis=1)
+                    blk_ids = np.concatenate([best_c, blk_ids], axis=1)
+                idx = np.lexsort((blk_ids, -scores), axis=1)[:, :1]
+                best_d = np.take_along_axis(scores, idx, axis=1)
+                best_c = np.take_along_axis(blk_ids, idx, axis=1)
+            # PQ encode: per-subspace argmin L2
+            vecs = flat.reshape(n, m, sub)
+            code = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                vj = vecs[:, j, :]
+                d = (
+                    (vj**2).sum(axis=1)[:, None]
+                    + c2[:, j][None, :]
+                    - 2.0 * (vj @ csub[:, j, :].T)
+                )
+                code[:, j] = cids[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "centroid_id": best_c.reshape(-1),
+                    "codes": list(code),
+                }
+            )
+
+    return v.mapInPandas(
+        run,
+        schema="vec_id bigint, centroid_id bigint, codes array<bigint>",
+    )
 
 
 def _adc_lut(
@@ -978,6 +1064,82 @@ def _adc_score(
     )
 
 
+def _adc_topk_full_scan(
+    codes: DataFrame, q_ids, code_ids, lut, m: int, k: int
+) -> DataFrame:
+    """Full-corpus ADC scan with the query fan-out INSIDE the kernel
+    (r16, guide §4.1 — pass only the columns the function needs): the
+    old plan crossJoined the encoded corpus against the broadcast
+    query-id list, shipping Q×N candidate rows through Arrow so that
+    :func:`_adc_score` could gather each one. The scores are a pure
+    function of (codes row, LUT), so each codes row now crosses the
+    boundary ONCE and the kernel scores all queries per batch —
+    emitted rows are the per-partition exact top-k per query
+    (partitions × Q × k), never the Q×N stream.
+
+    Exactness: same integer LUT gather; per batch the rows are
+    pre-sorted by neighbor id and the stable argsort makes ties break
+    to the lower neighbor, the final window's comparator; self-matches
+    (vec_id == query_id) are dropped, so a k+1 per-batch cut always
+    leaves k valid rows when they exist."""
+    import numpy as np
+
+    def run(batches):
+        acc = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            bn = pdf["vec_id"].to_numpy()
+            bc = np.stack(pdf["codes"].to_numpy())
+            order = np.argsort(bn, kind="stable")
+            bn = bn[order]
+            bc = bc[order]
+            ci = np.searchsorted(code_ids, bc).clip(0, len(code_ids) - 1)
+            if not np.array_equal(code_ids[ci], bc):
+                raise ValueError(
+                    "_adc_topk_full_scan: corpus code not present in the "
+                    "ADC LUT — codes were built against a different "
+                    "codebook frame"
+                )
+            kk = min(k + 1, n)
+            frames = []
+            # chunk the query axis so the (Qc, n) score block stays
+            # bounded regardless of query count
+            for s in range(0, len(q_ids), 512):
+                qs = q_ids[s : s + 512]
+                lut_s = lut[s : s + 512]
+                adc = np.zeros((len(qs), n), dtype=np.int64)
+                for j in range(m):
+                    adc += lut_s[:, j, :][:, ci[:, j]]
+                idx = np.argsort(adc, axis=1, kind="stable")[:, :kk]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qs, kk),
+                            "neighbor_id": bn[idx].reshape(-1),
+                            "adc": np.take_along_axis(
+                                adc, idx, axis=1
+                            ).reshape(-1),
+                        }
+                    )
+                )
+            out = pd.concat(frames)
+            out = out[out["query_id"] != out["neighbor_id"]]
+            acc = out if acc is None else pd.concat([acc, out])
+            acc = (
+                acc.sort_values(["query_id", "adc", "neighbor_id"])
+                .groupby("query_id", sort=False)
+                .head(k)
+            )
+        if acc is not None:
+            yield acc
+
+    return codes.mapInPandas(
+        run, schema="query_id bigint, neighbor_id bigint, adc bigint"
+    )
+
+
 #: per-partition ADC top-k pruning is applied when k is at most this —
 #: retained rows per partition are bounded by queries × k, which at
 #: the sized-shortlist tier (k = shortlist ≈ √N/5 · nprobe) would be
@@ -1021,13 +1183,16 @@ def ivfpq_topk(
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), quantized(vec_col).alias("cvec")
     )
-    assign = _cells(corpus, c, "vec_id", 1, id_col, vec_col).select(
-        "vec_id", "centroid_id"
+    # fused index build (r16): one corpus pass emits (vec_id, cell,
+    # codes) — see _assign_encode_wide; the old two-pass build paid a
+    # second corpus scan plus a corpus×corpus shuffle join on vec_id.
+    # The round-robin exchange that join used to provide is kept
+    # explicitly: the probe join below would otherwise inherit the
+    # scan's input splits (the r11 straggler class) — linear bytes,
+    # one exchange instead of the join's two.
+    indexed = _rebalance(
+        _assign_encode_wide(corpus, c, codebook, m, dim, id_col, vec_col)
     )
-    codes = pq_encode_wide(
-        corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
-    )
-    indexed = codes.join(assign, "vec_id")
     probe = _cells(queries, c, "query_id", nprobe, id_col, vec_col).select(
         "query_id", "centroid_id"
     )
@@ -1344,70 +1509,132 @@ def pq_train(
     never shuffles; the codebook frame is localCheckpoint-ed between
     passes so plan depth stays constant.
     """
-    sub = dim // m
-    spark = corpus.sparkSession
-    ms = spark.range(m).select(F.col("id").cast("int").alias("m"))
-    from aistore_spark.util import spread
+    import numpy as np
 
-    v = (
-        spread(corpus).select(F.col(id_col).alias("vec"), quantized(vec_col).alias("vq"))
-        .crossJoin(ms)
-        .select("vec", "m", F.slice("vq", F.col("m") * sub + 1, sub).alias("sv"))
-    )
-    cb = (
+    from aistore_spark.util import pin, spread
+
+    sub = dim // m
+    # r16 vectorization (guide §4.2, the pq_encode pattern): the old
+    # pass joined every (vector, subspace) row against the broadcast
+    # codebook (×k rows), evaluated the L2 in interpreted zip_with/
+    # aggregate HOFs, and min(struct)-assigned via SortAggregate (the
+    # struct buffer is immutable, so no hash agg). Each pass now runs
+    # ONE numpy kernel per Arrow batch — blocked |a|²+|b|²−2a·b per
+    # subspace, argmin over the code axis — and emits PARTIAL integer
+    # (sum, count) rows per (m, code, dim): k×dim short rows per batch
+    # instead of N×k scored rows, so the means agg shuffles a constant
+    # regardless of corpus size. Identical values: operands are
+    # fixed-point ints |q| ≤ 1e4, every squared diff (≤ 4e8) and
+    # sub-dim sum (≤ 6.4e9) is exact in float64; codeword rows are
+    # sorted by code id and numpy argmin takes the FIRST minimum, so
+    # ties break to the lower code exactly like min(struct(dist,
+    # code)); the final mean is `sum(partial sums) div sum(partial
+    # counts)` — the same total sum and count the old per-row agg fed
+    # to the same `div`.
+    cids0, cmat0 = _collect_cents(
         codebook0.select(
             F.col(id_col).alias("code"), quantized(vec_col).alias("cbvec")
         )
-        .crossJoin(ms)
-        .select("m", "code", F.slice("cbvec", F.col("m") * sub + 1, sub).alias("cw"))
     )
-    l2 = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    csub0 = cmat0.reshape(len(cids0), m, sub)
+    # per-subspace books: (code ids sorted asc, codeword matrix) — the
+    # surviving code set may diverge per subspace after a pass
+    books = [
+        (cids0.astype(np.int64), csub0[:, j, :].astype(np.float64))
+        for j in range(m)
+    ]
+
+    # pinned: every pass re-reads the quantized corpus (iters-1 driver
+    # collects + the final lazy pass)
+    v = pin(
+        spread(corpus).select(
+            F.col(id_col).alias("vec"), quantized(vec_col).alias("vq")
+        )
     )
+
+    def pass_partials(books) -> DataFrame:
+        ids_list = [b[0] for b in books]
+        mats = [b[1] for b in books]
+        c2s = [(mat**2).sum(axis=1) for mat in mats]
+
+        def run(batches):
+            sums = [np.zeros((len(ids_list[j]), sub), np.int64) for j in range(m)]
+            cnts = [np.zeros(len(ids_list[j]), np.int64) for j in range(m)]
+            seen = False
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                seen = True
+                vecs = (
+                    np.stack(pdf["vq"].to_numpy())
+                    .astype(np.float64)
+                    .reshape(n, m, sub)
+                )
+                for j in range(m):
+                    vj = vecs[:, j, :]
+                    d = (
+                        (vj**2).sum(axis=1)[:, None]
+                        + c2s[j][None, :]
+                        - 2.0 * (vj @ mats[j].T)
+                    )
+                    best = np.argmin(d, axis=1)
+                    np.add.at(sums[j], best, vj.astype(np.int64))
+                    np.add.at(cnts[j], best, 1)
+            if not seen:
+                return
+            rows_m, rows_code, rows_dim, rows_sum, rows_n = [], [], [], [], []
+            for j in range(m):
+                live = np.nonzero(cnts[j])[0]
+                for idx in live:
+                    rows_m.extend([j] * sub)
+                    rows_code.extend([int(ids_list[j][idx])] * sub)
+                    rows_dim.extend(range(1, sub + 1))
+                    rows_sum.extend(int(x) for x in sums[j][idx])
+                    rows_n.extend([int(cnts[j][idx])] * sub)
+            yield pd.DataFrame(
+                {
+                    "m": pd.array(rows_m, dtype="int32"),
+                    "code": pd.array(rows_code, dtype="int64"),
+                    "dim": pd.array(rows_dim, dtype="int64"),
+                    "sum_q": pd.array(rows_sum, dtype="int64"),
+                    "n": pd.array(rows_n, dtype="int64"),
+                }
+            )
+
+        partials = v.mapInPandas(
+            run,
+            schema="m int, code bigint, dim bigint, sum_q bigint, n bigint",
+        )
+        return (
+            partials.groupBy("m", "code", "dim")
+            .agg(
+                F.expr("sum(sum_q) div sum(n)").alias("mean_q"),
+                F.sum("n").cast("bigint").alias("n_vecs"),
+            )
+            .select("m", "code", "dim", "mean_q", "n_vecs")
+        )
+
     out = None
-    for _ in range(max(1, iters)):
-        scored = v.join(F.broadcast(cb), "m").select(
-            "vec", "m", "sv", "code", l2.alias("dist")
-        )
-        assigned = (
-            scored.groupBy("vec", "m")
-            .agg(
-                F.min(F.struct(F.col("dist"), F.col("code"))).alias("best"),
-                F.first("sv").alias("sv"),
-            )
-            .select("m", F.col("best.code").alias("code"), "sv")
-        )
-        out = (
-            assigned.select(
-                "m", "code", F.posexplode(F.col("sv")).alias("dim0", "q")
-            )
-            .groupBy("m", "code", (F.col("dim0") + 1).alias("dim"))
-            .agg(
-                F.expr("sum(q) div count(*)").alias("mean_q"),
-                F.count("*").cast("bigint").alias("n_vecs"),
-            )
-            .select(
-                "m",
-                "code",
-                F.col("dim").cast("bigint").alias("dim"),
-                F.col("mean_q").cast("bigint").alias("mean_q"),
-                "n_vecs",
-            )
-        )
-        cb = (
-            out.groupBy("m", "code")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim"), F.col("mean_q")))
-                ).alias("pairs")
-            )
-            .select(
-                "m",
-                "code",
-                F.transform(F.col("pairs"), lambda p: p.mean_q).alias("cw"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    n_iters = max(1, iters)
+    for i in range(n_iters):
+        out = pass_partials(books)
+        if i < n_iters - 1:
+            # next pass's books from this pass's means — a (m×k×sub)-
+            # row driver collect, the kmeans_train pattern (replaces
+            # the collect_list + localCheckpoint codebook frame)
+            by_mc: dict[tuple[int, int], dict[int, int]] = {}
+            for r in out.select("m", "code", "dim", "mean_q").collect():
+                by_mc.setdefault((r[0], r[1]), {})[r[2]] = r[3]
+            books = []
+            for j in range(m):
+                codes_j = sorted(c for (mj, c) in by_mc if mj == j)
+                mat = np.array(
+                    [
+                        [by_mc[(j, c)][d] for d in range(1, sub + 1)]
+                        for c in codes_j
+                    ],
+                    dtype=np.float64,
+                ).reshape(len(codes_j), sub)
+                books.append((np.array(codes_j, dtype=np.int64), mat))
     return out
