@@ -1474,19 +1474,31 @@ def d8_dsort_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, now driver-hash-checked. Record sizes here are payload
     bytes as read from disk, so the whole pipeline cost is I/O-borne,
     unlike ``dsort_pipeline`` which packs by catalog sizes."""
+    # projected to the four needed columns straight off the expansion
+    # so payload bytes never travel past the parse (guide §4.1); the
+    # single fused aggregate below leaves this frame single-reference,
+    # so no pin is needed (r16)
     mem = _io_members(spark, sf_dir).select(
         F.regexp_extract("member", r"^(.*)\.[^.]+$", 1).alias("base"),
         F.regexp_extract("member", r"\.([^.]+)$", 1).alias("ext"),
         "size",
         "key_str",
     )
-    recs = mem.groupBy("base").agg(F.sum("size").alias("bytes"))
-    keys = (
-        mem.filter(F.col("ext") == "cls")
-        .groupBy("base")
-        .agg(F.min("key_str").alias("k"))
+    # ONE aggregate instead of two + a join (r16, guide §2.4): the
+    # record-bytes sum and the min cls-key share the grouping key, so
+    # a conditional min folds both into a single exchange — bases with
+    # no .cls member drop via the null filter exactly as the old inner
+    # join dropped them. Values identical (min ignores nulls).
+    records = (
+        mem.groupBy("base")
+        .agg(
+            F.sum("size").alias("bytes"),
+            F.min(
+                F.when(F.col("ext") == "cls", F.col("key_str"))
+            ).alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
     )
-    records = keys.join(recs, "base")
     packed = dsort.pack_shards(
         records, ["k", "base"], "bytes", shard_size=256 << 10
     )

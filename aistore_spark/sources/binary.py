@@ -59,6 +59,54 @@ def detect_mime(name: str, content: bytes) -> str:
     raise ValueError(f"{name!r}: not a recognized archive (mime.go:25-29)")
 
 
+#: typeflags the fast USTAR walk handles: regular files are yielded,
+#: the rest are skipped structurally (their payload size still
+#: advances the cursor). Anything else (GNU long names 'L'/'K', PAX
+#: 'x'/'g', sparse 'S', contiguous '7') falls back to tarfile for the
+#: whole archive — exotic members need the library's semantics.
+_TAR_YIELD = (0x30, 0x00)  # '0', NUL
+_TAR_SKIP = (0x31, 0x32, 0x33, 0x34, 0x35, 0x36)  # link..fifo
+
+
+def _iter_tar_fast(content: bytes, with_bytes: bool):
+    """Plain-USTAR member walk by direct header slicing (r16, guide
+    §4.2): tarfile builds a full TarInfo per member (checksum
+    re-verification, mtime/uname decoding, an extractfile file object
+    per payload) — pure-Python cost per member that dominates the
+    shard-expansion stage on many-small-member shards. This walk
+    decodes exactly the three fields the expansion yields (name, size,
+    payload offset) and slices payloads straight from the buffer.
+    Raises ``ValueError`` on any header it is not sure about; the
+    caller falls back to tarfile for those archives, so coverage is
+    unchanged — the fast path only claims archives it parses exactly.
+    """
+    pos, n = 0, len(content)
+    while pos + 512 <= n:
+        hdr = content[pos : pos + 512]
+        if hdr[0] == 0:  # end-of-archive zero block
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError("non-ustar header")
+        size_field = hdr[124:136].rstrip(b"\0 ")
+        if not size_field or not size_field.isdigit():
+            raise ValueError("non-octal size field")
+        size = int(size_field, 8)
+        typ = hdr[156]
+        data_off = pos + 512
+        if typ in _TAR_YIELD:
+            if data_off + size > n:
+                raise ValueError("truncated member payload")
+            yield (
+                hdr[0:100].rstrip(b"\0").decode("utf-8"),
+                data_off,
+                size,
+                content[data_off : data_off + size] if with_bytes else None,
+            )
+        elif typ not in _TAR_SKIP:
+            raise ValueError(f"unsupported typeflag {typ:#x}")
+        pos = data_off + ((size + 511) // 512) * 512
+
+
 def _iter_members(name: str, content: bytes, with_bytes: bool):
     """Yield ``(member, offset, size, bytes|None)`` for every regular
     file in the archive, uniformly across the reference's MIME set
@@ -86,6 +134,16 @@ def _iter_members(name: str, content: bytes, with_bytes: bool):
                     zf.read(info) if with_bytes else None,
                 )
         return
+    if mime == ".tar":
+        try:
+            # materialize BEFORE yielding: a mid-walk fallback after
+            # partial yields would duplicate members
+            fast = list(_iter_tar_fast(content, with_bytes))
+        except ValueError:
+            fast = None  # exotic headers: tarfile below handles them
+        if fast is not None:
+            yield from fast
+            return
     mode = "r:gz" if mime == ".tar.gz" else "r:"
     with tarfile.open(fileobj=io.BytesIO(content), mode=mode) as tar:
         for info in tar.getmembers():
