@@ -408,9 +408,23 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     # cheaper than the per-word compute it parallelizes; same seam and
     # rationale as simsearch.lsh_topk / ivf_topk (r11/r14 fixes).
     docs = round_robin(documents)
-    cols = [F.md5("word").alias("digest")]
+    # one translate folds each hex digest into a '0'/'1' mask (digit
+    # >= 8 ⟺ the nibble's high bit) so the per-bit vote is a single
+    # char compare instead of an 8-way isin — 64 fewer set-membership
+    # probes per word occurrence (r16, guide §1.2 per-task work; md5
+    # hex is lowercase, so the 16-char mapping is total)
+    mask = F.translate(
+        F.md5("word"), "0123456789abcdef", "0000000011111111"
+    )
+    cols = [mask.alias("digest")]
     if bits > 32:
-        cols.append(F.md5(F.concat(F.lit("#"), F.col("word"))).alias("digest2"))
+        cols.append(
+            F.translate(
+                F.md5(F.concat(F.lit("#"), F.col("word"))),
+                "0123456789abcdef",
+                "0000000011111111",
+            ).alias("digest2")
+        )
     digests = (
         docs
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -419,7 +433,8 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     vote = lambda j: F.when(  # noqa: E731
         F.substring(
             F.col("digest" if j < 32 else "digest2"), (j % 32) + 1, 1
-        ).isin(*"89abcdef"),
+        )
+        == "1",
         1,
     ).otherwise(-1)
     sums = digests.groupBy("doc_id").agg(
@@ -569,6 +584,14 @@ def simhash_pairs(
             .alias("hamming"),
         )
     else:
+        # both self-join sides consume the banded frame — pin it or
+        # the whole fingerprint pipeline (two md5 digests + `bits`
+        # vote sums per word occurrence) executes twice (r16; the
+        # max_bucket path above has pinned for the same reason since
+        # its hot-key agg landed)
+        from aistore_spark.util import pin
+
+        banded = pin(banded)
         a, b = banded.alias("a"), banded.alias("b")
         pairs = a.join(
             b,
