@@ -61,26 +61,16 @@ class BatchLoader:
                 "archpath string, rstart long, rlength long"
             ),
         )
+        # with_keys=True carries pkey/akey through the mixed join's ONE
+        # members aggregate (r16) — the loader previously re-aggregated
+        # the members table twice more and re-joined both key frames
         joined = joins.get_batch_join_mixed(
-            req, self._members, continue_on_err=continue_on_err
+            req, self._members, continue_on_err=continue_on_err,
+            with_keys=True,
         )
-        pkey = self._members.groupBy("member").agg(
-            F.min("key_str").alias("pkey")
-        )
-        akey = self._members.groupBy("shard", "member").agg(
-            F.min("key_str").alias("akey")
-        )
-        j = joined.join(pkey, joined["objname"] == pkey["member"], "left").drop(
-            "member"
-        )
-        j = j.join(
-            akey,
-            (j["objname"] == akey["shard"]) & (j["archpath"] == akey["member"]),
-            "left",
-        ).drop("member", "shard")
         # re-attach the range columns (the mixed join resolves them into
         # size/status but frame() also fingerprints the sliced payload)
-        return j.join(
+        return joined.join(
             F.broadcast(req.select("req_idx", "rstart", "rlength")), "req_idx"
         )
 

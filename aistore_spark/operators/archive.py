@@ -44,9 +44,10 @@ def expected_tar_size(sizes: Iterable[int]) -> int:
     return -(-total // TAR_RECORDSIZE) * TAR_RECORDSIZE
 
 
-def build_tar(names: list[str], payloads: list[bytes]) -> bytes:
-    """Deterministic USTAR archive: zeroed uid/gid/mtime, entries in the
-    given order (the get-batch order guarantee, api/apc/ml.go:26-28)."""
+def _build_tar_tarfile(names: list[str], payloads: list[bytes]) -> bytes:
+    """tarfile-based USTAR builder — the reference implementation the
+    fast path below must byte-match, kept as the fallback for names
+    that need the prefix field or non-USTAR sizes."""
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tar:
         for name, payload in zip(names, payloads):
@@ -57,6 +58,56 @@ def build_tar(names: list[str], payloads: list[bytes]) -> bytes:
             info.uname = info.gname = ""
             tar.addfile(info, io.BytesIO(payload))
     return buf.getvalue()
+
+
+def _ustar_header(name_b: bytes, size: int) -> bytes:
+    """One 512-byte USTAR header, byte-identical to what
+    ``tarfile.USTAR_FORMAT`` emits for a zeroed regular-file TarInfo
+    (mode 0644, uid/gid/mtime 0, empty uname/gname; checksum computed
+    with the checksum field as 8 spaces, then written ``%06o\\0 `` —
+    pinned by tests/test_etl_archive.py's byte-equality test)."""
+    hdr = bytearray(512)
+    hdr[0 : len(name_b)] = name_b
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = b"%011o\x00" % size
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b"        "
+    hdr[156] = 0x30  # typeflag '0': regular file
+    hdr[257:265] = b"ustar\x0000"
+    hdr[148:156] = b"%06o\x00 " % sum(hdr)
+    return bytes(hdr)
+
+
+def build_tar(names: list[str], payloads: list[bytes]) -> bytes:
+    """Deterministic USTAR archive: zeroed uid/gid/mtime, entries in the
+    given order (the get-batch order guarantee, api/apc/ml.go:26-28).
+
+    Headers are emitted by direct byte assembly (r16, guide §4.2 —
+    the write-side twin of the fast parse in sources/binary.py):
+    tarfile pays a TarInfo + tobuf + copyfileobj round per member,
+    which dominates many-small-member packs. Output is byte-identical
+    to the tarfile USTAR form (test-pinned); names over 100 bytes or
+    sizes outside the 11-octal-digit range fall back to tarfile for
+    the whole archive so prefix-field handling stays the library's.
+    """
+    parts: list[bytes] = []
+    pos = 0
+    for name, payload in zip(names, payloads):
+        name_b = name.encode("utf-8")
+        size = len(payload)
+        if len(name_b) > 100 or size >= 8**11:
+            return _build_tar_tarfile(names, payloads)
+        parts.append(_ustar_header(name_b, size))
+        parts.append(payload)
+        pad = -size % TAR_BLOCK
+        if pad:
+            parts.append(b"\0" * pad)
+        pos += TAR_BLOCK + size + pad
+    pos += TAR_EOF
+    parts.append(b"\0" * (TAR_EOF + (-pos % TAR_RECORDSIZE)))
+    return b"".join(parts)
 
 
 def synth_payload(member: str, key_str: str) -> bytes:

@@ -66,6 +66,7 @@ def get_batch_join_mixed(
     members: DataFrame,
     continue_on_err: bool = True,
     only_obj_name: bool = False,
+    with_keys: bool = False,
 ) -> DataFrame:
     """J1/G1 full surface: one batch mixing all three ``MossIn`` entry
     kinds (``api/apc/ml.go:87-120``):
@@ -95,13 +96,22 @@ def get_batch_join_mixed(
     # one members pass: the (shard, member) agg feeds the join's arch
     # side AND re-aggregates (tiny input now) into the plain side —
     # min over per-shard mins == min over all rows, one full-table
-    # shuffle instead of two
-    arch_content = members.groupBy("shard", "member").agg(
-        F.min("size").alias("asize")
-    )
-    plain_content = arch_content.groupBy("member").agg(
-        F.min("asize").alias("psize")
-    )
+    # shuffle instead of two. PINNED (r16): the two join branches each
+    # referenced this subtree, so the full-table aggregate executed
+    # twice without the pin (guide §2.4).
+    # ``with_keys`` additionally carries min(key_str) through the SAME
+    # aggregate — callers that need payload keys (the BatchLoader)
+    # previously re-aggregated the members table twice more.
+    from aistore_spark.util import pin
+
+    aggs = [F.min("size").alias("asize")]
+    if with_keys:
+        aggs.append(F.min("key_str").alias("akey"))
+    arch_content = pin(members.groupBy("shard", "member").agg(*aggs))
+    pl_aggs = [F.min("asize").alias("psize")]
+    if with_keys:
+        pl_aggs.append(F.min("akey").alias("pkey"))
+    plain_content = arch_content.groupBy("member").agg(*pl_aggs)
     is_arch = F.col("archpath") != ""
     j = requests.join(
         plain_content,
@@ -141,6 +151,9 @@ def get_batch_join_mixed(
     name = F.when(is_arch, F.concat(base, F.lit("/"), F.col("archpath"))).otherwise(
         base
     )
+    key_cols = (
+        [F.col("pkey"), F.col("akey")] if with_keys else []
+    )
     result = j.select(
         F.col("req_idx"),
         F.col("objname"),
@@ -150,6 +163,7 @@ def get_batch_join_mixed(
         .alias("out_name"),
         F.coalesce(eff, F.lit(0)).cast("bigint").alias("size"),
         status.alias("status"),
+        *key_cols,
     )
     if not continue_on_err:
         result = result.filter(F.col("status") == "ok")

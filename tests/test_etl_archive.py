@@ -101,3 +101,30 @@ def test_all_archive_formats_roundtrip():
             tar.extractfile(m).read() == p
             for m, p in zip(tar.getmembers(), payloads)
         )
+
+
+def test_fast_tar_builder_byte_identical_to_tarfile():
+    """The direct-assembly USTAR builder (r16) must emit the exact
+    bytes tarfile.USTAR_FORMAT does — headers, padding, EOF blocks,
+    RECORDSIZE tail — for representative name/size shapes, including
+    empty payloads, block-boundary sizes, and duplicate names."""
+    from aistore_spark.operators.archive import _build_tar_tarfile, build_tar
+
+    cases = [
+        ([], []),
+        (["a.txt"], [b""]),
+        (["dir/sub/file.bin"], [b"x" * 512]),
+        (
+            ["rec-000000001.jpg", "rec-000000001.cls", "z" * 100],
+            [b"p" * 511, b"q" * 513, b"\0" * 10240],
+        ),
+        (["dup.txt", "dup.txt"], [b"one", b"two"]),
+        (["uénicode.txt"], [b"payload"]),
+    ]
+    for names, payloads in cases:
+        assert build_tar(names, payloads) == _build_tar_tarfile(
+            names, payloads
+        ), names
+    # >100-byte names take the tarfile fallback (prefix-field handling)
+    long = ["d/" * 60 + "f.txt"]
+    assert build_tar(long, [b"p"]) == _build_tar_tarfile(long, [b"p"])
