@@ -873,8 +873,13 @@ def d4_md5_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d6_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6: fixed-size output shard packing (ext/dsort/dsort.go:556-608)."""
+    # projected to the two consumed columns before the range exchange
+    # (r16, guide §2.3 — same rationale as d5)
     packed = dsort.pack_shards(
-        _members(spark, sf_dir), ["member", "size"], "size", shard_size=1 << 20
+        _members(spark, sf_dir).select("member", "size"),
+        ["member", "size"],
+        "size",
+        shard_size=1 << 20,
     )
     return dsort.shard_manifest(packed)
 
@@ -942,9 +947,21 @@ def dsort_pipeline(
     tests/test_dsort.py). The registered oracle pins ratio=1.0 (tar).
     """
     members = _members(spark, sf_dir)
-    recs = members.groupBy("base").agg(F.sum("size").alias("bytes"))
-    keys = dsort.content_keys(members).select("base", "key_int")
-    records = keys.join(recs, "base")
+    # ONE aggregate instead of two + a join (r16, guide §2.4 — the d8
+    # fusion): record bytes and the min cls content key share the
+    # grouping key; the null filter drops keyless bases exactly like
+    # the old inner join against content_keys
+    records = (
+        members.groupBy("base")
+        .agg(
+            F.sum("size").alias("bytes"),
+            F.min(
+                F.when(F.col("ext") == "cls", F.col("key_int"))
+            ).alias("key_int"),
+        )
+        .filter(F.col("key_int").isNotNull())
+        .select("base", "key_int", "bytes")
+    )
     packed = dsort.pack_shards(
         records,
         ["key_int", "base"],
@@ -3864,8 +3881,12 @@ def d5_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: reshard-only (algorithm "none", ext/dsort/api.go:21) — pack
     into 2 MiB outputs preserving input (shard, member) order, no sort
     key."""
+    # project to the three consumed columns before the range exchange
+    # + pin inside global_cumsum (r16, guide §2.3): the full catalog
+    # frame previously shipped key_int/key_float/key_str/orderkey
+    # through the shuffle and held them in the offsets cache
     packed = dsort.pack_shards(
-        _members(spark, sf_dir),
+        _members(spark, sf_dir).select("shard", "member", "size"),
         ["shard", "member", "size"],
         "size",
         shard_size=2 << 20,

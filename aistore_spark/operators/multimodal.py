@@ -1575,7 +1575,16 @@ def dhash_pairs(bands: DataFrame, max_hamming: int = 3) -> DataFrame:
     the candidate join keys on (band, val) — selective by
     construction; the verify join re-keys the (small) candidate set
     by doc id. No all-pairs product anywhere.
+
+    The bands frame is PINNED (r16, guide §2.4): four plan branches
+    consume it (both candidate sides + both verify sides), and
+    upstream sits the full Arrow-batched PNG decode — without the pin
+    the decode executed once per branch. The cache is one short row
+    per (image, band).
     """
+    from aistore_spark.util import pin
+
+    bands = pin(bands)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "val")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "val")
     cand = (
