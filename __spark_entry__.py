@@ -93,7 +93,10 @@ DRIVER_CHECK_PRIORITY = [
     "p1b_pack_archive_io",
     "p3_extract_regex_pack",
     "s4_archive_listing",
-    "s4b_zip_listing",
+    # s4b_zip_listing rotated out (driver-green r15, fingerprint
+    # unchanged) for m13's r16 re-entry: its resolved-frame pin
+    # changed the registered source
+    "m13_catalog_compact",
     "s4c_lz4_listing",
     "s4d_shard_index_io",
     "s8_range_reads",

@@ -8957,7 +8957,12 @@ def m13_catalog_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aistore_spark.sources import catalog_source
 
     path, _ = _scratch_merged_catalog(spark, sf_dir, "m13")
-    resolved = catalog_source.read_resolved(spark, path)
+    # pinned (r16): the merge-on-read resolution feeds BOTH the
+    # compaction write and the 'resolved' rollup — one log fold
+    # instead of two (guide §2.4)
+    from aistore_spark.util import pin as _pin
+
+    resolved = _pin(catalog_source.read_resolved(spark, path))
     cpath = path + "_compact"
     cmanifest = catalog_source.write_chunked_catalog(
         resolved, cpath, n_chunks=4
