@@ -41,7 +41,7 @@ from aistore_spark.operators import (
 )
 from aistore_spark.sources import downloader
 from aistore_spark.sources.io_fixtures import SAMPLE_WHERE as _IO_SAMPLE_WHERE
-from aistore_spark.util import ensure_shipped, ntz_micros_sql
+from aistore_spark.util import ensure_shipped, ntz_micros_sql, session_frame
 from aistore_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -97,20 +97,46 @@ def register_stub(name: str, oracle: str):
 # ---- fixture shortcuts ----------------------------------------------------
 
 
+# The four shared catalog views are memoized per (session, sf_dir) via
+# util.session_frame (r16, guide §1.2): each is a pure lazy derivation
+# rebuilt by most of the 180 declared queries, and the rebuild is
+# driver-side py4j chatter (measured: 100-750 ms per build). The memo
+# holds an UNEXECUTED plan — every action still scans parquet through
+# the full derivation; this is "define the view once", not caching.
+
+
 def _objects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.objects_catalog(load_table(spark, sf_dir, "documents"))
+    return session_frame(
+        spark,
+        ("objects", str(sf_dir)),
+        lambda: catalog.objects_catalog(load_table(spark, sf_dir, "documents")),
+    )
 
 
 def _remote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.remote_objects_catalog(load_table(spark, sf_dir, "documents"))
+    return session_frame(
+        spark,
+        ("remote", str(sf_dir)),
+        lambda: catalog.remote_objects_catalog(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
 
 
 def _members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.members_catalog(load_table(spark, sf_dir, "lineitem"))
+    return session_frame(
+        spark,
+        ("members", str(sf_dir)),
+        lambda: catalog.members_catalog(load_table(spark, sf_dir, "lineitem")),
+    )
 
 
 def _requests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.batch_requests(load_table(spark, sf_dir, "events"))
+    return session_frame(
+        spark,
+        ("requests", str(sf_dir)),
+        lambda: catalog.batch_requests(load_table(spark, sf_dir, "events")),
+    )
 
 
 # ---- S: scans / listings ---------------------------------------------------
@@ -977,14 +1003,18 @@ def dsort_pipeline(
 
 def _docs_with_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents as (name, data) pairs — the inline-ETL GET shape."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.concat(
-            F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
-            F.lpad(F.col("doc_id").cast("string"), 6, "0"), F.lit(".txt"),
-        ).alias("name"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
-    )
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            F.concat(
+                F.col("lang"), F.lit("/"), F.col("source"), F.lit("/"),
+                F.lpad(F.col("doc_id").cast("string"), 6, "0"), F.lit(".txt"),
+            ).alias("name"),
+            F.encode(F.col("text"), "UTF-8").alias("data"),
+        )
+
+    return session_frame(spark, ("docs_with_data", str(sf_dir)), build)
 
 
 @register(
@@ -1289,11 +1319,17 @@ def _io_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the writer or the expansion breaks every downstream hash)."""
     from aistore_spark.sources import io_fixtures
 
-    shards = io_fixtures.materialize_shards(spark, sf_dir)
-    return io_fixtures.read_shard_members(spark, shards).withColumn(
-        "key_str",
-        F.expr("substring(cast(bytes as string), length(member) + 2)"),
-    )
+    def build() -> DataFrame:
+        # materialize_shards is idempotent and marker-guarded; the
+        # on-disk fixture is immutable once built, so the memoized
+        # lazy scan over it cannot go stale within a session.
+        shards = io_fixtures.materialize_shards(spark, sf_dir)
+        return io_fixtures.read_shard_members(spark, shards).withColumn(
+            "key_str",
+            F.expr("substring(cast(bytes as string), length(member) + 2)"),
+        )
+
+    return session_frame(spark, ("io_members", str(sf_dir)), build)
 
 
 @register(

@@ -39,6 +39,36 @@ def release_cached() -> None:
         _CACHED.pop().unpersist()
 
 
+def session_frame(spark, key: tuple, build) -> DataFrame:
+    """Session-scoped memo for a LAZY derived frame (r16, guide §1.2).
+
+    The shared catalog derivations (`objects`/`members`/`requests`
+    views over the fixture tables) cost 150-750 ms of driver-side
+    py4j round-trips to CONSTRUCT (measured: `_members` 749 ms,
+    `_objects` 423 ms per build at sf0.1 — thousands of JVM calls
+    building the same Column trees), and most of the 180 declared
+    queries rebuild them from scratch per invocation. Defining each
+    view once per session is plain catalog behavior: the memoized
+    object is an unexecuted plan — no data, no results — every action
+    still scans the parquet inputs through the full derivation, and
+    the memo dies with the session. Correctness is untouched because
+    the memo returns the exact frame the builder would return.
+
+    Key must include every input the derivation depends on (sf_dir at
+    minimum); builders with on-disk side effects (io fixtures) stay
+    correct because their effects are idempotent and marker-guarded.
+    """
+    memo = getattr(spark, "_aistore_frame_memo", None)
+    if memo is None:
+        memo = {}
+        spark._aistore_frame_memo = memo
+    df = memo.get(key)
+    if df is None:
+        df = build()
+        memo[key] = df
+    return df
+
+
 def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition a frame whose scan under-parallelizes.
 
