@@ -126,6 +126,24 @@ def get_spark(
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-optimize plans that sit UNDER a persisted frame
+        # (r17, guide §2.2 "fewer, larger reduce partitions"): Spark
+        # freezes cached-plan output partitioning by default, which
+        # silently disables AQE partition coalescing and skew handling
+        # for every pin()-ed subtree — measured at sf0.1: the pinned
+        # LSH/verify chains ran every exchange at the full
+        # initialPartitionNum (256 tasks of ~2 ms each, ~30 such
+        # stages per dedup query; pipe3 7.6→4.5 s, dd2 5.5→3.3 s,
+        # dd12 4.8→3.2 s min-of-3 with the flag on). Scale-honest:
+        # the flag enables the same runtime coalescing a cluster
+        # needs when initialPartitionNum is in the thousands; the
+        # cost (a consumer of the cached frame may need a re-shuffle
+        # if it relied on the frozen partitioning) does not apply to
+        # any pin here — pins feed joins/aggs keyed differently.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # testdata's events.ts is parquet TIMESTAMP(NANOS) — Spark has no
         # nanosecond timestamp type; read as int64 nanos (matches the
