@@ -87,6 +87,21 @@ def _iter_tar_fast(content: bytes, with_bytes: bool):
             break
         if hdr[257:262] != b"ustar":
             raise ValueError("non-ustar header")
+        # prefix field in use (ADVICE-r16 high): names >100 bytes are
+        # split across name+prefix — the fast walk would silently
+        # truncate them to the 100-byte suffix; defer to tarfile,
+        # which joins prefix/name.
+        if hdr[345:500].rstrip(b"\0") != b"":
+            raise ValueError("ustar prefix field in use")
+        # header checksum (verdict-r16 item 8): unsigned byte sum of
+        # the header with the checksum field read as 8 spaces —
+        # a corrupted shard must not silently parse where tarfile
+        # raises. ~free: one memoryview sum per 512-byte header.
+        chk_field = hdr[148:156].rstrip(b"\0 ")
+        if not chk_field or not chk_field.isdigit():
+            raise ValueError("non-octal checksum field")
+        if int(chk_field, 8) != sum(hdr[:148]) + 8 * 32 + sum(hdr[156:]):
+            raise ValueError("header checksum mismatch")
         size_field = hdr[124:136].rstrip(b"\0 ")
         if not size_field or not size_field.isdigit():
             raise ValueError("non-octal size field")
@@ -102,7 +117,15 @@ def _iter_tar_fast(content: bytes, with_bytes: bool):
                 size,
                 content[data_off : data_off + size] if with_bytes else None,
             )
-        elif typ not in _TAR_SKIP:
+        elif typ in _TAR_SKIP:
+            # tarfile consumes NO payload blocks for link/dev/dir/fifo
+            # members (ADVICE-r16: advancing by a nonzero size field
+            # here desyncs every later member). A skip-type header
+            # carrying a size is ambiguous across writers — defer.
+            if size != 0:
+                raise ValueError("skip-type member with nonzero size")
+            size = 0
+        else:
             raise ValueError(f"unsupported typeflag {typ:#x}")
         pos = data_off + ((size + 511) // 512) * 512
 

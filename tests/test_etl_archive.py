@@ -128,3 +128,83 @@ def test_fast_tar_builder_byte_identical_to_tarfile():
     # >100-byte names take the tarfile fallback (prefix-field handling)
     long = ["d/" * 60 + "f.txt"]
     assert build_tar(long, [b"p"]) == _build_tar_tarfile(long, [b"p"])
+
+
+def test_fast_tar_reader_guards():
+    """The direct-header tar walk (r16) must refuse — and the full
+    reader recover from — the three header shapes ADVICE-r16 flagged:
+    prefix-field names (>100 bytes, silently truncated before),
+    corrupted header checksums (silently parsed before), and
+    skip-type members carrying a nonzero size field (cursor desync
+    before)."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from aistore_spark.sources.binary import _iter_members, _iter_tar_fast
+
+    def tar_bytes(infos_payloads):
+        buf = io.BytesIO()
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tf:
+            for info, payload in infos_payloads:
+                tf.addfile(info, io.BytesIO(payload) if payload else None)
+        return buf.getvalue()
+
+    def reg(name, payload):
+        info = tarfile.TarInfo(name)
+        info.size = len(payload)
+        return info, payload
+
+    # 1. prefix-field archive: tarfile splits a 125-char path across
+    # prefix+name; the fast walk must REFUSE (ValueError), and the
+    # full reader must yield the complete joined path via tarfile.
+    long_name = "d/" * 60 + "f.txt"
+    arc = tar_bytes([reg(long_name, b"p"), reg("short.txt", b"q")])
+    with pytest.raises(ValueError):
+        list(_iter_tar_fast(arc, True))
+    got = list(_iter_members("x.tar", arc, True))
+    assert [(m[0], m[3]) for m in got] == [
+        (long_name, b"p"),
+        ("short.txt", b"q"),
+    ]
+
+    # 2. corrupted header: flip one name byte WITHOUT fixing the
+    # checksum — the fast walk must raise, not parse the bad name.
+    arc2 = bytearray(tar_bytes([reg("good.txt", b"hello")]))
+    arc2[0] ^= 0x01
+    with pytest.raises(ValueError):
+        list(_iter_tar_fast(bytes(arc2), True))
+
+    # 3. symlink carrying a nonzero size field: tarfile consumes no
+    # payload blocks for link types, so a size-advancing walk would
+    # misparse every later member. The fast walk defers (ValueError)
+    # and the full reader reports exactly the regular files.
+    link = tarfile.TarInfo("lnk")
+    link.type = tarfile.SYMTYPE
+    link.linkname = "good.txt"
+    link.size = 7  # some writers record the target size
+    arc3 = tar_bytes([reg("a.txt", b"one"), (link, None), reg("b.txt", b"two")])
+    with pytest.raises(ValueError):
+        list(_iter_tar_fast(arc3, True))
+    got3 = list(_iter_members("x.tar", arc3, True))
+    assert [(m[0], m[3]) for m in got3] == [("a.txt", b"one"), ("b.txt", b"two")]
+
+    # 4. plain archive: fast walk still yields byte-identical members
+    # (and a zero-size symlink is structurally skipped, like tarfile).
+    link0 = tarfile.TarInfo("lnk0")
+    link0.type = tarfile.SYMTYPE
+    link0.linkname = "a.txt"
+    arc4 = tar_bytes(
+        [reg("a.txt", b"one"), (link0, None), reg("b.txt", b"x" * 513)]
+    )
+    fast = [(m[0], m[1], m[2], m[3]) for m in _iter_tar_fast(arc4, True)]
+    with tarfile.open(fileobj=io.BytesIO(arc4)) as tf:
+        ref = [
+            (i.name, i.offset_data, i.size, tf.extractfile(i).read())
+            for i in tf.getmembers()
+            if i.isfile()
+        ]
+    assert fast == ref
