@@ -976,7 +976,10 @@ def dsort_pipeline(
     # ONE aggregate instead of two + a join (r16, guide §2.4 — the d8
     # fusion): record bytes and the min cls content key share the
     # grouping key; the null filter drops keyless bases exactly like
-    # the old inner join against content_keys
+    # the old inner join against content_keys. key_int is NON-NULL by
+    # construction (ADVICE-r16: members_catalog derives it from
+    # l_extendedprice, a required lineitem column), so key-null vs
+    # cls-row-absent cannot diverge here
     records = (
         members.groupBy("base")
         .agg(
@@ -1541,7 +1544,10 @@ def d8_dsort_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     # record-bytes sum and the min cls-key share the grouping key, so
     # a conditional min folds both into a single exchange — bases with
     # no .cls member drop via the null filter exactly as the old inner
-    # join dropped them. Values identical (min ignores nulls).
+    # join dropped them. Values identical (min ignores nulls); key_str
+    # is NON-NULL by construction (ADVICE-r16: concat of required
+    # lineitem columns in members_catalog / the on-disk tar payloads),
+    # so key-null vs cls-row-absent cannot diverge here.
     records = (
         mem.groupBy("base")
         .agg(
@@ -2212,7 +2218,8 @@ def dd2b_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
     ver = dedup.jaccard_verify(
-        docs, capped, n=3, threshold_num=1, threshold_den=20, shingles_df=sh
+        docs, capped, n=3, threshold_num=1, threshold_den=20, shingles_df=sh,
+        candidates_distinct=True,  # a filter over unique LSH pairs
     )
     return ver.select("doc_a", "doc_b", "common", "n_a", "n_b").withColumn(
         "sample_den", F.lit(den).cast("bigint")
@@ -8221,7 +8228,8 @@ def dd12_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer (r16, guide §2.4)
     cand = pin(dedup.lsh_candidate_pairs(docs, bands=8, n=3, shingles_df=sh))
     ver = dedup.jaccard_verify(
-        docs, cand, n=3, threshold_num=0, threshold_den=1, shingles_df=sh
+        docs, cand, n=3, threshold_num=0, threshold_den=1, shingles_df=sh,
+        candidates_distinct=True,  # lsh_candidate_pairs output is unique
     )
     out = (
         cand.select("doc_a", "doc_b", F.col("shared_bands").alias("match_slots"))
@@ -8338,7 +8346,8 @@ def dd12b_minhash_estimate_capped(
         )
     )
     ver = dedup.jaccard_verify(
-        docs, capped, n=3, threshold_num=0, threshold_den=1, shingles_df=sh
+        docs, capped, n=3, threshold_num=0, threshold_den=1, shingles_df=sh,
+        candidates_distinct=True,  # a filter over unique LSH pairs
     )
     return (
         capped.select(

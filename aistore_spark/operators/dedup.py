@@ -64,6 +64,14 @@ def shingles(
 ) -> DataFrame:
     """Word n-gram shingles, one row per distinct (doc, shingle).
 
+    CONTRACT (ADVICE-r16): input rows must be unique per ``id_col`` —
+    the within-doc dedup below collapses duplicates only inside one
+    row's array, so a caller passing duplicate doc_id ROWS gets
+    duplicated (doc_id, shingle) rows, which inflates every
+    downstream Jaccard count. Every corpus table in this engine is
+    id-unique by construction; library callers with replayed/unioned
+    inputs must dropDuplicates upstream.
+
     JVM-side only: split + sequence/transform + explode — no Python.
 
     Within-doc dedup is ``array_distinct`` BEFORE the explode (r16,
@@ -178,6 +186,7 @@ def jaccard_verify(
     threshold_num: int = 1,
     threshold_den: int = 20,
     shingles_df: DataFrame | None = None,
+    candidates_distinct: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard computed ONLY on *candidates* pairs — the
     verify stage of the scale pipeline (``lsh_candidate_pairs`` →
@@ -202,12 +211,20 @@ def jaccard_verify(
     # dedup the pair list: a caller may union several candidate
     # generators (LSH + SimHash overlap), and a duplicated pair would
     # multiply `common` and break the threshold arithmetic.
+    # ``candidates_distinct=True`` skips that full pair-set shuffle
+    # when the caller's frame is unique by construction (r17, guide
+    # §2.4 "a distinct on data that is already unique"):
+    # lsh_candidate_pairs ends in groupBy(doc_a, doc_b), so its
+    # output cannot hold duplicates.
     # PINNED (r16): the pair list feeds three plan branches (both
     # docs_in arms and the common join), and without the pin Catalyst
     # re-executes the whole candidate-generation subtree — the LSH
     # minhash agg + self-join — once per branch (measured 3x in the
     # dd2 before plan, plans/r16/dd2_ngram_jaccard_before.txt).
-    cand = pin(candidates.select("doc_a", "doc_b").distinct())
+    cand = candidates.select("doc_a", "doc_b")
+    if not candidates_distinct:
+        cand = cand.distinct()
+    cand = pin(cand)
     docs_in = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -344,6 +361,10 @@ def verified_pairs(
         threshold_num=threshold_num,
         threshold_den=threshold_den,
         shingles_df=sh,
+        # lsh_candidate_pairs ends in groupBy(doc_a, doc_b) — unique
+        # by construction, so the verify stage's guard distinct (one
+        # full pair-set shuffle) is provably redundant here (r17)
+        candidates_distinct=True,
     )
 
 

@@ -643,28 +643,54 @@ def bm25_topk(
                    corpus tokens so avgdl = T/N never divides early)
         score    = sum_t floor(1e6 * idf_t * tfnorm_t)
 
-    Scale shape: one corpus scan for (dl, tf) with the term filter
-    pushed to the scan (``word IN terms`` after explode — Catalyst
-    prunes ``text`` to the only read column), a words-sized broadcast
-    of per-term df, a 1-row broadcast of (N, T), one integer-sum
-    shuffle on doc_id, and TakeOrderedAndProject for the global top-k
-    (no single-partition window). Returns
-    (doc_id, n_terms_hit, score_e6), best first.
+    Scale shape: ONE corpus scan (r17; guide §2.4 duplicated
+    subtrees): per doc the scan emits ``dl`` plus one
+    occurrence-count column per term — ``size(filter(w, x = t))``,
+    all inside JVM codegen — and that narrow (2 + |terms| ints) frame
+    is pinned. The previous plan referenced the corpus-splitting
+    subtree three times (the (N, T) stats agg, the tf branch, and the
+    df branch re-deriving tf), so the split+explode ran three times
+    per query. Everything downstream reads the pin: the stats agg, a
+    ``stack`` unpivot to (doc, term, tf), a terms-sized broadcast of
+    per-term df, one integer-sum shuffle on doc_id, and
+    TakeOrderedAndProject for the global top-k (no single-partition
+    window). Returns (doc_id, n_terms_hit, score_e6), best first.
     """
+    from aistore_spark.util import pin
+
     words = F.split(F.col("text"), " ")
-    docs = documents.select(
-        "doc_id", F.size(words).cast("bigint").alias("dl"), words.alias("w")
+    # occurrence count per term via array filter — identical to the
+    # explode+WHERE+count form: both count exact matches of t in w
+    # (null text: split->null, size(null) = -1 = old dl; the tf>0
+    # filter below drops such docs from tf exactly as the explode
+    # dropped their rows)
+    per_doc = pin(
+        documents.select("doc_id", words.alias("w")).select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("dl"),
+            *[
+                F.size(
+                    F.filter(F.col("w"), lambda x: x == F.lit(t))
+                )
+                .cast("bigint")
+                .alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
     )
-    stats = docs.agg(
+    stats = per_doc.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").alias("t_tokens"),
     )
-    tf = (
-        docs.select("doc_id", "dl", F.explode("w").alias("word"))
-        .where(F.col("word").isin(list(terms)))
-        .groupBy("doc_id", "dl", "word")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+    stack_args = ", ".join(
+        "'" + t.replace("'", "\\'") + f"', _tf{i}"
+        for i, t in enumerate(terms)
     )
+    tf = per_doc.selectExpr(
+        "doc_id",
+        "dl",
+        f"stack({len(terms)}, {stack_args}) as (word, tf)",
+    ).where(F.col("tf") > 0)
     dfreq = tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df"))
     scored = tf.join(F.broadcast(dfreq), "word").crossJoin(F.broadcast(stats))
     contrib = (
