@@ -1455,8 +1455,23 @@ def g1c_assemble_batches_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan. This is the honest disk-bound twin of
     ``g1_assemble_batches`` for the BASELINE get-batch band
     (docs/get_batch.md:574-577)."""
+    r = _requests(spark, sf_dir)
+    # semi-join the disk-parsed members to the request's distinct
+    # names BEFORE the min-key aggregate (r17, guide §3.2 / verdict-
+    # r16 item 6): only requested members can surface through the
+    # left join, so the corpus-scale string SortAggregate input drops
+    # from every on-disk member to the requested slice (600k -> 22.7k
+    # rows at sf0.1) and payload bytes for never-requested members
+    # stay out of the exchange.
     content = (
         _io_members(spark, sf_dir)
+        .join(
+            F.broadcast(
+                r.select(F.col("objname").alias("member")).distinct()
+            ),
+            "member",
+            "left_semi",
+        )
         .groupBy("member")
         .agg(F.min("key_str").alias("key_str"))
         .select(
@@ -1467,7 +1482,6 @@ def g1c_assemble_batches_io(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload"),
         )
     )
-    r = _requests(spark, sf_dir)
     j = r.join(content, r["objname"] == content["member"], "left")
     missing = F.col("member").isNull()
     j = j.select(
@@ -6668,19 +6682,26 @@ def ann9d_ivfpq_sqrt_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector; the read path broadcasts probes and the ADC table; the
     corpus never shuffles (operators/simsearch.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
     corpus, _ = _clustered_corpus(emb)
+    # ONE job materializes the pinned corpus AND yields n (r17,
+    # verdict-r16 item 4 — the build+read tier ran ~11 sequential
+    # driver jobs): the oracle's n is count(ccorpus), which this
+    # count reads directly (the previous emb.count() matched it only
+    # because the clustered join preserves every row). cents is a
+    # LAZY checkpoint — the refine's centroid count materializes it.
+    n = corpus.count()
     k_cells = simsearch.n_coarse_cells(n)
     stride = max(1, n // k_cells)
     seeds = corpus.filter(F.col("vec_id") % stride == 0)
     cents = simsearch.kmeans_centroid_frame(
         simsearch.kmeans_train(corpus, seeds, iters=1)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     codebook = corpus.filter(F.col("vec_id") < 64)
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     return simsearch.ivfpq_refine_topk(
         corpus, cents, codebook, queries,
         k=10, nprobe=_ANN9D_NPROBE, m=8, dim=64, shortlist=None,
+        n_corpus=n,
     )
 
 
@@ -6890,20 +6911,23 @@ def ann9e_ivfpq_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
     of constant recall on data whose mode count does not grow with
     scale (the quality-vs-economy trade a recall SLA buys)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
     corpus, _ = _clustered_corpus(emb)
+    # same job fusion as ann9d (r17): corpus count doubles as the pin
+    # materialization; cents checkpoint is lazy.
+    n = corpus.count()
     k_cells = simsearch.n_coarse_cells(n)
     stride = max(1, n // k_cells)
     seeds = corpus.filter(F.col("vec_id") % stride == 0)
     cents = simsearch.kmeans_centroid_frame(
         simsearch.kmeans_train(corpus, seeds, iters=3)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     codebook = corpus.filter(F.col("vec_id") < 64)
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     return simsearch.ivfpq_refine_topk(
         corpus, cents, codebook, queries,
         k=10, nprobe=simsearch.recall_held_nprobe(k_cells),
         m=8, dim=64, shortlist=None,
+        n_corpus=n,
     )
 
 

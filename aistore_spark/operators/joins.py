@@ -35,9 +35,22 @@ def get_batch_join(
 
     Content is deduplicated to one row per name first (min shard / min
     size — deterministic), so the join never fans out a request.
+
+    The members table is semi-joined to the request's distinct object
+    names BEFORE that aggregate (r17, guide §3.2: reduce the big side
+    before shuffling it): a get-batch request is a bounded user batch
+    while the catalog is corpus-scale, so rows for never-requested
+    members — the overwhelming majority at scale (600k → 22.7k on the
+    sf0.1 fixture) — are dropped before the min-aggregate's exchange.
+    Exact: content rows for unrequested names can never surface
+    through the left join. The key frame is broadcast (bounded by the
+    batch contract, api/apc/ml.go:87-120).
     """
-    content = members.groupBy("member").agg(
-        F.min("shard").alias("shard"), F.min("size").alias("size")
+    keys = requests.select(F.col("objname").alias("member")).distinct()
+    content = (
+        members.join(F.broadcast(keys), "member", "left_semi")
+        .groupBy("member")
+        .agg(F.min("shard").alias("shard"), F.min("size").alias("size"))
     )
     how = "left" if continue_on_err else "inner"
     j = requests.join(content, requests["objname"] == content["member"], how)
@@ -104,10 +117,37 @@ def get_batch_join_mixed(
     # previously re-aggregated the members table twice more.
     from aistore_spark.util import pin
 
+    # Semi-join the corpus-scale members table to the request's key
+    # sets BEFORE the aggregate (r17, guide §3.2): plain entries can
+    # only match on member name, arch entries on (shard, member) —
+    # rows outside both sets never surface through the left joins.
+    # The two semi-joins may keep one row twice (a member that is
+    # both a plain target and an arch extraction); min() is
+    # duplicate-insensitive, so the aggregate is unchanged. Key
+    # frames are broadcast — bounded by the batch contract.
+    is_arch_req = F.col("archpath") != ""
+    plain_keys = (
+        requests.filter(~is_arch_req).select("objname").distinct()
+    )
+    arch_keys = (
+        requests.filter(is_arch_req)
+        .select(
+            F.col("objname").alias("shard"),
+            F.col("archpath").alias("member"),
+        )
+        .distinct()
+    )
+    requested = members.join(
+        F.broadcast(plain_keys.select(F.col("objname").alias("member"))),
+        "member",
+        "left_semi",
+    ).unionByName(
+        members.join(F.broadcast(arch_keys), ["shard", "member"], "left_semi")
+    )
     aggs = [F.min("size").alias("asize")]
     if with_keys:
         aggs.append(F.min("key_str").alias("akey"))
-    arch_content = pin(members.groupBy("shard", "member").agg(*aggs))
+    arch_content = pin(requested.groupBy("shard", "member").agg(*aggs))
     pl_aggs = [F.min("asize").alias("psize")]
     if with_keys:
         pl_aggs.append(F.min("akey").alias("pkey"))

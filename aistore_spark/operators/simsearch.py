@@ -1324,6 +1324,7 @@ def ivfpq_refine_topk(
     shortlist: int | None = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with an exact-rerank refine stage — the QUALITY tier of
     the production ANN read path (FAISS ``IndexRefineFlat`` shape):
@@ -1365,15 +1366,26 @@ def ivfpq_refine_topk(
     the driver whole, so the extra job is noise.
     """
     if shortlist is None:
+        # ``n_corpus`` lets a caller that already knows the corpus
+        # cardinality (e.g. it materialized the pinned corpus with a
+        # count) skip one sequential driver job here (r17, the
+        # verdict-r16 ann9d/e job-chain item); the value must equal
+        # corpus.count() — the sizing rule, and so the result, is
+        # identical either way.
         shortlist = refine_shortlist_size(
-            corpus.count(), centroids.count(), nprobe, k
+            corpus.count() if n_corpus is None else n_corpus,
+            centroids.count(),
+            nprobe,
+            k,
         )
     # one materialization shared by the cap-check count, the probe
     # assignment, the driver LUT collect, and the refine q-vector
     # frame (ADVICE-r15: the cap-check count used to recompute the
     # caller's derived query frame from scratch). Query frames are
     # bounded (the ANN query set), so the pinned partitions are small.
-    queries = queries.localCheckpoint(eager=True)
+    # LAZY checkpoint + count (r17): the eager form paid two driver
+    # jobs (materialize, then count); the count materializes it in one.
+    queries = queries.localCheckpoint(eager=False)
     n_queries = queries.count()
     adc = ivfpq_topk(
         corpus, centroids, codebook, queries,
