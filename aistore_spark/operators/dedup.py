@@ -840,13 +840,20 @@ def dup_substring_spans(
         )
         .select("doc_id", (F.col("i0") + 1).alias("i"), "gh")
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count("*").alias("n_occ"))
+    # ONE gram pass (r17, guide §2.4): the previous agg+join
+    # referenced the grams subtree twice — the corpus-wide k-gram
+    # hashing (split + md5 per position) executed once into the
+    # frequency aggregate and again into the occurrence join. A count
+    # window over the same gh shuffle keeps every occurrence row next
+    # to its corpus-wide count in a single pass; the filter is
+    # identical, so the (doc_id, i) multiset is unchanged.
+    occ = (
+        grams.withColumn(
+            "n_occ", F.count("*").over(Window.partitionBy("gh"))
+        )
         .where(F.col("n_occ") >= min_count)
-        .select("gh")
+        .select("doc_id", "i")
     )
-    occ = grams.join(dup, "gh").select("doc_id", "i")
     w_doc = Window.partitionBy("doc_id").orderBy("i")
     flagged = occ.withColumn(
         "f",

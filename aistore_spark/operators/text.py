@@ -225,33 +225,6 @@ def repetition_stats(
         ),
         lambda x: x.isNotNull(),
     )
-    base = documents.select("doc_id", ws.alias("ws"), bigrams.alias("g2"))
-
-    w1 = (
-        base.select("doc_id", F.explode("ws").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").cast("bigint").alias("top_word_n"),
-            F.sum("count").cast("bigint").alias("n_words"),
-        )
-    )
-    g2 = (
-        base.select("doc_id", F.explode("g2").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-        .groupBy("doc_id")
-        .agg(
-            F.max("count").cast("bigint").alias("top_bigram_n"),
-            F.coalesce(
-                F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
-            )
-            .cast("bigint")
-            .alias("dup_bigram_occ"),
-            F.sum("count").cast("bigint").alias("n_bigrams"),
-        )
-    )
     trigrams = F.filter(
         F.zip_with(
             F.zip_with(
@@ -268,20 +241,49 @@ def repetition_stats(
         ),
         lambda x: x.isNotNull(),
     )
-    g3 = (
-        documents.select("doc_id", F.explode(trigrams).alias("g"))
-        .groupBy("doc_id", "g")
+    # ONE corpus pass for all three gram kinds (r17, guide §2.4): the
+    # previous three explode→agg chains each re-scanned and re-split
+    # the corpus, shuffled (doc, gram) three times, then re-joined on
+    # doc_id. Tagging each gram with its kind (words cannot contain
+    # spaces, but the tag keeps the grouping airtight) folds them into
+    # one explode, one (doc, kind, gram) count, and one per-doc
+    # conditional aggregate — same total shuffle bytes, one scan, no
+    # joins. Per-kind values are identical: max/sum over the kind's
+    # rows equal the old per-kind aggregates, and a doc with no
+    # bigrams/trigrams has no kind-2/3 rows, exactly as the old left
+    # joins produced nulls (coalesced below, unchanged).
+    tag = lambda kind: lambda g: F.struct(  # noqa: E731
+        F.lit(kind).cast("int").alias("k"), g.alias("g")
+    )
+    tagged = documents.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(ws, tag(1)),
+                F.transform(bigrams, tag(2)),
+                F.transform(trigrams, tag(3)),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.k").alias("k"), F.col("e.g").alias("g"))
+    k = F.col("k")
+    cnt = F.col("count")
+    joined = (
+        tagged.groupBy("doc_id", "k", "g")
         .count()
         .groupBy("doc_id")
         .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0)
-            )
+            F.max(F.when(k == 1, cnt)).cast("bigint").alias("top_word_n"),
+            F.sum(F.when(k == 1, cnt)).cast("bigint").alias("n_words"),
+            F.max(F.when(k == 2, cnt)).cast("bigint").alias("top_bigram_n"),
+            F.sum(F.when((k == 2) & (cnt > 1), cnt))
+            .cast("bigint")
+            .alias("dup_bigram_occ"),
+            F.sum(F.when(k == 2, cnt)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.when((k == 3) & (cnt > 1), cnt))
             .cast("bigint")
             .alias("dup_trigram_occ"),
         )
     )
-    joined = w1.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
     ok_w = F.col("top_word_n") * 100 <= F.col("n_words") * max_top_word_pct
     # single-word docs have no bigrams at all (null after the left
     # join): vacuously ok, not null-propagated into `keep`
@@ -511,6 +513,7 @@ def bpe_learn_local(
     n_merges: int = 8,
     text_col: str = "text",
     top_v: int | None = None,
+    word_freq_df: DataFrame | None = None,
 ) -> tuple[DataFrame, list[tuple[int, str, str, str, int]]]:
     """Production-scale BPE learning: ONE Spark job total.
 
@@ -535,7 +538,14 @@ def bpe_learn_local(
     :func:`bpe_learn`; ``vocab_forms`` is rebuilt as a DataFrame from
     the (vocabulary-sized) driver state.
     """
-    wf_df = bpe_word_freq(documents, text_col)
+    # ``word_freq_df``: a caller that already tokenized the corpus
+    # (bpe_doc_token_counts' pinned per-doc counts) passes its own
+    # (word, freq) frame — identical values, one fewer corpus pass.
+    wf_df = (
+        word_freq_df
+        if word_freq_df is not None
+        else bpe_word_freq(documents, text_col)
+    )
     if top_v is not None:
         wf_df = wf_df.orderBy(F.desc("freq"), "word").limit(top_v)
     rows = wf_df.collect()  # vocabulary-sized: the ONE driver transfer
@@ -596,26 +606,43 @@ def bpe_doc_token_counts(
     Returns (doc_id, n_words, n_bpe_tokens). ``method`` as in
     :func:`bpe_merge_table` — 'local' learns driver-side (O(1) Spark
     jobs), 'distributed' keeps the K-iteration loop."""
-    learn = bpe_learn_local if method == "local" else bpe_learn
-    forms, _ = learn(documents, n_merges, text_col)
+    from aistore_spark.util import pin
+
+    # ONE regexp+explode corpus pass (r17, guide §2.4): learning and
+    # encoding both consumed their own full tokenization before — the
+    # per-(doc, word) count frame is pinned and feeds BOTH: the
+    # corpus word-frequency table (sum of per-doc counts == the
+    # direct corpus count) and the per-doc encode aggregate
+    # (count(*) over occurrences == sum(c); sum(nt) == sum(c*nt)).
+    dw_counts = pin(
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), F.lit(0)
+                )
+            ).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    wf = dw_counts.groupBy("word").agg(F.sum("c").alias("freq"))
+    if method == "local":
+        forms, _ = bpe_learn_local(
+            documents, n_merges, text_col, word_freq_df=wf
+        )
+    else:
+        forms, _ = bpe_learn(documents, n_merges, text_col)
     word_tokens = forms.select(
         "word",
         F.size(F.split(F.trim(F.col("form")), " ")).cast("bigint").alias("nt"),
     )
-    dw = documents.select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(BPE_WORD_RE), F.lit(0)
-            )
-        ).alias("word"),
-    )
     return (
-        dw.join(F.broadcast(word_tokens), "word")
+        dw_counts.join(F.broadcast(word_tokens), "word")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_words"),
-            F.sum("nt").alias("n_bpe_tokens"),
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("nt")).alias("n_bpe_tokens"),
         )
     )
 

@@ -23,6 +23,53 @@ from aistore_spark.operators.dsort import release_cached  # noqa: E402
 from aistore_spark.session import get_spark  # noqa: E402
 
 
+#: stdout-line stability contract (r17, verdict-r16 item 2): the
+#: driver's PERF compares the PRINTED queries map round-over-round,
+#: and the pure most-expensive-rows trim made a query that got FASTER
+#: vanish from the printed map — scored as "dropped_from_bench" (5
+#: phantom drops in PERF_r16) — while skewing the comparison set
+#: toward the slowest rows. These are exactly the rows the previous
+#: round's driver artifact printed (BENCH_r16.json "queries"): they
+#: are ALWAYS printed regardless of this run's cost ranking, so the
+#: next PERF's common set is stable under improvement. Remaining
+#: budget fills with this run's most expensive OTHER rows —
+#: additions only, nothing renamed or removed.
+STABLE_PRINT = [
+    "p1b_pack_archive_io",
+    "pipe3_dedup_report",
+    "t3_multiobj_transform",
+    "dd12_minhash_estimate",
+    "ann9e_ivfpq_recall_held",
+    "m13_catalog_compact",
+    "dd6b_simhash_prod",
+    "dd12b_minhash_estimate_capped",
+    "s4d_shard_index_io",
+    "ann9d_ivfpq_sqrt_cells",
+    "g1c_assemble_batches_io",
+    "dd7_dup_groups",
+    "g4_batch_loader",
+    "dd2b_ngram_jaccard_capped",
+    "dd2_ngram_jaccard",
+    "dd6_simhash_pairs",
+    "g3_output_formats",
+    "j1b_mixed_entries",
+    "d5_reshard",
+    "m12_catalog_upsert",
+    "d8_dsort_io",
+    "g1_mixed_batches",
+    "d2s_sort_content_string",
+    "pipe4_quality_gate",
+    "d1_sort_alphanumeric",
+    "ann9c_ivfpq_refined_clustered",
+    "pipe2_export_shards",
+    "ann6b_kmeans_train",
+    "p1_pack_archive",
+    "d3_seeded_shuffle",
+    "g1_assemble_batches",
+    "a2_shard_summary",
+]
+
+
 def resumed_provenance(prior: dict) -> list[str]:
     """Names to tag ``resumed_queries`` when resuming from ``prior``.
 
@@ -455,11 +502,23 @@ def main() -> None:
         line["task_skew"] = {n: rec["ratio"] for n, rec in worst3}
         encoded = json.dumps(line, separators=(",", ":"))
     if len(encoded) > budget:
-        by_cost = sorted(per_query.items(), key=lambda kv: -kv[1])
-        keep: dict[str, float] = {}
+        # stable rows first (the previous round's printed set — see
+        # STABLE_PRINT), then this run's most expensive other rows
+        # while the line fits. A stable row is only sacrificed in the
+        # degenerate case where the stable set alone overflows.
+        stable = [n for n in STABLE_PRINT if n in per_query]
+        by_cost = sorted(
+            (kv for kv in per_query.items() if kv[0] not in set(stable)),
+            key=lambda kv: -kv[1],
+        )
+        keep: dict[str, float] = {n: per_query[n] for n in stable}
         line["queries"] = keep
         line["queries_full"] = "BENCH_FULL.json"
         line["n_queries"] = len(per_query)
+        encoded = json.dumps(line, separators=(",", ":"))
+        while len(encoded) > budget and keep:
+            keep.popitem()  # trim cheapest-priority stable tail
+            encoded = json.dumps(line, separators=(",", ":"))
         for name, sec in by_cost:
             keep[name] = sec
             encoded = json.dumps(line, separators=(",", ":"))
