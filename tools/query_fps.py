@@ -15,6 +15,17 @@ they call into — operator-level changes are guarded by the pytest
 suite and the full strict local gate, while THIS contract guards the
 query/oracle pair the driver hashes.
 
+Sentinel extension (r17, verdict-r16 item 2): that boundary left a
+hole — r16's session-memo commit changed code EVERY query executes
+(sources/tables.py, the shared catalog view builders) and rotated
+nothing into the front 50. A small SENTINEL set now folds the shared
+helper sources into its fingerprints (HELPER_SENTINELS below), so any
+change to those helpers forces the sentinels back into the driver's
+hash window. Sentinels, not all queries: folding helpers into every
+fingerprint would demand 180 front-50 slots the contract does not
+have; one driver-hashed row per helper family is the guarantee the
+rotation can actually deliver.
+
 Usage:
   python tools/query_fps.py                # print current fps as JSON
   python tools/query_fps.py --update-green LEDGER.json
@@ -36,6 +47,32 @@ sys.path.insert(0, str(REPO))
 
 SNAPSHOT = REPO / "tests" / "driver_green_fps.json"
 
+#: sentinel query -> helper sources folded into ITS fingerprint.
+#: p2 covers the table-loading/session seams every query constructs
+#: through; p4 covers the archive/tar kernels the io family executes;
+#: s4b covers the shared catalog view derivations (catalog.py + the
+#: _objects/_members/_requests/_io_members builders in
+#: benchqueries.py, matched by AST name below).
+HELPER_SENTINELS: dict[str, list[str]] = {
+    "p2_extract_member": [
+        "aistore_spark/sources/tables.py",
+        "aistore_spark/util.py",
+        "aistore_spark/session.py",
+    ],
+    "p4_archive_append": [
+        "aistore_spark/sources/binary.py",
+        "aistore_spark/operators/archive.py",
+    ],
+    "s4b_zip_listing": [
+        "aistore_spark/catalog.py",
+    ],
+}
+
+#: benchqueries-level shared view builders folded into s4b's
+#: fingerprint by function name (they live outside any registered body)
+_VIEW_BUILDER_FNS = ("_objects", "_remote", "_members", "_requests",
+                     "_io_members")
+
 
 def current_fps() -> dict[str, str]:
     from aistore_spark.benchqueries import ORACLES, QUERIES
@@ -55,7 +92,13 @@ def current_fps() -> dict[str, str]:
         src = segs.get(fn.__name__) or ""
         if not src:
             raise RuntimeError(f"no top-level def found for query {name}")
-        out[name] = hashlib.md5((sql + "\n####\n" + src).encode()).hexdigest()
+        material = sql + "\n####\n" + src
+        for helper in HELPER_SENTINELS.get(name, ()):
+            material += "\n####\n" + (REPO / helper).read_text()
+        if name == "s4b_zip_listing":
+            for fn_name in _VIEW_BUILDER_FNS:
+                material += "\n####\n" + (segs.get(fn_name) or "")
+        out[name] = hashlib.md5(material.encode()).hexdigest()
     return out
 
 
