@@ -340,13 +340,32 @@ def assemble_batches_formats(
             batch_col: [], "format": [], "n_entries": [],
             "payload_bytes": [], "check_bytes": [], "entries_md5": [],
         }
+        # tar, tgz and tar.lz4 share one underlying USTAR stream: build
+        # it once per batch instead of three times. The compression
+        # settings for the two round-trip formats are free to differ
+        # from the shared builders' (gzip level 1; 4 MiB LZ4 blocks)
+        # because the reported value is the DECOMPRESSED length — any
+        # spec-valid encoding of the same tar yields the same check.
+        base_tar: bytes | None = None
+
+        def tar_stream() -> bytes:
+            nonlocal base_tar
+            if base_tar is None:
+                base_tar = build_tar(names, payloads)
+            return base_tar
+
         for fmt in formats:
-            blob = builders[fmt](names, payloads)
-            if fmt == "tgz":
+            if fmt == "tar":
+                blob = tar_stream()
+                check = len(blob)
+            elif fmt == "tgz":
+                blob = gzip.compress(tar_stream(), compresslevel=1, mtime=0)
                 check = len(gzip.decompress(blob))
             elif fmt == "tar.lz4":
+                blob = lz4frame.compress(tar_stream(), bd_code=7)
                 check = len(lz4frame.decompress(blob))
-            else:  # tar, zip: the archive size is the closed form
+            else:  # zip: the archive size is the closed form
+                blob = builders[fmt](names, payloads)
                 check = len(blob)
             rows[batch_col].append(int(pdf[batch_col].iloc[0]))
             rows["format"].append(fmt)

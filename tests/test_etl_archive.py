@@ -208,3 +208,40 @@ def test_fast_tar_reader_guards():
             if i.isfile()
         ]
     assert fast == ref
+
+
+def test_assemble_batches_formats_checks_closed_form(spark):
+    """G3's format matrix after the shared-tar/kernel rework (r17):
+    every (batch, format) row must still report the closed-form value —
+    tar/tgz/tar.lz4 all equal the USTAR closed form (the two compressed
+    formats report the DECOMPRESSED stream length, so the gzip level /
+    LZ4 block-size choices inside the kernel cannot leak into results),
+    zip the STORED layout closed form."""
+    from aistore_spark.operators.archive import assemble_batches_formats
+
+    rows = [
+        (0, i, f"b/rec-{i:09d}.jpg", (i * 937) % 4000) for i in range(6)
+    ] + [(1, 10 + i, f"__404__/b/x-{i}.jpg", 0) for i in range(3)]
+    joined = spark.createDataFrame(
+        rows, "batch_id bigint, req_idx bigint, out_name string, size bigint"
+    )
+    got = {
+        (r.batch_id, r.format): r
+        for r in assemble_batches_formats(joined).collect()
+    }
+    by_batch = {0: rows[:6], 1: rows[6:]}
+    assert len(got) == 8
+    for (bid, fmt), r in got.items():
+        names = [n for _, _, n, _ in by_batch[bid]]
+        sizes = [s for _, _, _, s in by_batch[bid]]
+        assert r.n_entries == len(names)
+        assert r.payload_bytes == sum(sizes)
+        if fmt == "zip":
+            expect = (
+                sum(30 + len(n) + s for n, s in zip(names, sizes))
+                + sum(46 + len(n) for n in names)
+                + 22
+            )
+        else:  # tar, tgz, tar.lz4: all the USTAR closed form
+            expect = expected_tar_size(sizes)
+        assert r.check_bytes == expect, (bid, fmt)
