@@ -245,3 +245,29 @@ def test_assemble_batches_formats_checks_closed_form(spark):
         else:  # tar, tgz, tar.lz4: all the USTAR closed form
             expect = expected_tar_size(sizes)
         assert r.check_bytes == expect, (bid, fmt)
+
+
+def test_direct_zip_builder_byte_identical_to_zipfile():
+    """The direct STORED-zip assembly (r17) must emit the exact bytes
+    the zipfile path does — local headers, central directory, EOCD —
+    for representative shapes: empty archive, empty payload, duplicate
+    names, utf-8 names (0x800 flag), many members, block-ish sizes."""
+    from aistore_spark.operators.archive import _build_zip_zipfile, build_zip
+
+    cases = [
+        ([], []),
+        (["a.txt"], [b""]),
+        (
+            ["a/b.jpg", "dup.txt", "dup.txt", "uéni.txt"],
+            [b"hello", b"", b"x" * 700, b"p"],
+        ),
+        (
+            [f"rec-{i:09d}.jpg" for i in range(300)],
+            [bytes([i % 251]) * (i * 37 % 5000) for i in range(300)],
+        ),
+        (["__404__/b/x.jpg"], [b"\0" * 65536]),
+    ]
+    for names, payloads in cases:
+        assert build_zip(names, payloads) == _build_zip_zipfile(
+            names, payloads
+        ), names[:2]
