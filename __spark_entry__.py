@@ -67,9 +67,22 @@ DRIVER_CHECK_PRIORITY = [
     #     contract cannot see helper-only changes (that is what the
     #     sentinels fix for the shared seams), so the affected
     #     operator families are front-loaded by hand this round.
+    # (e) late-round local_frame rollout (LocalRelation-backed small
+    #     driver frames): every operator family whose executed path it
+    #     changed gets one driver-hashed representative — f3
+    #     (filters.py), j2 (placement.py), m8 (movement.py), ds4
+    #     (downloader.py), f2b (registered body changed, fp-stale);
+    #     dsort.py rides on d8/dsort_pipeline, api.py on g4/j1b,
+    #     catalog_source.py on m12/m13, text.py on tx5c/tok2, and
+    #     util.py/catalog.py on the p2/s4b sentinels. Freed by
+    #     dropping one redundant sibling per still-covered family:
+    #     s4/s4c (binary.py keeps p4+s4d), dd4 (simhash keeps
+    #     dd6/dd6b), ann9b (ivfpq keeps ann9/ann9c/ann9d/ann9e), g2
+    #     (joins.py keeps j1/j1b/g4) — each driver-green in a
+    #     committed ledger with an unchanged fingerprint.
     # Rotated out vs r16 (all driver-green in CORRECTNESS_r16.json
     # with unchanged fingerprints): dd9_semantic_dedup, d1-d7 dsort
-    # rows, j2/j5, p3, a2/a5, f1-f6, ds2c/ds2d.
+    # rows, j5, p3, a2/a5, f1/f2/f4-f6, ds2c/ds2d.
     "dd12_minhash_estimate",
     "dd12b_minhash_estimate_capped",
     "dd2b_ngram_jaccard_capped",
@@ -98,24 +111,19 @@ DRIVER_CHECK_PRIORITY = [
     "pipe4_quality_gate",
     "pipe3_dedup_report",
     "dd3_lsh_candidates",
-    "dd4_simhash",
     "dd6_simhash_pairs",
     "dd6b_simhash_prod",
     "dd8_decontaminate",
     "j1_get_batch",
     "j1b_mixed_entries",
     "g4_batch_loader",
-    "g2_coloc_routing",
     "ann9_ivfpq_topk",
-    "ann9b_ivfpq_refined",
     "ann9c_ivfpq_refined_clustered",
     "ann6b_kmeans_train",
     "ann7b_pq_train",
     "ann8_pq_adc_topk",
     "p1b_pack_archive_io",
     "s4d_shard_index_io",
-    "s4c_lz4_listing",
-    "s4_archive_listing",
     "t3_multiobj_transform",
     "mm12_media_decode_io",
     "m12_catalog_upsert",
@@ -123,6 +131,12 @@ DRIVER_CHECK_PRIORITY = [
     "s8_range_reads",
     "mm11_dhash_neardup",
     "st1_dedup_stream_mirror",
+    # (e) local_frame rollout representatives
+    "f3_explicit_names",
+    "j2_ekm_route",
+    "m8_mirror_copies",
+    "ds4_single_plan",
+    "f2b_template_udtf",
 ]
 
 

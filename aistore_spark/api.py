@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from aistore_spark.operators import joins
 from aistore_spark.operators.archive import synth_payload
+from aistore_spark.util import local_frame
 
 
 class BatchLoader:
@@ -51,7 +52,8 @@ class BatchLoader:
         """The resolved per-request frame (mixed-kind join + payload
         keys re-attached): plain entries key on member name, archpath
         entries on (shard, member)."""
-        req = self._spark.createDataFrame(
+        req = local_frame(
+            self._spark,
             [
                 (i, "ais://shards", n, ap, st, ln)
                 for i, (n, ap, st, ln) in enumerate(self._entries)

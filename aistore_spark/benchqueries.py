@@ -9144,8 +9144,11 @@ def f2b_template_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield ("".join(parts), idx)
                 idx += 1
 
+    from aistore_spark.util import local_frame
+
     spark.udtf.register("expand_tpl", ExpandTpl)
-    tpls = spark.createDataFrame(
+    tpls = local_frame(
+        spark,
         [
             (1, "en/src1/{000001..000481..20}.txt"),
             (2, "en/src3/{000003..000483..20}.txt"),

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from aistore_spark.util import local_frame
 
 # 2025-01-01T00:00:00Z in unix-nanos; objects get 1-minute-spaced atimes.
 ATIME_EPOCH_NS = 1735689600000000000
@@ -253,6 +254,6 @@ EKM_RULES: list[tuple[str, str, int]] = [
 
 
 def ekm_table(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        EKM_RULES, schema="pattern string, template string, priority int"
+    return local_frame(
+        spark, EKM_RULES, schema="pattern string, template string, priority int"
     )

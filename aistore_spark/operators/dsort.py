@@ -46,7 +46,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from aistore_spark.util import pin, release_cached  # noqa: F401  (re-export)
+from aistore_spark.util import local_frame, pin, release_cached  # noqa: F401  (re-export)
 
 
 def sized_partitions(
@@ -85,7 +85,8 @@ def _offsets_by_partition(
         offsets[row["_pid"]] = run
         run += row["_w"] or 0
     spark = parted.sparkSession
-    off_df = spark.createDataFrame(
+    off_df = local_frame(
+        spark,
         [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
         schema="_pid int, _off bigint",
     )

@@ -20,6 +20,7 @@ from aistore_spark.functions.templates import (
     template_count,
     template_regex,
 )
+from aistore_spark.util import local_frame
 
 #: archive multi-match modes, cmn/archive/read.go:32-38
 ARCH_MODES = ("regexp", "prefix", "suffix", "substr", "wdskey")
@@ -72,7 +73,7 @@ def names_found_report(
     """F3 companion: per requested name, how many catalog rows matched
     (0 = missing — the reference reports those per-object errors,
     ``xact/xs/lrit.go:227-245``)."""
-    req = spark.createDataFrame([(n,) for n in names], schema="req_name string")
+    req = local_frame(spark, [(n,) for n in names], schema="req_name string")
     # Broadcast the tiny request list into an inner join (one catalog
     # scan, no catalog shuffle), aggregate to per-name counts (tiny),
     # then left-join request-side so missing names report found=0. A

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from aistore_spark.util import local_frame
 
 
 def copy_plan(
@@ -127,8 +128,8 @@ def rename_objects_plan(
     second pass.
     """
     spark = objects.sparkSession
-    tdf = spark.createDataFrame(
-        [(t,) for t in range(n_targets)], "target bigint"
+    tdf = local_frame(
+        spark, [(t,) for t in range(n_targets)], "target bigint"
     )
     renamed = objects.filter(F.col("name").startswith(prefix)).select(
         "name",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from aistore_spark.util import md5_bucket
+from aistore_spark.util import local_frame, md5_bucket
 
 
 def _hrw_scored(
@@ -27,7 +27,7 @@ def _hrw_scored(
     rendezvous score table. Targets broadcast; the corpus side never
     shuffles for scoring."""
     spark = objects.sparkSession
-    tdf = spark.createDataFrame([(t,) for t in targets], "target bigint")
+    tdf = local_frame(spark, [(t,) for t in targets], "target bigint")
     return (
         objects.select("name", *cols)
         .crossJoin(F.broadcast(tdf))
@@ -49,7 +49,7 @@ def hrw_owner(
     *targets* (argmax of the md5 rendezvous weight; one max(struct)
     aggregation keyed by name, map-side combined)."""
     spark = df.sparkSession
-    tdf = spark.createDataFrame([(t,) for t in targets], "target bigint")
+    tdf = local_frame(spark, [(t,) for t in targets], "target bigint")
     scored = df.crossJoin(F.broadcast(tdf)).withColumn(
         "_h",
         F.md5(

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from aistore_spark.util import spread
+from aistore_spark.util import local_frame, spread
 
 #: tiny per-language marker-word lists for the n-gram/stopword
 #: language-ID heuristic (argmax of marker hits; ties resolve in this
@@ -569,8 +569,10 @@ def bpe_learn_local(
         pat, rep = f" {a} {b} ", f" {a}{b} "
         forms = [f.replace(pat, rep).replace(pat, rep) for f in forms]
 
-    out = documents.sparkSession.createDataFrame(
-        list(zip(words, freqs, forms)), "word string, freq bigint, form string"
+    out = local_frame(
+        documents.sparkSession,
+        list(zip(words, freqs, forms)),
+        "word string, freq bigint, form string",
     )
     return out, merges
 
@@ -588,8 +590,10 @@ def bpe_merge_table(
     the K-iteration Spark loop (parity twin)."""
     learn = bpe_learn_local if method == "local" else bpe_learn
     _, merges = learn(documents, n_merges, text_col)
-    return documents.sparkSession.createDataFrame(
-        merges, "merge_idx bigint, lhs string, rhs string, merged string, freq bigint"
+    return local_frame(
+        documents.sparkSession,
+        merges,
+        "merge_idx bigint, lhs string, rhs string, merged string, freq bigint",
     )
 
 

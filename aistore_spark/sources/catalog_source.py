@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
+from aistore_spark.util import local_frame
 
 #: the inventory projection every chunk file carries (LsoEnt core)
 CATALOG_SCHEMA = (
@@ -474,7 +475,8 @@ def read_resolved(
         chunks = chunks[:as_of]
     if not chunks:
         return spark.createDataFrame([], CATALOG_SCHEMA)
-    gen_map = spark.createDataFrame(
+    gen_map = local_frame(
+        spark,
         [
             (Path(c["file"]).name, i, c.get("op", "upsert"))
             for i, c in enumerate(chunks)

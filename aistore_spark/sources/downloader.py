@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aistore_spark.functions.templates import expand_template
+from aistore_spark.util import local_frame
 
 FetchFn = Callable[[str], bytes]
 
@@ -74,8 +75,8 @@ def single_job_plan(spark: SparkSession, objname: str, link: str) -> DataFrame:
     """S10 ``single`` job: one named object from one link
     (``SingleBody``/``SingleObj``, ``ext/dload/api.go:88-92,120-123``).
     """
-    return spark.createDataFrame(
-        [(link, objname)], schema="url string, objname string"
+    return local_frame(
+        spark, [(link, objname)], schema="url string, objname string"
     )
 
 
@@ -96,7 +97,7 @@ def multi_job_plan(
         rows = [
             (link, dest_prefix + link.rsplit("/", 1)[-1]) for link in objects
         ]
-    return spark.createDataFrame(rows, schema="url string, objname string")
+    return local_frame(spark, rows, schema="url string, objname string")
 
 
 def backend_job_plan(

@@ -20,6 +20,69 @@ def ntz_micros_sql(col: str = "ts") -> str:
         f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
     )
 
+#: local_frame() falls back to createDataFrame above this row count —
+#: a VALUES literal is a parser payload, not a data path
+_LOCAL_FRAME_MAX_ROWS = 20_000
+
+
+def _sql_literal(v) -> str | None:
+    """Render one int/bool/str/None as a Spark SQL literal, or None if
+    the value cannot round-trip exactly as a literal."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        if "\x00" in v:
+            return None
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
+def local_frame(spark, rows, schema: str) -> DataFrame:
+    """A small driver-side frame as a LocalRelation, not a python RDD.
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes the pickled
+    rows into an RDD-backed scan: EVERY action or broadcast over it
+    schedules ``defaultParallelism`` python-worker tasks (measured at
+    local[32]: 32 tasks, ~0.4-2.2 s per broadcast collect — for 32
+    rows). Rendering the same rows as a SQL ``VALUES`` literal yields
+    a LocalRelation the driver reads with zero tasks and zero python
+    workers, which is also the right shape on a cluster: request
+    lists, partition offsets and rule tables are plan metadata, not
+    distributed data.
+
+    Exact-round-trip types only (int/bool/str/None); any other value
+    type, an empty list, or an oversized list falls back to
+    ``createDataFrame`` unchanged. *schema* is a DDL string; every
+    column is CAST to its declared type, so all-NULL columns type
+    correctly.
+    """
+    if not rows or len(rows) > _LOCAL_FRAME_MAX_ROWS:
+        return spark.createDataFrame(rows, schema=schema)
+    lits: list[str] = []
+    for row in rows:
+        vals = []
+        for v in row:
+            lit = _sql_literal(v)
+            if lit is None:
+                return spark.createDataFrame(rows, schema=schema)
+            vals.append(lit)
+        lits.append("(" + ", ".join(vals) + ")")
+    from pyspark.sql.types import StructType
+
+    fields = StructType.fromDDL(schema)
+    if any(len(r) != len(fields) for r in rows):
+        return spark.createDataFrame(rows, schema=schema)
+    proj = ", ".join(
+        f"CAST(col{i + 1} AS {f.dataType.simpleString()}) AS `{f.name}`"
+        for i, f in enumerate(fields)
+    )
+    return spark.sql(f"SELECT {proj} FROM VALUES " + ", ".join(lits))
+
+
 #: frames pinned by operators whose plans re-reference an expensive
 #: subtree (two-pass rank/cumsum, shingle self-joins). Callers run
 #: :func:`release_cached` after materializing downstream results.
