@@ -128,7 +128,12 @@ DRIVER_CHECK_PRIORITY = [
     "mm12_media_decode_io",
     "m12_catalog_upsert",
     "m13_catalog_compact",
-    "s8_range_reads",
+    # g2's registered body changed late in r17 (the placed-subtree
+    # dedup: n_entries as a window sum over votes) — fingerprint-stale,
+    # so it re-enters; s8_range_reads freed the slot (driver-green in
+    # CORRECTNESS_r16.json, fingerprint unchanged, rides catalog.py +
+    # the shared views, both sentinel-covered).
+    "g2_coloc_routing",
     "mm11_dhash_neardup",
     "st1_dedup_stream_mirror",
     # (e) local_frame rollout representatives

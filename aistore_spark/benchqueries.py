@@ -5531,11 +5531,21 @@ def g2_coloc_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = Window.partitionBy("batch_id").orderBy(
         F.col("n_on_target").desc(), "target"
     )
-    totals = placed.groupBy("batch_id").agg(F.count("*").alias("n_entries"))
+    # n_entries = count of placed rows per batch = sum over targets of
+    # n_on_target (placed holds exactly one row per req_idx — rn = 1 of
+    # the 8 HRW candidates). Summing the tiny votes frame in a window
+    # keyed like the rank window replaces a second full execution of
+    # the scan→crossJoin→window subtree (it fed BOTH votes and the old
+    # totals aggregate, unpinned) AND the votes⋈totals join — guide
+    # §2.4 duplicated subtrees; both windows share one batch_id
+    # exchange.
     return (
-        votes.withColumn("rn", F.row_number().over(wv))
+        votes.withColumn(
+            "n_entries",
+            F.sum("n_on_target").over(Window.partitionBy("batch_id")),
+        )
+        .withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") == 1)
-        .join(totals, "batch_id")
         .select(
             "batch_id",
             F.col("target").alias("designated_target"),
