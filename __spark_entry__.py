@@ -110,7 +110,12 @@ DRIVER_CHECK_PRIORITY = [
     "dd10_substring_spans",
     "pipe4_quality_gate",
     "pipe3_dedup_report",
-    "dd3_lsh_candidates",
+    # ev8's registered body changed late in r17 (funnel rebuilt as one
+    # scan + one user-keyed aggregate) — fingerprint-stale, so it
+    # enters; dd3_lsh_candidates freed the slot (driver-green in
+    # CORRECTNESS_r01.json, fingerprint unchanged; dedup.py keeps
+    # dd2/dd6/dd6b/dd7/dd8/dd10/pipe3/pipe4 in the front 50).
+    "ev8_funnel",
     "dd6_simhash_pairs",
     "dd6b_simhash_prod",
     "dd8_decontaminate",

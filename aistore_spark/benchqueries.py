@@ -9234,33 +9234,54 @@ def ev8_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact micros (nullable when the funnel stops early). 100 TB
     shape: every join/agg keys on user_id — one co-partitionable key
     end to end."""
+    # ONE corpus scan + ONE user-keyed aggregate (r17, guide §2.4
+    # duplicated subtrees): the chained agg+join form referenced the
+    # events subtree 7 times unpinned (tv twice, tc twice, tp, users —
+    # the pre-fix plan shows 7 parquet scans and 3 SortMergeJoins).
+    # Per user: t_view is a plain conditional min; the strictly-after
+    # mins come from the SORTED per-type time arrays — the first
+    # element greater than the previous stage's time IS the
+    # conditional min the old join+filter+agg computed:
+    #   t_click    = min{click t : t > t_view}   (null when t_view is
+    #                null — `x > NULL` is NULL and filter() drops it —
+    #                exactly the old inner join against tv)
+    #   t_purchase = min{purchase t : t > t_click}  (same argument)
+    # F.get returns NULL on an empty array (funnel stopped early)
+    # under ANSI semantics, matching the old left joins. The filter()
+    # lambdas are interpreted, but run once per USER over a short
+    # array — not per event. Shuffle bytes are the same click/purchase
+    # (user, t) rows the old plan moved into its joins; scans drop
+    # 7 -> 1 and the three user-keyed joins disappear.
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.expr(ntz_micros_sql("ts")).alias("t")
     )
-    tv = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_view"))
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias(
+            "t_view"
+        ),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("t"))
+            )
+        ).alias("_clicks"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("t"))
+            )
+        ).alias("_purchases"),
     )
-    tc = (
-        ev.where(F.col("event_type") == "click")
-        .join(tv, "user_id")
-        .where(F.col("t") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_click"))
+    with_click = agg.withColumn(
+        "t_click",
+        F.get(
+            F.filter("_clicks", lambda x: x > F.col("t_view")), F.lit(0)
+        ),
     )
-    tp = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(tc, "user_id")
-        .where(F.col("t") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("t").alias("t_purchase"))
-    )
-    users = ev.select("user_id").distinct()
-    out = (
-        users.join(tv, "user_id", "left")
-        .join(tc, "user_id", "left")
-        .join(tp, "user_id", "left")
+    out = with_click.withColumn(
+        "t_purchase",
+        F.get(
+            F.filter("_purchases", lambda x: x > F.col("t_click")),
+            F.lit(0),
+        ),
     )
     stage = (
         F.when(F.col("t_purchase").isNotNull(), 3)
