@@ -126,7 +126,13 @@ DRIVER_CHECK_PRIORITY = [
     "ann9c_ivfpq_refined_clustered",
     "ann6b_kmeans_train",
     "ann7b_pq_train",
-    "ann8_pq_adc_topk",
+    # tx8's executed path changed late in r17 (bigram_familiarity's
+    # count-agg + probe-join folded into one count window) — the helper
+    # convention front-loads the directly-affected query;
+    # ann8_pq_adc_topk freed the slot (driver-green in
+    # CORRECTNESS_r14.json, fingerprint unchanged; simsearch.py keeps
+    # ann9/ann9c/ann9d/ann9e/ann6b/ann7b in the front 50).
+    "tx8_bigram_familiarity",
     "p1b_pack_archive_io",
     "s4d_shard_index_io",
     "t3_multiobj_transform",

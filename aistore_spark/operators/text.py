@@ -358,9 +358,19 @@ def bigram_familiarity(documents: DataFrame) -> DataFrame:
     occ = documents.select(
         "doc_id", F.explode(bigrams).alias("bigram")
     )
-    counts = occ.groupBy("bigram").agg(F.count("*").alias("_df"))
+    # ONE bigram pass (r17, guide §2.4, same transform as
+    # dup_substring_spans): the count-agg + probe-join form referenced
+    # the explode subtree twice — the corpus split + bigram explode
+    # executed once into the frequency aggregate and again into the
+    # join. A count window over the same bigram shuffle attaches the
+    # corpus-wide occurrence count to every occurrence row in a single
+    # pass; the (doc_id, _df) multiset is exactly the join's output.
+    from pyspark.sql import Window as _W
+
     return (
-        occ.join(counts, "bigram")
+        occ.withColumn(
+            "_df", F.count("*").over(_W.partitionBy("bigram"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
