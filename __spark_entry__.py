@@ -106,10 +106,19 @@ DRIVER_CHECK_PRIORITY = [
     "tx11_bm25_topk",
     "tx7_repetition_stats",
     "tx5c_bpe_doc_tokens",
-    "tok2_pack_bpe",
     "dd10_substring_spans",
     "pipe4_quality_gate",
     "pipe3_dedup_report",
+    # pipe1/pipe2's registered bodies changed late in r17 (exact-dedup
+    # + quality scan fused into one spread scan + checksum window) —
+    # fingerprint-stale, so both enter; tok2_pack_bpe freed a slot
+    # (fingerprint unchanged; tx5c is the direct representative of the
+    # shared BPE-pin path) and dd8_decontaminate the other
+    # (driver-green in CORRECTNESS_r14.json, fingerprint unchanged;
+    # dedup.py keeps dd2/dd6/dd6b/dd7/dd10/pipe3/pipe4 in the front
+    # 50).
+    "pipe1_curation",
+    "pipe2_export_shards",
     # ev8's registered body changed late in r17 (funnel rebuilt as one
     # scan + one user-keyed aggregate) — fingerprint-stale, so it
     # enters; dd3_lsh_candidates freed the slot (driver-green in
@@ -118,7 +127,6 @@ DRIVER_CHECK_PRIORITY = [
     "ev8_funnel",
     "dd6_simhash_pairs",
     "dd6b_simhash_prod",
-    "dd8_decontaminate",
     "j1_get_batch",
     "j1b_mixed_entries",
     "g4_batch_loader",

@@ -5585,8 +5585,18 @@ def pipe1_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare), then per-(lang, source) corpus accounting. One shuffle
     for the dedup hash, one for the final rollup; every stage is the
     already-declared operator (dd1 + tx1/tx2 composed)."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = dedup.exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    # ONE corpus scan (r17, guide §2.4): the exact-dedup verdict and
+    # the quality columns both derive from the same documents row, but
+    # composing dd1 as a separate frame + semi-join re-scanned the
+    # corpus (2 parquet scans, md5 and split each over the full text)
+    # and shuffled both sides of the join. One spread scan computes
+    # digest + token stats together; the canonical test is the same
+    # min(doc_id)-per-checksum window exact_dedup runs (the quality
+    # filter references non-partition columns, so Catalyst cannot push
+    # it below the window — canonical selection still sees every doc).
+    from aistore_spark.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
     q = docs.select(
@@ -5598,11 +5608,15 @@ def pipe1_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
         .cast("bigint")
         .alias("n_stop"),
+        F.md5("text").alias("cks"),
     )
     return (
-        q.join(d, "doc_id", "left_semi")
+        q.withColumn(
+            "_canon", F.min("doc_id").over(Window.partitionBy("cks"))
+        )
         .filter(
-            (F.col("n_tokens") >= 20)
+            (F.col("doc_id") == F.col("_canon"))
+            & (F.col("n_tokens") >= 20)
             & (F.col("n_stop") * 100 >= F.col("n_tokens"))
         )
         .groupBy("lang", "source")
@@ -5656,8 +5670,13 @@ def pipe2_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; here Catalyst fuses the dedup semi-join, the quality
     filter, and the packing into one pipeline with two shuffles
     (dedup hash, range exchange)."""
-    docs = load_table(spark, sf_dir, "documents")
-    d = dedup.exact_dedup(docs).filter(~F.col("is_dup")).select("doc_id")
+    # ONE corpus scan (r17, guide §2.4) — same fusion as pipe1: digest
+    # + token stats from a single spread scan, canonical = the
+    # min(doc_id)-per-checksum window exact_dedup runs, quality filter
+    # above the window (non-partition columns, not pushable below it).
+    from aistore_spark.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
     q = docs.select(
@@ -5667,11 +5686,15 @@ def pipe2_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w)))
         .cast("bigint")
         .alias("n_stop"),
+        F.md5("text").alias("cks"),
     )
     kept = (
-        q.join(d, "doc_id", "left_semi")
+        q.withColumn(
+            "_canon", F.min("doc_id").over(Window.partitionBy("cks"))
+        )
         .filter(
-            (F.col("n_tokens") >= 20)
+            (F.col("doc_id") == F.col("_canon"))
+            & (F.col("n_tokens") >= 20)
             & (F.col("n_stop") * 100 >= F.col("n_tokens"))
         )
         .select(
