@@ -9431,18 +9431,28 @@ def tx14_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     from aistore_spark.util import spread
 
+    # ONE gram pass (r17, guide §2.4): the distinct gram subtree fed
+    # both the reference side and the probe side unpinned — the corpus
+    # scan + explode + distinct executed twice, then re-joined on gram.
+    # A max window over the same gram key marks every gram that any
+    # reference-source (len(source) == 4) document holds; a probe row
+    # is novel exactly when that flag is 0, which is the old left
+    # join's NULL case (ref had the gram -> hit, else novel).
     g = (
         spread(docs)
         .select("doc_id", "source", F.split(F.col("text"), " ").alias("text_w"))
         .select("doc_id", "source", F.explode(grams).alias("gram"))
         .distinct()
     )
-    ref = g.where(F.length("source") == 4).select("gram").distinct()
-    probe = g.where(F.length("source") == 5).select("doc_id", "gram")
-    j = probe.join(ref.withColumn("_hit", F.lit(1)), "gram", "left")
-    return j.groupBy("doc_id").agg(
+    probe = g.withColumn(
+        "_hit",
+        F.max(F.when(F.length("source") == 4, 1).otherwise(0)).over(
+            Window.partitionBy("gram")
+        ),
+    ).where(F.length("source") == 5)
+    return probe.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_grams"),
-        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("_hit") == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_novel"),
     )
